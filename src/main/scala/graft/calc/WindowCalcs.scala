@@ -1,0 +1,120 @@
+package graft.calc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W-family: frame-expressible rolling/lag analytics over per-symbol,
+  * time-ordered candles. Everything here compiles to Spark's sort-based
+  * window exec — one exchange on symbol, one in-partition sort, all
+  * expressions whole-stage-codegen'd.
+  */
+object WindowCalcs {
+
+  private def w = Window.partitionBy("symbol").orderBy("timestamp")
+
+  /** W1 — volume spike: volume > 1.5 × rolling-60 mean (min_periods=1, so
+    * partial leading frames count)
+    * (reference: detect_volume_spikes candle_to_calcs.py:517-526).
+    */
+  def withVolumeSpikes(df: DataFrame, window: Int = 60, mult: Double = 1.5): DataFrame = {
+    val avgVol = avg(col("volume")).over(w.rowsBetween(-(window - 1), 0))
+    df.withColumn("avg_volume_60", avgVol)
+      .withColumn("volume_spike", (col("volume") > lit(mult) * col("avg_volume_60")).cast("int"))
+  }
+
+  /** W2 — lag difference, nulls→0 per the reference's fillna(0)
+    * (reference: candle_to_calcs.py:411,437).
+    */
+  def withLagDiff(df: DataFrame, src: String, out: String, n: Int = 1): DataFrame =
+    df.withColumn(out, coalesce(col(src) - lag(col(src), n).over(w), lit(0.0)))
+
+  /** W3 — rolling mean with pandas default min_periods=window: rows before
+    * the window fills emit NaN which the reference collapses to 0/false
+    * (reference: high_volatility candle_to_calcs.py:412).
+    */
+  def rollingMeanFull(df: DataFrame, src: String, out: String, window: Int): DataFrame = {
+    val frame = w.rowsBetween(-(window - 1), 0)
+    val filled = count(col(src)).over(frame) >= window
+    df.withColumn(out, when(filled, avg(col(src)).over(frame)))
+  }
+
+  /** W4 — Bollinger Bands BBANDS(close, 20, 2, 2, matype=SMA): 20-row SMA ±
+    * 2·population σ; TA-Lib emits NaN for the first 19 rows, which the
+    * reference backfills with `close` (reference: candle_to_calcs.py:419-425).
+    * Derived columns: width, %B position, breakout flags.
+    */
+  def withBollinger(df: DataFrame, period: Int = 20, nbDev: Double = 2.0,
+                    exact: Boolean = false): DataFrame = {
+    val frame = w.rowsBetween(-(period - 1), 0)
+    val filled = count(col("close")).over(frame) >= period
+    // `exact`: moments from exact decimal window sums (bit-reproducible under
+    // any partitioning; what the oracle queries use). Default: codegen'd
+    // avg/stddev_pop (Welford), faster and numerically stabler for deep
+    // frames.
+    val (meanE, devE) =
+      if (exact) {
+        val cD = col("close").cast("decimal(18,2)")
+        val m = sum(cD).over(frame).cast("double") / count(col("close")).over(frame)
+        val ex2 = sum(cD * cD).over(frame).cast("double") / count(col("close")).over(frame)
+        (m, sqrt(greatest(ex2 - m * m, lit(0.0))))
+      } else (avg(col("close")).over(frame), stddev_pop(col("close")).over(frame))
+    val mid = when(filled, meanE).otherwise(col("close"))
+    val dev = when(filled, devE).otherwise(lit(0.0))
+    val upper = mid + lit(nbDev) * dev
+    val lower = mid - lit(nbDev) * dev
+    df.withColumn("bb_middle", mid)
+      .withColumn("bb_upper", upper)
+      .withColumn("bb_lower", lower)
+      // pandas: width 0/0 → NaN→0; position guard replaces 0 span with null then 0
+      .withColumn("bb_width",
+        when(col("bb_middle") =!= 0, (col("bb_upper") - col("bb_lower")) / col("bb_middle")).otherwise(lit(0.0)))
+      .withColumn("bb_position",
+        when(col("bb_upper") =!= col("bb_lower"),
+          (col("close") - col("bb_lower")) / (col("bb_upper") - col("bb_lower"))).otherwise(lit(0.0)))
+      .withColumn("bb_breakout_upper", (col("close") > col("bb_upper")).cast("int"))
+      .withColumn("bb_breakout_lower", (col("close") < col("bb_lower")).cast("int"))
+  }
+
+  /** W12 — per NY-local-day running high/low with new-extreme flags
+    * (reference: check_daily_anchors candle_to_calcs.py:276-311). Requires a
+    * `local_date` column (see [[SessionLabels.withSessionLabels]]).
+    */
+  def withDailyRunningExtremes(df: DataFrame): DataFrame = {
+    val wd = Window.partitionBy("symbol", "local_date").orderBy("timestamp")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wLag = Window.partitionBy("symbol", "local_date").orderBy("timestamp")
+    val runHigh = max(col("high")).over(wd)
+    val runLow = min(col("low")).over(wd)
+    df.withColumn("daily_running_high", runHigh)
+      .withColumn("daily_running_low", runLow)
+      .withColumn("is_new_daily_high",
+        (col("high") === col("daily_running_high") &&
+          (lag(col("daily_running_high"), 1).over(wLag).isNull ||
+            col("high") > lag(col("daily_running_high"), 1).over(wLag))).cast("int"))
+      .withColumn("is_new_daily_low",
+        (col("low") === col("daily_running_low") &&
+          (lag(col("daily_running_low"), 1).over(wLag).isNull ||
+            col("low") < lag(col("daily_running_low"), 1).over(wLag))).cast("int"))
+  }
+
+  /** W13 — time-trigger daily anchors: the FIRST row whose NY-local (hour,
+    * minute) equals a trigger, once per (symbol, local day, trigger)
+    * (reference: candle_to_calcs.py:289-299). Minute-exact on purpose: a day
+    * with no 04:00:xx candle gets no 4am anchor — reference quirk preserved.
+    * Requires local_date/local_hour/local_minute columns.
+    */
+  def timeTriggerAnchors(df: DataFrame,
+                         triggers: Seq[(String, Int, Int)] = Seq(
+                           ("anchor_4am", 4, 0), ("anchor_930am", 9, 30), ("anchor_4pm", 16, 0))): DataFrame = {
+    val frames = triggers.map { case (name, h, m) =>
+      val hit = df.filter(col("local_hour") === h && col("local_minute") === m)
+      val first = Window.partitionBy("symbol", "local_date").orderBy("timestamp")
+      hit.withColumn("__rn", row_number().over(first))
+        .filter(col("__rn") === 1)
+        .select(col("symbol"), lit(name).as("anchor_type"),
+          col("timestamp").as("anchor_timestamp"), col("close").as("price_at_anchor"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory.
+  *
+  * Every entry point (Verify, Bench, tests) builds its session here so the
+  * settings that affect correctness parity with the DuckDB oracle are applied
+  * uniformly:
+  *
+  *  - session time zone UTC: the reference normalizes all event time to UTC on
+  *    entry (reference: aggregator_candles.py:79, candle_to_calcs.py:595).
+  *  - `nanosAsLong`: the testdata `events.parquet` carries INT64
+  *    TIMESTAMP(NANOS) which Spark has no native type for; we read the raw
+  *    nanos and convert with integer division (see [[Tables.ticks]]).
+  *  - shuffle partitions sized for the local[32] harness, with AQE enabled so
+  *    the same plans re-partition themselves on a real cluster.
+  */
+object GraftSession {
+
+  def builder(master: String = defaultMaster, shufflePartitions: Int = defaultShuffle): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def defaultMaster: String =
+    s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"
+
+  private def defaultShuffle: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(4).max(4)
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Det._
+
+/** Relational core over the TPC-H-ish tables: aggregation, broadcast /
+  * semi / anti joins, top-k, distinct, running/rolling/lag windows, union.
+  * Each query is written the way it should run at 100 TB: filters first
+  * (pushed to parquet), small dimensions broadcast, aggregates partial+final.
+  */
+object QueriesRelational {
+
+  /** TPC-H Q1-style pricing summary: full-scan aggregate with decimal-exact
+    * sums. Plan: Scan(PushedFilters shipdate) → partial HashAggregate →
+    * Exchange(2 groups) → final HashAggregate.
+    */
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsumr(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Revenue per nation: 4-way join; region/nation broadcast (tiny dims),
+    * customer⋈orders⋈lineitem shuffle-hash on keys.
+    */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsumr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q02Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Top-k: TakeOrderedAndProject — no global sort at scale. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private val q03Sql =
+    """SELECT o_orderkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Semi join (J1): customers that have at least one order. */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+  }
+
+  private val q04Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Anti join (J2 embryo): customers with no orders, counted per nation. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    val n = Tables.nation(s, dir)
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  private val q05Sql =
+    """SELECT n_name, COUNT(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |GROUP BY n_name""".stripMargin
+
+  /** Running (unbounded-preceding) per-user sum — exact decimal window. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.select(
+      col("event_id"), col("user_id"),
+      sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"))
+  }
+
+  private val q06Sql =
+    """SELECT event_id, user_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY user_id ORDER BY ts::TIMESTAMP
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events""".stripMargin
+
+  /** W1-shaped rolling mean (60 rows, min_periods=1) via exact decimal sums. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-59, 0)
+    e.select(
+      col("event_id"), col("event_type"),
+      (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+        count(lit(1)).over(w)).as("rolling_avg_value"))
+  }
+
+  private val q07Sql =
+    """SELECT event_id, event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS rolling_avg_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts::TIMESTAMP ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** W2 lag-diff with the reference's nulls→0 collapse. */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy("event_type").orderBy("ts")
+    e.select(
+      col("event_id"), col("event_type"),
+      coalesce(col("value") - lag(col("value"), 1).over(w), lit(0.0)).as("value_diff"))
+  }
+
+  private val q08Sql =
+    """SELECT event_id, event_type,
+      |  COALESCE(value - LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts::TIMESTAMP), 0.0) AS value_diff
+      |FROM events""".stripMargin
+
+  /** Scan-side aggregate pushover on part (brand stats). */
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        dsum(col("p_retailprice")).as("sum_retail"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"))
+
+  private val q09Sql =
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail,
+      |  MIN(p_size) AS min_size, MAX(p_size) AS max_size
+      |FROM part GROUP BY p_brand""".stripMargin
+
+  /** UNION ALL (U1) then aggregate: high-value purchases ∪ errors. */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val a = e.filter(col("event_type") === "purchase" && col("value") > 100)
+    val b = e.filter(col("event_type") === "error")
+    a.unionByName(b)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
+  private val q10Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT * FROM events WHERE event_type = 'purchase' AND value > 100
+      |  UNION ALL
+      |  SELECT * FROM events WHERE event_type = 'error'
+      |) GROUP BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
+    Q("q02_revenue_by_nation", q02, Some(q02Sql), headline = true),
+    Q("q03_top_orders", q03, Some(q03Sql)),
+    Q("q04_segment_with_orders", q04, Some(q04Sql)),
+    Q("q05_customers_no_orders", q05, Some(q05Sql)),
+    Q("q06_running_user_value", q06, Some(q06Sql), headline = true),
+    Q("q07_rolling_avg_value", q07, Some(q07Sql)),
+    Q("q08_lag_diff_value", q08, Some(q08Sql)),
+    Q("q09_part_brand_stats", q09, Some(q09Sql)),
+    Q("q10_union_filtered", q10, Some(q10Sql))
+  )
+}
