@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 scripts/check_correctness.py <sfDir> <verifyOutDir>
+
+Loads <verifyOutDir>/oracle_sql.json, registers each <sfDir>/*.parquet as a
+DuckDB view named after the table, runs every oracle SQL, and compares the
+result against the Spark-written parquet at <verifyOutDir>/<name>/ —
+columns sorted by name, rows sorted, values compared exactly (with a 1e-9
+relative fallback report for floats so near-misses are distinguishable from
+hard mismatches).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in idx))
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def values_close(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    return values_equal(a, b)
+
+
+def main():
+    sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for p in sorted(sf_dir.glob("*.parquet")):
+        con.execute(
+            f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_path = out_dir / name
+        status, detail = "PASS", ""
+        try:
+            want = con.execute(sql)
+            want_cols = [d[0] for d in want.description]
+            want_rows = want.fetchall()
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+            wc, wr = canon(want_rows, want_cols)
+            gc, gr = canon(got_rows, got_cols)
+            if wc != gc:
+                status, detail = "FAIL", f"schema: oracle={wc} spark={gc}"
+            elif len(wr) != len(gr):
+                status, detail = "FAIL", f"rows: oracle={len(wr)} spark={len(gr)}"
+            else:
+                exact = close = True
+                first_bad = None
+                for i, (a, b) in enumerate(zip(wr, gr)):
+                    for j, (x, y) in enumerate(zip(a, b)):
+                        if not values_equal(x, y):
+                            exact = False
+                            if first_bad is None:
+                                first_bad = (i, wc[j], x, y)
+                            if not values_close(x, y):
+                                close = False
+                if exact:
+                    pass
+                elif close:
+                    status = "CLOSE"
+                    detail = f"1e-9-close but not exact; first {first_bad}"
+                else:
+                    status, detail = "FAIL", f"values; first {first_bad}"
+            if status == "PASS" and len(wr) == 0:
+                status, detail = "WARN", "0 rows (vacuous)"
+        except Exception as e:  # noqa: BLE001
+            status, detail = "ERROR", str(e).split("\n")[0][:200]
+        if status == "PASS":
+            n_pass += 1
+        else:
+            n_fail += 1
+        print(f"{status:5s} {name} {detail}")
+    print(f"== {n_pass} pass / {n_fail} not-pass of {len(oracle)}")
+    sys.exit(0 if n_fail == 0 else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,23 +1,46 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+import graft.queries.Registry
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and prints
+  * one JSON line {"metric":...,"queries":{name:sec,...}}.
+  *
+  * Materialization: a query is timed to FULL completion — we aggregate a
+  * 64-bit hash over every output column so Catalyst cannot prune the
+  * projections a bare count() would discard (window/indicator exprs would
+  * otherwise be benchmarked away). Failures are recorded as -1, never
+  * swallowed into a fake near-zero time.
+  */
 object Bench {
+
+  private def materialize(df: DataFrame): Unit = {
+    // bit_xor, not sum: a long sum of hashes overflows under ANSI mode.
+    val h = xxhash64(df.columns.map(c => col(s"`$c`")): _*)
+    df.select(h.as("h")).agg(bit_xor(col("h"))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.get()
+    val results = Registry.headline.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec =
+        try { materialize(q.run(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            -1.0
+        }
+      q.name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ok = results.map(_._2).filter(_ >= 0)
+    val total = if (ok.nonEmpty) ok.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -16,24 +16,30 @@ object SessionLabels {
 
   val Zone = "America/New_York"
 
-  /** (name, predicate over (hour h, minute m)) in reference declaration order. */
+  /** Session buckets as [lo, hi) minute-of-day ranges, reference declaration
+    * order. "closing" is 16:30–17:00 INCLUSIVE in the reference
+    * (candle_to_calcs.py:376) = [990, 1021) in integer minutes; afterhours is
+    * the rest of the day. Shared by the Spark expressions and the DuckDB
+    * oracle SQL builder — one source of truth.
+    */
+  val minuteRanges: Seq[(String, Int, Int)] = Seq(
+    ("session_overnight_early", 0, 2 * 60),
+    ("session_overnight_late", 2 * 60, 4 * 60),
+    ("session_early_morning", 4 * 60, 8 * 60),
+    ("session_premarket_early", 8 * 60, 9 * 60),
+    ("session_premarket_morning", 9 * 60, 9 * 60 + 30),
+    ("session_morning", 9 * 60 + 30, 11 * 60),
+    ("session_late_morning", 11 * 60, 12 * 60 + 30),
+    ("session_midday", 12 * 60 + 30, 14 * 60),
+    ("session_early_afternoon", 14 * 60, 15 * 60 + 30),
+    ("session_late_afternoon", 15 * 60 + 30, 16 * 60 + 30),
+    ("session_closing", 16 * 60 + 30, 17 * 60 + 1),
+    ("session_afterhours", 17 * 60 + 1, 24 * 60)
+  )
+
   private def buckets(h: Column, m: Column): Seq[(String, Column)] = {
     val hm = h * 60 + m
-    def between(lo: Int, hi: Int): Column = hm >= lo && hm < hi // [lo, hi) in minutes
-    Seq(
-      "session_overnight_early" -> between(0 * 60, 2 * 60),
-      "session_overnight_late" -> between(2 * 60, 4 * 60),
-      "session_early_morning" -> between(4 * 60, 8 * 60),
-      "session_premarket_early" -> between(8 * 60, 9 * 60),
-      "session_premarket_morning" -> between(9 * 60, 9 * 60 + 30),
-      "session_morning" -> between(9 * 60 + 30, 11 * 60),
-      "session_late_morning" -> between(11 * 60, 12 * 60 + 30),
-      "session_midday" -> between(12 * 60 + 30, 14 * 60),
-      "session_early_afternoon" -> between(14 * 60, 15 * 60 + 30),
-      "session_late_afternoon" -> between(15 * 60 + 30, 16 * 60 + 30),
-      "session_closing" -> (hm >= 16 * 60 + 30 && hm <= 17 * 60),
-      "session_afterhours" -> (hm > 17 * 60)
-    )
+    minuteRanges.map { case (name, lo, hi) => name -> (hm >= lo && hm < hi) }
   }
 
   /** Adds the 4 local-time helper columns + 12 one-hot session flags. */

@@ -17,8 +17,16 @@ object WindowCalcs {
     * partial leading frames count)
     * (reference: detect_volume_spikes candle_to_calcs.py:517-526).
     */
-  def withVolumeSpikes(df: DataFrame, window: Int = 60, mult: Double = 1.5): DataFrame = {
-    val avgVol = avg(col("volume")).over(w.rowsBetween(-(window - 1), 0))
+  def withVolumeSpikes(df: DataFrame, window: Int = 60, mult: Double = 1.5,
+                       exact: Boolean = false): DataFrame = {
+    val frame = w.rowsBetween(-(window - 1), 0)
+    // `exact`: decimal window sum → identical bits in any engine/partitioning
+    // (Spark sums frames sequentially, DuckDB uses segment trees — double
+    // sums would differ in last ulps). Default: codegen'd avg.
+    val avgVol =
+      if (exact) sum(col("volume").cast("decimal(18,4)")).over(frame).cast("double") /
+        count(col("volume")).over(frame)
+      else avg(col("volume")).over(frame)
     df.withColumn("avg_volume_60", avgVol)
       .withColumn("volume_spike", (col("volume") > lit(mult) * col("avg_volume_60")).cast("int"))
   }
@@ -33,16 +41,26 @@ object WindowCalcs {
     * the window fills emit NaN which the reference collapses to 0/false
     * (reference: high_volatility candle_to_calcs.py:412).
     */
-  def rollingMeanFull(df: DataFrame, src: String, out: String, window: Int): DataFrame = {
+  def rollingMeanFull(df: DataFrame, src: String, out: String, window: Int,
+                      exact: Boolean = false, scale: Int = 2): DataFrame = {
     val frame = w.rowsBetween(-(window - 1), 0)
     val filled = count(col(src)).over(frame) >= window
-    df.withColumn(out, when(filled, avg(col(src)).over(frame)))
+    val mean =
+      if (exact) sum(col(src).cast(s"decimal(18,$scale)")).over(frame).cast("double") /
+        count(col(src)).over(frame)
+      else avg(col(src)).over(frame)
+    df.withColumn(out, when(filled, mean))
   }
 
   /** W4 — Bollinger Bands BBANDS(close, 20, 2, 2, matype=SMA): 20-row SMA ±
     * 2·population σ; TA-Lib emits NaN for the first 19 rows, which the
     * reference backfills with `close` (reference: candle_to_calcs.py:419-425).
-    * Derived columns: width, %B position, breakout flags.
+    * Pinned semantics, matching the reference column-for-column:
+    *  - bb_width = bb_upper - bb_lower (absolute, NOT normalized);
+    *  - bb_pos = (close - lower)/(upper - lower), which in pandas is 0/0=NaN
+    *    on zero-width bands (warm-up rows where all three = close) → we emit
+    *    null there;
+    *  - bb_breakout is ONE combined flag (close outside either band).
     */
   def withBollinger(df: DataFrame, period: Int = 20, nbDev: Double = 2.0,
                     exact: Boolean = false): DataFrame = {
@@ -63,22 +81,25 @@ object WindowCalcs {
     val dev = when(filled, devE).otherwise(lit(0.0))
     val upper = mid + lit(nbDev) * dev
     val lower = mid - lit(nbDev) * dev
-    df.withColumn("bb_middle", mid)
+    df.withColumn("bb_mid", mid)
       .withColumn("bb_upper", upper)
       .withColumn("bb_lower", lower)
-      // pandas: width 0/0 → NaN→0; position guard replaces 0 span with null then 0
-      .withColumn("bb_width",
-        when(col("bb_middle") =!= 0, (col("bb_upper") - col("bb_lower")) / col("bb_middle")).otherwise(lit(0.0)))
-      .withColumn("bb_position",
+      .withColumn("bb_width", col("bb_upper") - col("bb_lower"))
+      .withColumn("bb_pos",
         when(col("bb_upper") =!= col("bb_lower"),
-          (col("close") - col("bb_lower")) / (col("bb_upper") - col("bb_lower"))).otherwise(lit(0.0)))
-      .withColumn("bb_breakout_upper", (col("close") > col("bb_upper")).cast("int"))
-      .withColumn("bb_breakout_lower", (col("close") < col("bb_lower")).cast("int"))
+          (col("close") - col("bb_lower")) / (col("bb_upper") - col("bb_lower"))))
+      .withColumn("bb_breakout",
+        (col("close") > col("bb_upper") || col("close") < col("bb_lower")).cast("int"))
   }
 
   /** W12 — per NY-local-day running high/low with new-extreme flags
     * (reference: check_daily_anchors candle_to_calcs.py:276-311). Requires a
     * `local_date` column (see [[SessionLabels.withSessionLabels]]).
+    *
+    * The day's FIRST row initializes the daily state without counting as a
+    * new extreme (the reference registers an anchor only when a later row
+    * strictly exceeds the running value), so both flags require a non-null
+    * lag and a strict comparison.
     */
   def withDailyRunningExtremes(df: DataFrame): DataFrame = {
     val wd = Window.partitionBy("symbol", "local_date").orderBy("timestamp")
@@ -89,13 +110,11 @@ object WindowCalcs {
     df.withColumn("daily_running_high", runHigh)
       .withColumn("daily_running_low", runLow)
       .withColumn("is_new_daily_high",
-        (col("high") === col("daily_running_high") &&
-          (lag(col("daily_running_high"), 1).over(wLag).isNull ||
-            col("high") > lag(col("daily_running_high"), 1).over(wLag))).cast("int"))
+        (col("high") > lag(col("daily_running_high"), 1).over(wLag)).cast("int"))
       .withColumn("is_new_daily_low",
-        (col("low") === col("daily_running_low") &&
-          (lag(col("daily_running_low"), 1).over(wLag).isNull ||
-            col("low") < lag(col("daily_running_low"), 1).over(wLag))).cast("int"))
+        (col("low") < lag(col("daily_running_low"), 1).over(wLag)).cast("int"))
+      .withColumn("is_new_daily_high", coalesce(col("is_new_daily_high"), lit(0)))
+      .withColumn("is_new_daily_low", coalesce(col("is_new_daily_low"), lit(0)))
   }
 
   /** W13 — time-trigger daily anchors: the FIRST row whose NY-local (hour,

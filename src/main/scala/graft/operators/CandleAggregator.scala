@@ -48,6 +48,8 @@ object CandleAggregator {
     val pD = p.cast(DecimalType(18, priceScale))
     val vD = col("volume").cast(DecimalType(18, volumeScale))
 
+    // bucket_start is grouping-only: the reference candle schema has no such
+    // column (aggregator_candles.py:142) — the candle ts is the first tick's.
     ticks
       .groupBy(col("symbol"), bucket.as("bucket_start"))
       .agg(
@@ -61,6 +63,7 @@ object CandleAggregator {
         when(sum(vD) > 0,
           sum(pD * vD).cast("double") / sum(vD).cast("double")).as("vwap")
       )
+      .drop("bucket_start")
   }
 
   /** P3 candle validity split (reference: candle_to_calcs.py:76-136): null
@@ -96,18 +99,19 @@ object CandleAggregator {
   }
 
   /** P7 timestamp-gap detector (reference: candle_to_calcs.py:114-128):
-    * per-symbol sorted diff > threshold seconds → observability metrics, rows
-    * are never filtered.
+    * per-symbol sorted diff > threshold → observability metrics, rows are
+    * never filtered. Gaps are measured in integer microseconds (exact; a
+    * double-seconds diff would be engine-rounding-dependent).
     */
-  def gapStats(candles: DataFrame, thresholdSec: Double = 1.5): DataFrame = {
+  def gapStats(candles: DataFrame, thresholdMicros: Long = 1500000L): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("timestamp")
-    val diff = col("timestamp").cast("double") - lag(col("timestamp"), 1).over(w).cast("double")
+    val diff = unix_micros(col("timestamp")) - lag(unix_micros(col("timestamp")), 1).over(w)
     candles
       .withColumn("__gap", diff)
       .groupBy(col("symbol"))
       .agg(
-        sum(when(col("__gap") > thresholdSec, 1L).otherwise(0L)).as("gap_count"),
-        max(when(col("__gap") > thresholdSec, col("__gap"))).as("max_gap_sec")
+        sum(when(col("__gap") > thresholdMicros, 1L).otherwise(0L)).as("gap_count"),
+        max(when(col("__gap") > thresholdMicros, col("__gap"))).as("max_gap_us")
       )
   }
 

@@ -29,12 +29,16 @@ object Det {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** Exact sum of a derived double expression: pin it to `scale` decimals
-    * first (both engines round identically — verified on the harness), then
-    * sum exactly.
+  /** Narrow decimal cast for exact products. Values with ≤2 real decimals
+    * (prices, 1±discount/tax factors) cast identically from double in both
+    * engines; keeping precision small lets a 3-factor product stay inside
+    * DECIMAL(38) so neither engine overflows or rounds.
     */
-  def dsumr(c: Column, scale: Int = 4): Column =
-    sum(round(c, scale).cast(DecimalType(28, scale))).cast("double")
+  def dec(c: Column, prec: Int, scale: Int = 2): Column = c.cast(DecimalType(prec, scale))
+
+  /** Exact revenue term: price × (1 − discount), all-decimal. */
+  def revTerm(price: Column, discount: Column): Column =
+    dec(price, 12) * dec(lit(1.0) - discount, 4)
 
   /** Microsecond-precision UTC string, matching DuckDB strftime '%f'. */
   def tsMicros(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")

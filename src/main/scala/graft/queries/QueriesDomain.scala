@@ -1,0 +1,494 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.calc.{SessionLabels, WindowCalcs}
+import graft.core.Tables
+import graft.operators.{CandleAggregator, TickOps}
+import graft.queries.Det._
+
+/** The declared reference surface (SURVEY §2) as oracle-checked queries over
+  * the ticks projection of `events` (see [[Tables.ticks]]).
+  *
+  * Every query here has a DuckDB-equivalent oracle; both sides follow the
+  * exact-decimal discipline of [[Det]] so results hash-compare bit-for-bit.
+  * Window aggregates in particular MUST use decimal sums: Spark evaluates
+  * bounded frames by sequential re-accumulation while DuckDB uses segment
+  * trees, so double sums would differ in final ulps.
+  */
+object QueriesDomain {
+
+  // ---------------------------------------------------------------- DuckDB CTEs
+
+  /** ticks projection, shared by every oracle below. `ts::TIMESTAMP`
+    * truncates the parquet ns timestamps to µs exactly like the Spark-side
+    * `div 1000` (verified: DuckDB truncates, not rounds).
+    */
+  private val ticksCte =
+    """ticks AS (
+      |  SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price,
+      |         CAST(user_id + 1 AS DOUBLE) AS volume, event_id AS seq
+      |  FROM events
+      |)""".stripMargin
+
+  /** G1 candles (1-second) as a CTE. arg_min/arg_max pin open/close by time —
+    * (symbol, tstamp) is unique in the testdata so ties cannot occur.
+    */
+  private val candlesCte =
+    """candles AS (
+      |  SELECT symbol,
+      |    min(tstamp) AS tstamp,
+      |    arg_min(price, tstamp) AS open,
+      |    max(price) AS high,
+      |    min(price) AS low,
+      |    arg_max(price, tstamp) AS close,
+      |    CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+      |    COUNT(*) AS number_of_trades,
+      |    CASE WHEN SUM(CAST(volume AS DECIMAL(18,4))) > 0 THEN
+      |      CAST(SUM(CAST(price AS DECIMAL(18,4)) * CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+      |        / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) END AS vwap
+      |  FROM ticks GROUP BY symbol, date_trunc('second', tstamp)
+      |)""".stripMargin
+
+  private val withTicks = s"WITH $ticksCte"
+  private val withCandles = s"WITH $ticksCte, $candlesCte"
+
+  private val fmt = "%Y-%m-%d %H:%M:%S.%f"
+
+  // ---------------------------------------------------------------- Spark helpers
+
+  private def ticks(s: SparkSession, dir: String): DataFrame = Tables.ticks(s, dir)
+
+  private def candles(s: SparkSession, dir: String): DataFrame =
+    CandleAggregator.aggregate(ticks(s, dir))
+
+  private val candleCols = Seq("open", "high", "low", "close", "volume", "number_of_trades", "vwap")
+
+  private def candleSelect(df: DataFrame): DataFrame =
+    df.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +: candleCols.map(col)): _*)
+
+  // ---------------------------------------------------------------- G1 / G2
+
+  /** G1/F2 — 1-second OHLCV+VWAP candle aggregation, the reference's core
+    * operator (aggregator_candles.py:181-226).
+    */
+  private def g1(s: SparkSession, dir: String): DataFrame = candleSelect(candles(s, dir))
+
+  private val g1Sql =
+    s"""$withCandles
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
+       |  open, high, low, close, volume, number_of_trades, vwap
+       |FROM candles""".stripMargin
+
+  /** G2 — `use_raw` rollup: candles re-aggregated into 60-second candles over
+    * the close price (aggregator_candles.py:196,312).
+    */
+  private def g2(s: SparkSession, dir: String): DataFrame =
+    candleSelect(CandleAggregator.aggregate(candles(s, dir), seconds = 60, priceCol = "close"))
+
+  private val g2Sql =
+    s"""$withCandles
+       |SELECT symbol, strftime(min(tstamp), '$fmt') AS ts,
+       |  arg_min(close, tstamp) AS open, max(close) AS high, min(close) AS low,
+       |  arg_max(close, tstamp) AS close,
+       |  CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+       |  COUNT(*) AS number_of_trades,
+       |  CASE WHEN SUM(CAST(volume AS DECIMAL(18,4))) > 0 THEN
+       |    CAST(SUM(CAST(close AS DECIMAL(18,4)) * CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+       |      / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) END AS vwap
+       |FROM candles GROUP BY symbol, epoch_us(tstamp) // 60000000""".stripMargin
+
+  // ---------------------------------------------------------------- G5 / J2
+
+  /** G5 — keep-last dedup: one tick per (symbol, second), latest wins
+    * (fetch_historical_trades_nvda.py:239-245, aggregator_candles.py:120-124).
+    */
+  private def g5(s: SparkSession, dir: String): DataFrame = {
+    val t = ticks(s, dir).withColumn("bucket", date_trunc("second", col("timestamp")))
+    TickOps.dedupKeepLast(t, Seq("symbol", "bucket"), Seq(col("timestamp"), col("seq")))
+      .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
+        col("price"), col("volume"), col("seq"))
+  }
+
+  private val g5Sql =
+    s"""$withTicks, r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY symbol, date_trunc('second', tstamp)
+       |    ORDER BY tstamp DESC, seq DESC) AS rn
+       |  FROM ticks)
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts, price, volume, seq
+       |FROM r WHERE rn = 1""".stripMargin
+
+  /** J2/U1/G5 — upsert merge: old ∪ new, new side wins on key collision
+    * (merge_temp_to_final_csv, fetch_historical_trades_nvda.py:203-258).
+    * "New" = every 5th tick with a doubled price; the merged result must show
+    * the doubled price exactly on those keys.
+    */
+  private def j2(s: SparkSession, dir: String): DataFrame = {
+    val t = ticks(s, dir)
+    val fresh = t.filter(col("seq") % 5 === 0).withColumn("price", col("price") * 2)
+    TickOps.mergeKeepNew(t, fresh, Seq("symbol", "timestamp"))
+      .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
+        col("price"), col("volume"), col("seq"))
+  }
+
+  private val j2Sql =
+    s"""$withTicks
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
+       |  CASE WHEN seq % 5 = 0 THEN price * 2 ELSE price END AS price,
+       |  volume, seq
+       |FROM ticks""".stripMargin
+
+  // ---------------------------------------------------------------- P1 / P3 / P7
+
+  /** P1/P2/A3 — tick validity split with per-reason counts. The testdata is
+    * all-valid, so invalid rows are injected deterministically by seq before
+    * the operator runs (negative/null price, negative volume).
+    */
+  private def p1(s: SparkSession, dir: String): DataFrame = {
+    val t = ticks(s, dir)
+      .withColumn("price",
+        when(col("seq") % 97 === 0, -col("price"))
+          .when(col("seq") % 101 === 0, lit(null))
+          .otherwise(col("price")))
+      .withColumn("volume", when(col("seq") % 89 === 0, -col("volume")).otherwise(col("volume")))
+    val vf = TickOps.validate(t)
+    val inv = vf.invalid.groupBy(col("reject_reason"))
+      .agg(count(lit(1)).as("n"), sum(col("seq")).as("sum_seq"))
+    val ok = vf.valid.agg(count(lit(1)).as("n"), sum(col("seq")).as("sum_seq"))
+      .select(lit("valid").as("reject_reason"), col("n"), col("sum_seq"))
+    inv.unionByName(ok)
+  }
+
+  private val p1Sql =
+    s"""$withTicks, t AS (
+       |  SELECT seq,
+       |    CASE WHEN seq % 97 = 0 THEN -price WHEN seq % 101 = 0 THEN NULL ELSE price END AS price,
+       |    CASE WHEN seq % 89 = 0 THEN -volume ELSE volume END AS volume,
+       |    tstamp
+       |  FROM ticks),
+       |lab AS (
+       |  SELECT seq,
+       |    CASE WHEN price IS NULL OR volume IS NULL OR tstamp IS NULL THEN 'null_field'
+       |         WHEN price <= 0 THEN 'nonpositive_price'
+       |         WHEN volume < 0 THEN 'negative_volume'
+       |         ELSE 'valid' END AS reject_reason
+       |  FROM t)
+       |SELECT reject_reason, COUNT(*) AS n, CAST(SUM(seq) AS BIGINT) AS sum_seq
+       |FROM lab GROUP BY reject_reason""".stripMargin
+
+  /** P3 — candle validity divert with per-reason counts
+    * (candle_to_calcs.py:76-136); corruption injected by timestamp µs
+    * residues to hit every rule (high<low, nonpositive open, negative volume,
+    * zero trades with volume).
+    */
+  private def p3(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("timestamp"))
+    val c = candles(s, dir)
+      .withColumn("high", when(us % 13 === 0, col("low") - 1).otherwise(col("high")))
+      .withColumn("open", when(us % 17 === 0, -col("open")).otherwise(col("open")))
+      .withColumn("volume", when(us % 19 === 0, -col("volume")).otherwise(col("volume")))
+      .withColumn("number_of_trades", when(us % 23 === 0, lit(0L)).otherwise(col("number_of_trades")))
+    val vf = CandleAggregator.validateCandles(c)
+    val inv = vf.invalid.groupBy(col("reject_reason")).agg(count(lit(1)).as("n"))
+    val ok = vf.valid.agg(count(lit(1)).as("n"))
+      .select(lit("valid").as("reject_reason"), col("n"))
+    inv.unionByName(ok)
+  }
+
+  private val p3Sql =
+    s"""$withCandles, c AS (
+       |  SELECT
+       |    CASE WHEN epoch_us(tstamp) % 13 = 0 THEN low - 1 ELSE high END AS high,
+       |    low,
+       |    CASE WHEN epoch_us(tstamp) % 17 = 0 THEN -open ELSE open END AS open,
+       |    close,
+       |    CASE WHEN epoch_us(tstamp) % 19 = 0 THEN -volume ELSE volume END AS volume,
+       |    CASE WHEN epoch_us(tstamp) % 23 = 0 THEN 0 ELSE number_of_trades END AS number_of_trades
+       |  FROM candles),
+       |lab AS (
+       |  SELECT CASE
+       |    WHEN open IS NULL OR high IS NULL OR low IS NULL OR close IS NULL
+       |      OR volume IS NULL OR number_of_trades IS NULL THEN 'null_field'
+       |    WHEN high < low THEN 'high_lt_low'
+       |    WHEN open <= 0 OR close <= 0 THEN 'nonpositive_price'
+       |    WHEN volume < 0 THEN 'negative_volume'
+       |    WHEN number_of_trades <= 0 AND volume > 0 THEN 'trades_volume_mismatch'
+       |    ELSE 'valid' END AS reject_reason
+       |  FROM c)
+       |SELECT reject_reason, COUNT(*) AS n FROM lab GROUP BY reject_reason""".stripMargin
+
+  /** P7 — per-symbol timestamp-gap stats over candles
+    * (candle_to_calcs.py:114-128), exact integer-µs gaps.
+    */
+  private def p7(s: SparkSession, dir: String): DataFrame =
+    CandleAggregator.gapStats(candles(s, dir))
+
+  private val p7Sql =
+    s"""$withCandles, g AS (
+       |  SELECT symbol,
+       |    epoch_us(tstamp) - lag(epoch_us(tstamp)) OVER (PARTITION BY symbol ORDER BY tstamp) AS gap
+       |  FROM candles)
+       |SELECT symbol,
+       |  CAST(SUM(CASE WHEN gap > 1500000 THEN 1 ELSE 0 END) AS BIGINT) AS gap_count,
+       |  MAX(CASE WHEN gap > 1500000 THEN gap END) AS max_gap_us
+       |FROM g GROUP BY symbol""".stripMargin
+
+  // ---------------------------------------------------------------- G3 / G6
+
+  /** G3 — final-output audit aggregates
+    * (validate_final_csv, fetch_historical_trades_nvda.py:286-325).
+    */
+  private def g3(s: SparkSession, dir: String): DataFrame =
+    TickOps.audit(ticks(s, dir))
+      .withColumn("min_ts", tsMicros(col("min_ts")))
+      .withColumn("max_ts", tsMicros(col("max_ts")))
+
+  private val g3Sql =
+    s"""$withTicks
+       |SELECT COUNT(*) AS total_rows,
+       |  CAST(SUM(CASE WHEN price IS NULL OR volume IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price_volume,
+       |  CAST(SUM(CASE WHEN price <= 0 OR volume < 0 THEN 1 ELSE 0 END) AS BIGINT) AS invalid_price_volume,
+       |  COUNT(DISTINCT tstamp) AS distinct_timestamps,
+       |  strftime(MIN(tstamp), '$fmt') AS min_ts,
+       |  strftime(MAX(tstamp), '$fmt') AS max_ts
+       |FROM ticks""".stripMargin
+
+  /** G6/O3 — distinct symbols, sorted, head-N (aggregator_candles.py:464-465).
+    * Plans as TakeOrderedAndProject after a partial distinct — no global sort.
+    */
+  private def g6(s: SparkSession, dir: String): DataFrame =
+    ticks(s, dir).select("symbol").distinct().orderBy("symbol").limit(3)
+
+  private val g6Sql =
+    s"""$withTicks
+       |SELECT DISTINCT symbol FROM ticks ORDER BY symbol LIMIT 3""".stripMargin
+
+  // ---------------------------------------------------------------- F6 / F7
+
+  /** F6/F3 — one-hot session labels over NY wall-clock, aggregated per symbol
+    * (label_session_binary, candle_to_calcs.py:352-379).
+    */
+  private def f6(s: SparkSession, dir: String): DataFrame = {
+    val labeled = SessionLabels.withSessionLabels(candles(s, dir))
+    val sums = SessionLabels.labelNames.map(n => sum(col(n)).cast("long").as(n))
+    labeled.groupBy(col("symbol")).agg(sums.head, sums.tail :+ count(lit(1)).as("n_candles"): _*)
+  }
+
+  private val f6Sql = {
+    val cases = SessionLabels.minuteRanges.map { case (name, lo, hi) =>
+      s"  CAST(SUM(CASE WHEN m >= $lo AND m < $hi THEN 1 ELSE 0 END) AS BIGINT) AS $name"
+    }.mkString(",\n")
+    s"""$withCandles, loc AS (
+       |  SELECT symbol, timezone('America/New_York', timezone('UTC', tstamp)) AS lt
+       |  FROM candles),
+       |hm AS (SELECT symbol, hour(lt) * 60 + minute(lt) AS m FROM loc)
+       |SELECT symbol,
+       |$cases,
+       |  COUNT(*) AS n_candles
+       |FROM hm GROUP BY symbol""".stripMargin
+  }
+
+  /** F7 — JSON extraction over events.props via from_json (extension surface,
+    * SURVEY §1.1); aggregated per event_type.
+    */
+  private def f7(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(s, dir)
+      .withColumn("k", from_json(col("props"), schema).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k").cast("long")).as("sum_k"), count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
+  private val f7Sql =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  COUNT(json_extract_string(props, '$.k')) AS n_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- W-family
+
+  /** W1 — rolling-60 average volume + spike flag
+    * (detect_volume_spikes, candle_to_calcs.py:517-526).
+    */
+  private def w1(s: SparkSession, dir: String): DataFrame =
+    WindowCalcs.withVolumeSpikes(candles(s, dir), exact = true)
+      .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
+        col("volume"), col("avg_volume_60"), col("volume_spike"))
+
+  private val w1Sql =
+    s"""$withCandles, w AS (
+       |  SELECT symbol, tstamp, volume,
+       |    CAST(SUM(CAST(volume AS DECIMAL(18,4))) OVER win AS DOUBLE)
+       |      / COUNT(*) OVER win AS avg_volume_60
+       |  FROM candles
+       |  WINDOW win AS (PARTITION BY symbol ORDER BY tstamp
+       |                 ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts, volume, avg_volume_60,
+       |  CASE WHEN volume > 1.5 * avg_volume_60 THEN 1 ELSE 0 END AS volume_spike
+       |FROM w""".stripMargin
+
+  /** W2 — lag-diff with the reference's nulls→0 collapse
+    * (candle_to_calcs.py:411,437).
+    */
+  private def w2(s: SparkSession, dir: String): DataFrame =
+    WindowCalcs.withLagDiff(candles(s, dir), "close", "close_diff")
+      .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
+        col("close"), col("close_diff"))
+
+  private val w2Sql =
+    s"""$withCandles
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts, close,
+       |  COALESCE(close - lag(close, 1) OVER (PARTITION BY symbol ORDER BY tstamp), 0.0) AS close_diff
+       |FROM candles""".stripMargin
+
+  /** W3 — rolling mean with pandas min_periods=window (null until the frame
+    * fills; candle_to_calcs.py:412).
+    */
+  private def w3(s: SparkSession, dir: String): DataFrame =
+    WindowCalcs.rollingMeanFull(candles(s, dir), "close", "close_ma14", 14, exact = true)
+      .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
+        col("close"), col("close_ma14"))
+
+  private val w3Sql =
+    s"""$withCandles, w AS (
+       |  SELECT symbol, tstamp, close,
+       |    COUNT(*) OVER win AS cnt,
+       |    CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s1
+       |  FROM candles
+       |  WINDOW win AS (PARTITION BY symbol ORDER BY tstamp
+       |                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts, close,
+       |  CASE WHEN cnt >= 14 THEN s1 / cnt END AS close_ma14
+       |FROM w""".stripMargin
+
+  /** W4 — Bollinger Bands with the reference's exact derived columns
+    * (candle_to_calcs.py:419-425).
+    */
+  private def w4(s: SparkSession, dir: String): DataFrame =
+    WindowCalcs.withBollinger(candles(s, dir), exact = true)
+      .select(col("symbol"), tsMicros(col("timestamp")).as("ts"), col("close"),
+        col("bb_mid"), col("bb_upper"), col("bb_lower"),
+        col("bb_width"), col("bb_pos"), col("bb_breakout"))
+
+  private val w4Sql =
+    s"""$withCandles, b AS (
+       |  SELECT symbol, tstamp, close,
+       |    COUNT(*) OVER win AS cnt,
+       |    CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(close AS DECIMAL(18,2)) * CAST(close AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s2
+       |  FROM candles
+       |  WINDOW win AS (PARTITION BY symbol ORDER BY tstamp
+       |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+       |m AS (
+       |  SELECT symbol, tstamp, close,
+       |    CASE WHEN cnt >= 20 THEN s1 / cnt ELSE close END AS bb_mid,
+       |    CASE WHEN cnt >= 20 THEN sqrt(greatest(s2 / cnt - (s1 / cnt) * (s1 / cnt), 0.0)) ELSE 0.0 END AS dev
+       |  FROM b)
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts, close,
+       |  bb_mid,
+       |  bb_mid + 2.0 * dev AS bb_upper,
+       |  bb_mid - 2.0 * dev AS bb_lower,
+       |  (bb_mid + 2.0 * dev) - (bb_mid - 2.0 * dev) AS bb_width,
+       |  CASE WHEN (bb_mid + 2.0 * dev) <> (bb_mid - 2.0 * dev)
+       |    THEN (close - (bb_mid - 2.0 * dev)) / ((bb_mid + 2.0 * dev) - (bb_mid - 2.0 * dev)) END AS bb_pos,
+       |  CASE WHEN close > bb_mid + 2.0 * dev OR close < bb_mid - 2.0 * dev THEN 1 ELSE 0 END AS bb_breakout
+       |FROM m""".stripMargin
+
+  /** W12 — per NY-local-day running extremes + new-extreme flags, aggregated
+    * per (symbol, day) (check_daily_anchors, candle_to_calcs.py:276-311).
+    */
+  private def w12(s: SparkSession, dir: String): DataFrame = {
+    val labeled = SessionLabels.withSessionLabels(candles(s, dir))
+    WindowCalcs.withDailyRunningExtremes(labeled)
+      .groupBy(col("symbol"), date_format(col("local_date"), "yyyy-MM-dd").as("local_date"))
+      .agg(
+        max(col("daily_running_high")).as("daily_high"),
+        min(col("daily_running_low")).as("daily_low"),
+        sum(col("is_new_daily_high")).cast("long").as("n_new_highs"),
+        sum(col("is_new_daily_low")).cast("long").as("n_new_lows"),
+        count(lit(1)).as("n"))
+  }
+
+  private val w12Sql =
+    s"""$withCandles, loc AS (
+       |  SELECT symbol, tstamp, high, low,
+       |    CAST(timezone('America/New_York', timezone('UTC', tstamp)) AS DATE) AS ld
+       |  FROM candles),
+       |r AS (
+       |  SELECT symbol, ld, tstamp, high, low,
+       |    max(high) OVER w AS rh,
+       |    min(low) OVER w AS rl
+       |  FROM loc
+       |  WINDOW w AS (PARTITION BY symbol, ld ORDER BY tstamp
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |f AS (
+       |  SELECT symbol, ld, rh, rl,
+       |    CASE WHEN high > lag(rh) OVER (PARTITION BY symbol, ld ORDER BY tstamp) THEN 1 ELSE 0 END AS inh,
+       |    CASE WHEN low < lag(rl) OVER (PARTITION BY symbol, ld ORDER BY tstamp) THEN 1 ELSE 0 END AS inl
+       |  FROM r)
+       |SELECT symbol, strftime(ld, '%Y-%m-%d') AS local_date,
+       |  max(rh) AS daily_high, min(rl) AS daily_low,
+       |  CAST(SUM(inh) AS BIGINT) AS n_new_highs,
+       |  CAST(SUM(inl) AS BIGINT) AS n_new_lows,
+       |  COUNT(*) AS n
+       |FROM f GROUP BY symbol, ld""".stripMargin
+
+  /** W13 — minute-exact time-trigger daily anchors
+    * (candle_to_calcs.py:289-299); a day with no candle at the trigger minute
+    * gets no anchor — reference quirk preserved.
+    */
+  private def w13(s: SparkSession, dir: String): DataFrame = {
+    val labeled = SessionLabels.withSessionLabels(candles(s, dir))
+    WindowCalcs.timeTriggerAnchors(labeled)
+      .select(col("symbol"), col("anchor_type"),
+        tsMicros(col("anchor_timestamp")).as("anchor_ts"), col("price_at_anchor"))
+  }
+
+  private val w13Sql =
+    s"""$withCandles, loc AS (
+       |  SELECT symbol, tstamp, close,
+       |    CAST(timezone('America/New_York', timezone('UTC', tstamp)) AS DATE) AS ld,
+       |    hour(timezone('America/New_York', timezone('UTC', tstamp))) AS h,
+       |    minute(timezone('America/New_York', timezone('UTC', tstamp))) AS mi
+       |  FROM candles),
+       |hits AS (
+       |  SELECT *, CASE WHEN h = 4 AND mi = 0 THEN 'anchor_4am'
+       |                 WHEN h = 9 AND mi = 30 THEN 'anchor_930am'
+       |                 WHEN h = 16 AND mi = 0 THEN 'anchor_4pm' END AS anchor_type
+       |  FROM loc),
+       |rk AS (
+       |  SELECT symbol, anchor_type, tstamp, close,
+       |    row_number() OVER (PARTITION BY symbol, ld, anchor_type ORDER BY tstamp) AS rn
+       |  FROM hits WHERE anchor_type IS NOT NULL)
+       |SELECT symbol, anchor_type, strftime(tstamp, '$fmt') AS anchor_ts,
+       |  close AS price_at_anchor
+       |FROM rk WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Seq[Q] = Seq(
+    Q("g1_candles_1s", g1, Some(g1Sql), headline = true),
+    Q("g2_rollup_60s", g2, Some(g2Sql)),
+    Q("g5_dedup_keep_last", g5, Some(g5Sql), headline = true),
+    Q("j2_merge_keep_new", j2, Some(j2Sql)),
+    Q("p1_tick_validity", p1, Some(p1Sql)),
+    Q("p3_candle_validity", p3, Some(p3Sql)),
+    Q("p7_gap_stats", p7, Some(p7Sql)),
+    Q("g3_audit", g3, Some(g3Sql)),
+    Q("g6_distinct_symbols", g6, Some(g6Sql)),
+    Q("f6_session_labels", f6, Some(f6Sql)),
+    Q("f7_json_extract", f7, Some(f7Sql)),
+    Q("w1_volume_spikes", w1, Some(w1Sql), headline = true),
+    Q("w2_lag_diff", w2, Some(w2Sql)),
+    Q("w3_rolling_mean", w3, Some(w3Sql)),
+    Q("w4_bollinger", w4, Some(w4Sql), headline = true),
+    Q("w12_daily_extremes", w12, Some(w12Sql)),
+    Q("w13_time_anchors", w13, Some(w13Sql))
+  )
+}

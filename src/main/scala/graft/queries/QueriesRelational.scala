@@ -25,8 +25,9 @@ object QueriesRelational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsumr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        dsumr(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(revTerm(col("l_extendedprice"), col("l_discount")) *
+          dec(lit(1.0) + col("l_tax"), 4)).cast("double").as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -36,8 +37,8 @@ object QueriesRelational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  COUNT(*) AS count_order
@@ -57,24 +58,27 @@ object QueriesRelational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        dsumr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
   private val q02Sql =
     """SELECT n_name,
-      |  CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
-  /** Top-k: TakeOrderedAndProject — no global sort at scale. */
+  /** Top-k: TakeOrderedAndProject — no global sort at scale. No broadcast
+    * hint on customer: it is fact-sized at high SF (~1.5B rows at sf10k), so
+    * we let AQE pick the join strategy (it broadcasts at small SF anyway).
+    */
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
-    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
       .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
@@ -100,10 +104,14 @@ object QueriesRelational {
       |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
       |GROUP BY c_mktsegment""".stripMargin
 
-  /** Anti join (J2 embryo): customers with no orders, counted per nation. */
+  /** Anti join (J2 embryo): customers with no large (>$400k) order, counted
+    * per nation. The price filter keeps the result non-vacuous — at sf0.01
+    * every customer has at least one order.
+    */
   private def q05(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("c_custkey"))
     val n = Tables.nation(s, dir)
     c.join(o, Seq("c_custkey"), "left_anti")
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -114,13 +122,16 @@ object QueriesRelational {
   private val q05Sql =
     """SELECT n_name, COUNT(*) AS n_customers
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
       |GROUP BY n_name""".stripMargin
 
-  /** Running (unbounded-preceding) per-user sum — exact decimal window. */
+  /** Running (unbounded-preceding) per-user sum — exact decimal window.
+    * event_id is the deterministic tiebreaker for duplicate (user_id, ts).
+    */
   private def q06(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    val w = Window.partitionBy("user_id").orderBy("ts")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     e.select(
       col("event_id"), col("user_id"),
@@ -130,14 +141,14 @@ object QueriesRelational {
   private val q06Sql =
     """SELECT event_id, user_id,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-      |    PARTITION BY user_id ORDER BY ts::TIMESTAMP
+      |    PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
       |FROM events""".stripMargin
 
   /** W1-shaped rolling mean (60 rows, min_periods=1) via exact decimal sums. */
   private def q07(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    val w = Window.partitionBy("event_type").orderBy("ts").rowsBetween(-59, 0)
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-59, 0)
     e.select(
       col("event_id"), col("event_type"),
       (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
@@ -148,12 +159,12 @@ object QueriesRelational {
     """SELECT event_id, event_type,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / COUNT(*) OVER w AS rolling_avg_value
       |FROM events
-      |WINDOW w AS (PARTITION BY event_type ORDER BY ts::TIMESTAMP ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin
+      |WINDOW w AS (PARTITION BY event_type ORDER BY ts::TIMESTAMP, event_id ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** W2 lag-diff with the reference's nulls→0 collapse. */
   private def q08(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-    val w = Window.partitionBy("event_type").orderBy("ts")
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     e.select(
       col("event_id"), col("event_type"),
       coalesce(col("value") - lag(col("value"), 1).over(w), lit(0.0)).as("value_diff"))
@@ -161,7 +172,7 @@ object QueriesRelational {
 
   private val q08Sql =
     """SELECT event_id, event_type,
-      |  COALESCE(value - LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts::TIMESTAMP), 0.0) AS value_diff
+      |  COALESCE(value - LAG(value, 1) OVER (PARTITION BY event_type ORDER BY ts::TIMESTAMP, event_id), 0.0) AS value_diff
       |FROM events""".stripMargin
 
   /** Scan-side aggregate pushover on part (brand stats). */
