@@ -1,0 +1,159 @@
+package graft.calc
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.calc.ta.Ta
+
+/** The H-family indicator engine: one sorted per-symbol pass computing every
+  * recursive/stateful indicator of the reference's stage 3
+  * (apply_ta_indicators + calculate_t3_slope + label_t3_trend,
+  * candle_to_calcs.py:381-452) — MACD(12,26,9), ADX/±DI(14), ATR(14) and
+  * derived, Parabolic SAR(0.02,0.2), T3(60)+slope+trend labels — with the
+  * reference's exact pandas fill collapses (NaN→0 / NaN→close).
+  *
+  * Physical shape: repartition by symbol → sortWithinPartitions(symbol, ts)
+  * → mapPartitions with an O(1)-state machine per symbol ([[Ta]] kernels).
+  * One shuffle, no per-symbol materialization — a partition streams through
+  * arbitrarily long symbol histories in constant memory, so the pass holds
+  * at 100 TB as long as symbols outnumber executors. For few-symbol skew the
+  * scale path is the reference's own warm-up-buffer scheme
+  * (candle_to_calcs.py:647-691): split each symbol into time buckets
+  * overlapped by the max indicator lookback and drop the warm-up rows —
+  * exposed via `bucketed` partition keys upstream; not needed at harness
+  * scale.
+  *
+  * Column semantics pinned row-by-row against candle_to_calcs.py:
+  *  - typical_price = (high + low + close)/3                      (:386)
+  *  - adx/di_pos/di_neg NaN→0, di_diff = di_pos − di_neg          (:388-397)
+  *  - macd/macd_signal/macd_diff NaN→0                            (:399-402)
+  *  - psar NaN→close; psar_trend = (close > psar) as int;
+  *    psar_reversal = |trend diff|, first row 0 (float in pandas) (:404-406)
+  *  - atr NaN→0; atr_norm = atr/close (IEEE semantics — the reference's
+  *    replace(0,nan).fillna(0) denominator chain is the identity);
+  *    atr_change = diff of the FILLED atr, first row 0;
+  *    high_volatility = atr_norm > rolling14-mean(atr_norm) with
+  *    min_periods=14 NaN→0 on the right side                      (:408-417)
+  *  - t3 NaN→close; t3_slope = diff(60) of the FILLED t3, NaN→0;
+  *    is_uptrend/is_downtrend/is_no_trend at ±0.2                 (:429-452)
+  * The reference's `len(df) >= 14` / `len < 60` guards are equivalent to
+  * these NaN fills (short series produce all-NaN indicators), so the
+  * streaming pass needs no total-length knowledge.
+  */
+object IndicatorPass {
+
+  val indicatorFields: Seq[StructField] = Seq(
+    StructField("typical_price", DoubleType),
+    StructField("adx", DoubleType),
+    StructField("di_pos", DoubleType),
+    StructField("di_neg", DoubleType),
+    StructField("di_diff", DoubleType),
+    StructField("macd", DoubleType),
+    StructField("macd_signal", DoubleType),
+    StructField("macd_diff", DoubleType),
+    StructField("psar", DoubleType),
+    StructField("psar_trend", IntegerType),
+    StructField("psar_reversal", DoubleType),
+    StructField("atr", DoubleType),
+    StructField("atr_norm", DoubleType),
+    StructField("atr_change", DoubleType),
+    StructField("high_volatility", IntegerType),
+    StructField("t3", DoubleType),
+    StructField("t3_slope", DoubleType),
+    StructField("is_uptrend", IntegerType),
+    StructField("is_downtrend", IntegerType),
+    StructField("is_no_trend", IntegerType)
+  )
+
+  /** Per-symbol state machine; `next` consumes one candle in time order and
+    * returns the 20 indicator values in [[indicatorFields]] order.
+    */
+  final class SymbolState(slopeThreshold: Double = 0.2) {
+    private val macd = new Ta.Macd(12, 26, 9)
+    private val adx = new Ta.Adx(14)
+    private val atr = new Ta.Atr(14)
+    private val sar = new Ta.Sar(0.02, 0.2)
+    private val t3 = new Ta.T3(60, 0.7)
+    private val atrNormRing = new Ta.Ring(14)
+    private val t3Ring = new Ta.Ring(60)
+    private var prevAtrFilled = 0.0
+    private var prevPsarTrend = 0
+    private var first = true
+
+    private def z(x: Double): Double = if (x.isNaN) 0.0 else x
+
+    def next(open: Double, high: Double, low: Double, close: Double): Seq[Any] = {
+      val typicalPrice = (high + low + close) / 3.0
+
+      adx.update(high, low, close)
+      val adxV = z(adx.adx)
+      val diPos = z(adx.diPlus)
+      val diNeg = z(adx.diMinus)
+
+      macd.update(close)
+
+      val psarRaw = sar.update(high, low)
+      val psar = if (psarRaw.isNaN) close else psarRaw
+      val psarTrend = if (close > psar) 1 else 0
+      val psarReversal =
+        if (first) 0.0 else math.abs(psarTrend.toDouble - prevPsarTrend.toDouble)
+      prevPsarTrend = psarTrend
+
+      val atrFilled = z(atr.update(high, low, close))
+      val atrNorm = atrFilled / close // IEEE: matches pandas' identity denominator chain
+      val atrChange = if (first) 0.0 else atrFilled - prevAtrFilled
+      prevAtrFilled = atrFilled
+      atrNormRing.push(atrNorm)
+      val rollMean = if (atrNormRing.isFull) atrNormRing.mean else 0.0
+      val highVol = if (atrNorm > rollMean) 1 else 0
+
+      val t3Raw = t3.update(close)
+      val t3V = if (t3Raw.isNaN) close else t3Raw
+      val evicted = t3Ring.push(t3V)
+      val t3Slope = if (evicted.isNaN) 0.0 else t3V - evicted
+      val isUp = if (t3Slope > slopeThreshold) 1 else 0
+      val isDown = if (t3Slope < -slopeThreshold) 1 else 0
+      val isNone = if (isUp == 0 && isDown == 0) 1 else 0
+
+      first = false
+      // Seq[Any], not Seq(...): Scala's weak-lub numeric widening would
+      // silently promote the Int flag columns to Double and break the
+      // row encoder.
+      Seq[Any](
+        typicalPrice, adxV, diPos, diNeg, diPos - diNeg,
+        z(macd.macd), z(macd.sig), z(macd.hist),
+        psar, psarTrend, psarReversal,
+        atrFilled, atrNorm, atrChange, highVol,
+        t3V, t3Slope, isUp, isDown, isNone)
+    }
+  }
+
+  /** Appends the 20 H-family columns to a candle frame (must have symbol,
+    * timestamp, open, high, low, close).
+    */
+  def withIndicators(candles: DataFrame): DataFrame = {
+    val inSchema = candles.schema
+    val outSchema = StructType(inSchema.fields ++ indicatorFields)
+    val iSym = inSchema.fieldIndex("symbol")
+    val iO = inSchema.fieldIndex("open")
+    val iH = inSchema.fieldIndex("high")
+    val iL = inSchema.fieldIndex("low")
+    val iC = inSchema.fieldIndex("close")
+
+    candles
+      .repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("timestamp"))
+      .mapPartitions { rows =>
+        var sym: String = null
+        var st: SymbolState = null
+        rows.map { r =>
+          val s = r.getString(iSym)
+          if (st == null || s != sym) { sym = s; st = new SymbolState() }
+          val out = st.next(
+            r.getDouble(iO), r.getDouble(iH), r.getDouble(iL), r.getDouble(iC))
+          Row.fromSeq(r.toSeq ++ out)
+        }
+      }(Encoders.row(outSchema))
+  }
+}

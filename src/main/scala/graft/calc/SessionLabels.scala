@@ -23,18 +23,18 @@ object SessionLabels {
     * oracle SQL builder — one source of truth.
     */
   val minuteRanges: Seq[(String, Int, Int)] = Seq(
-    ("session_overnight_early", 0, 2 * 60),
-    ("session_overnight_late", 2 * 60, 4 * 60),
-    ("session_early_morning", 4 * 60, 8 * 60),
-    ("session_premarket_early", 8 * 60, 9 * 60),
-    ("session_premarket_morning", 9 * 60, 9 * 60 + 30),
-    ("session_morning", 9 * 60 + 30, 11 * 60),
-    ("session_late_morning", 11 * 60, 12 * 60 + 30),
-    ("session_midday", 12 * 60 + 30, 14 * 60),
-    ("session_early_afternoon", 14 * 60, 15 * 60 + 30),
-    ("session_late_afternoon", 15 * 60 + 30, 16 * 60 + 30),
-    ("session_closing", 16 * 60 + 30, 17 * 60 + 1),
-    ("session_afterhours", 17 * 60 + 1, 24 * 60)
+    ("is_overnight_early", 0, 2 * 60),
+    ("is_overnight_late", 2 * 60, 4 * 60),
+    ("is_early_morning", 4 * 60, 8 * 60),
+    ("is_premarket_early", 8 * 60, 9 * 60),
+    ("is_premarket_morn", 9 * 60, 9 * 60 + 30),
+    ("is_morning", 9 * 60 + 30, 11 * 60),
+    ("is_late_morning", 11 * 60, 12 * 60 + 30),
+    ("is_midday", 12 * 60 + 30, 14 * 60),
+    ("is_early_afternoon", 14 * 60, 15 * 60 + 30),
+    ("is_late_afternoon", 15 * 60 + 30, 16 * 60 + 30),
+    ("is_closing", 16 * 60 + 30, 17 * 60 + 1),
+    ("is_afterhours", 17 * 60 + 1, 24 * 60)
   )
 
   private def buckets(h: Column, m: Column): Seq[(String, Column)] = {

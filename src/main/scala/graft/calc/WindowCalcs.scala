@@ -27,8 +27,11 @@ object WindowCalcs {
       if (exact) sum(col("volume").cast("decimal(18,4)")).over(frame).cast("double") /
         count(col("volume")).over(frame)
       else avg(col("volume")).over(frame)
-    df.withColumn("avg_volume_60", avgVol)
-      .withColumn("volume_spike", (col("volume") > lit(mult) * col("avg_volume_60")).cast("int"))
+    // reference column names + operand order: volume > avg * mult
+    // (candle_to_calcs.py:524-525)
+    df.withColumn("rolling_avg_volume", avgVol)
+      .withColumn("is_volume_spike",
+        (col("volume") > col("rolling_avg_volume") * lit(mult)).cast("int"))
   }
 
   /** W2 — lag difference, nulls→0 per the reference's fillna(0)
@@ -125,7 +128,7 @@ object WindowCalcs {
     */
   def timeTriggerAnchors(df: DataFrame,
                          triggers: Seq[(String, Int, Int)] = Seq(
-                           ("anchor_4am", 4, 0), ("anchor_930am", 9, 30), ("anchor_4pm", 16, 0))): DataFrame = {
+                           ("daily_4am", 4, 0), ("daily_930", 9, 30), ("daily_4pm", 16, 0))): DataFrame = {
     val frames = triggers.map { case (name, h, m) =>
       val hit = df.filter(col("local_hour") === h && col("local_minute") === m)
       val first = Window.partitionBy("symbol", "local_date").orderBy("timestamp")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-import graft.calc.{SessionLabels, WindowCalcs}
+import graft.calc.{IndicatorPass, SessionLabels, WindowCalcs}
 import graft.core.Tables
 import graft.operators.{CandleAggregator, TickOps}
 import graft.queries.Det._
@@ -319,18 +319,18 @@ object QueriesDomain {
   private def w1(s: SparkSession, dir: String): DataFrame =
     WindowCalcs.withVolumeSpikes(candles(s, dir), exact = true)
       .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
-        col("volume"), col("avg_volume_60"), col("volume_spike"))
+        col("volume"), col("rolling_avg_volume"), col("is_volume_spike"))
 
   private val w1Sql =
     s"""$withCandles, w AS (
        |  SELECT symbol, tstamp, volume,
        |    CAST(SUM(CAST(volume AS DECIMAL(18,4))) OVER win AS DOUBLE)
-       |      / COUNT(*) OVER win AS avg_volume_60
+       |      / COUNT(*) OVER win AS rolling_avg_volume
        |  FROM candles
        |  WINDOW win AS (PARTITION BY symbol ORDER BY tstamp
        |                 ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
-       |SELECT symbol, strftime(tstamp, '$fmt') AS ts, volume, avg_volume_60,
-       |  CASE WHEN volume > 1.5 * avg_volume_60 THEN 1 ELSE 0 END AS volume_spike
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts, volume, rolling_avg_volume,
+       |  CASE WHEN volume > rolling_avg_volume * 1.5 THEN 1 ELSE 0 END AS is_volume_spike
        |FROM w""".stripMargin
 
   /** W2 — lag-diff with the reference's nulls→0 collapse
@@ -458,9 +458,9 @@ object QueriesDomain {
        |    minute(timezone('America/New_York', timezone('UTC', tstamp))) AS mi
        |  FROM candles),
        |hits AS (
-       |  SELECT *, CASE WHEN h = 4 AND mi = 0 THEN 'anchor_4am'
-       |                 WHEN h = 9 AND mi = 30 THEN 'anchor_930am'
-       |                 WHEN h = 16 AND mi = 0 THEN 'anchor_4pm' END AS anchor_type
+       |  SELECT *, CASE WHEN h = 4 AND mi = 0 THEN 'daily_4am'
+       |                 WHEN h = 9 AND mi = 30 THEN 'daily_930'
+       |                 WHEN h = 16 AND mi = 0 THEN 'daily_4pm' END AS anchor_type
        |  FROM loc),
        |rk AS (
        |  SELECT symbol, anchor_type, tstamp, close,
@@ -469,6 +469,18 @@ object QueriesDomain {
        |SELECT symbol, anchor_type, strftime(tstamp, '$fmt') AS anchor_ts,
        |  close AS price_at_anchor
        |FROM rk WHERE rn = 1""".stripMargin
+
+  /** H-family (W5–W9) — the full per-symbol indicator pass: MACD, ADX/±DI,
+    * ATR, SAR, T3 + trend labels (candle_to_calcs.py:381-452). Exponential
+    * recurrences are not SQL-expressible, so this entry has no DuckDB oracle
+    * (rows-only check); fidelity is covered by TaGoldenSpec +
+    * IndicatorPassSpec.
+    */
+  private def h1(s: SparkSession, dir: String): DataFrame = {
+    val out = IndicatorPass.withIndicators(candles(s, dir))
+    out.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+      IndicatorPass.indicatorFields.map(f => col(f.name))): _*)
+  }
 
   // ---------------------------------------------------------------- registry
 
@@ -489,6 +501,7 @@ object QueriesDomain {
     Q("w3_rolling_mean", w3, Some(w3Sql)),
     Q("w4_bollinger", w4, Some(w4Sql), headline = true),
     Q("w12_daily_extremes", w12, Some(w12Sql)),
-    Q("w13_time_anchors", w13, Some(w13Sql))
+    Q("w13_time_anchors", w13, Some(w13Sql)),
+    Q("h1_indicator_pass", h1, None, headline = true)
   )
 }

@@ -1,0 +1,73 @@
+package graft.calc
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class WindowCalcsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def candles(rows: (String, String, Double, Double, Double, Double)*) =
+    rows.map { case (s, t, h, l, c, v) => (s, Timestamp.valueOf(t), h, l, c, v) }
+      .toDF("symbol", "timestamp", "high", "low", "close", "volume")
+
+  test("W12: day's first row sets state without flagging; strict exceedance flags") {
+    val df = SessionLabels.withSessionLabels(candles(
+      ("A", "2024-01-16 15:00:00", 10.0, 9.0, 9.5, 1.0), // first row of NY day
+      ("A", "2024-01-16 15:00:01", 11.0, 9.5, 10.0, 1.0), // new high
+      ("A", "2024-01-16 15:00:02", 10.5, 8.0, 9.0, 1.0), // new low
+      ("A", "2024-01-16 15:00:03", 11.0, 8.5, 9.0, 1.0) // ties running high: no flag
+    ))
+    val out = WindowCalcs.withDailyRunningExtremes(df).orderBy("timestamp")
+      .select("is_new_daily_high", "is_new_daily_low").as[(Int, Int)].collect()
+    assert(out.toSeq == Seq((0, 0), (1, 0), (0, 1), (0, 0)))
+  }
+
+  test("W13: minute-exact trigger, first row per (symbol, day, trigger) only") {
+    val df = SessionLabels.withSessionLabels(candles(
+      ("A", "2024-01-16 09:00:10", 1, 1, 5.0, 1), // 04:00:10 NY → daily_4am
+      ("A", "2024-01-16 09:00:40", 1, 1, 6.0, 1), // second 04:00 row ignored
+      ("A", "2024-01-16 14:30:00", 1, 1, 7.0, 1), // 09:30 NY → daily_930
+      ("A", "2024-01-16 14:31:00", 1, 1, 8.0, 1), // 09:31 — not a trigger
+      ("A", "2024-01-17 14:30:00", 1, 1, 9.0, 1) // next day → its own daily_930
+    ))
+    val out = WindowCalcs.timeTriggerAnchors(df)
+      .orderBy("anchor_timestamp")
+      .select("anchor_type", "price_at_anchor").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("daily_4am", 5.0), ("daily_930", 7.0), ("daily_930", 9.0)))
+  }
+
+  test("W1: rolling average uses partial frames (min_periods=1) and flags spikes") {
+    val df = candles(
+      ("A", "2024-01-16 00:00:00", 1, 1, 1, 10.0),
+      ("A", "2024-01-16 00:00:01", 1, 1, 1, 10.0),
+      ("A", "2024-01-16 00:00:02", 1, 1, 1, 100.0))
+    val out = WindowCalcs.withVolumeSpikes(df).orderBy("timestamp")
+      .select("rolling_avg_volume", "is_volume_spike").as[(Double, Int)].collect()
+    assert(out(0) == ((10.0, 0)))
+    assert(out(1) == ((10.0, 0)))
+    assert(out(2)._2 == 1) // 100 > 40*1.5
+  }
+
+  test("W3: rolling mean is null until the frame fills (min_periods=window)") {
+    val df = candles((1 to 5).map(i =>
+      ("A", s"2024-01-16 00:00:0$i", 1.0, 1.0, i.toDouble, 1.0)): _*)
+    val out = WindowCalcs.rollingMeanFull(df, "close", "ma3", 3).orderBy("timestamp")
+      .select("ma3").as[Option[Double]].collect()
+    assert(out(0).isEmpty && out(1).isEmpty)
+    assert(out(2).contains(2.0) && out(4).contains(4.0))
+  }
+
+  test("W4: warm-up rows collapse to close; bb columns follow the reference shapes") {
+    val df = candles((1 to 25).map(i =>
+      (("A", f"2024-01-16 00:00:$i%02d", 1.0, 1.0, 10.0 + (i % 3), 1.0))): _*)
+    val out = WindowCalcs.withBollinger(df).orderBy("timestamp").collect()
+    val first = out.head
+    assert(first.getAs[Double]("bb_mid") == first.getAs[Double]("close"))
+    assert(first.getAs[Double]("bb_width") == 0.0)
+    assert(first.isNullAt(first.fieldIndex("bb_pos"))) // pandas 0/0 → NaN
+    val filled = out.last
+    assert(filled.getAs[Double]("bb_width") > 0.0)
+    assert(!filled.isNullAt(filled.fieldIndex("bb_pos")))
+  }
+}
