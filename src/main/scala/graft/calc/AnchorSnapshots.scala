@@ -1,0 +1,134 @@
+package graft.calc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TickOps
+
+/** W14 — the anchored_vwap_points output table
+  * (compute_anchor_snapshots + flush loops, candle_to_calcs.py:226-249,
+  * 657-686), batch form.
+  *
+  * Deterministic variant of the reference's flush policy: the reference
+  * flushes every 300 s of PROCESSING time and at each 30-day chunk end,
+  * clearing active anchors after each flush; wall-clock flushes are
+  * irreproducible, so this operator emits exactly the chunk-end flushes —
+  * what the reference produces when a chunk computes in under 5 minutes.
+  * Pinned semantics per flush (= per (symbol, chunk)):
+  *
+  *  - peak/valley anchors: every row the per-chunk find_peaks flags
+  *    (the reference also runs find_peaks on the chunk slice);
+  *  - daily_4am/daily_930/daily_4pm: the FIRST row of the day at the trigger
+  *    minute — and only in the chunk containing that row (the `*_added`
+  *    day-flags persist across a flush, so a later chunk of the same day
+  *    does NOT re-anchor);
+  *  - daily_high/daily_low: the LAST row in the chunk that set a new
+  *    running extreme for the chunk's last local day (anchors of earlier
+  *    days are cleared by the day-change reset; a day whose extreme was set
+  *    before the chunk boundary yields no anchor after it);
+  *  - snapshot row = anchor × the chunk's last row; `anchored_vwap` is NULL
+  *    always — the reference never computes it (:245-246);
+  *  - `anchor_idx`/`current_idx` reproduce indices into the reference's
+  *    buffer+chunk frame: global per-symbol row number rebased to the chunk
+  *    start plus min(priorRows, bufferSize);
+  *  - keep-last dedup on (symbol, timeframe, anchor_timestamp) by snapshot
+  *    time (deduplicate_anchored_vwap_points, :183-193).
+  *
+  * Chunks are 30-day spans of event time anchored at the Unix epoch (the
+  * reference anchors at the job's --start-date; pass `chunkOriginUs` to
+  * reproduce a specific run).
+  */
+object AnchorSnapshots {
+
+  val Triggers: Seq[(String, Int, Int)] =
+    Seq(("daily_4am", 4, 0), ("daily_930", 9, 30), ("daily_4pm", 16, 0))
+
+  def anchoredVwapPoints(candles: DataFrame, timeframe: String = "1s",
+                         chunkDays: Int = 30, bufferSize: Int = 10000,
+                         chunkOriginUs: Long = 0L): DataFrame = {
+    val chunkUs = chunkDays * 86400L * 1000000L
+    val labeled = WindowCalcs.withDailyRunningExtremes(
+      SessionLabels.withSessionLabels(candles))
+      .withColumn("chunk", expr(s"(unix_micros(timestamp) - ${chunkOriginUs}L) div ${chunkUs}L"))
+    val withPeaks = PeaksPass.withPeakFlags(labeled, Seq("chunk"))
+
+    val wSym = Window.partitionBy("symbol").orderBy("timestamp")
+    val wChunk = Window.partitionBy("symbol", "chunk")
+    val base = withPeaks
+      .withColumn("rn", row_number().over(wSym))
+      .withColumn("first_rn", min(col("rn")).over(wChunk))
+      .withColumn("last_rn", max(col("rn")).over(wChunk))
+      .withColumn("last_date", max(col("local_date")).over(wChunk))
+      .withColumn("cidx",
+        col("rn") - col("first_rn") + least(col("first_rn") - 1, lit(bufferSize)))
+
+    val lastRows = base.filter(col("rn") === col("last_rn")).select(
+      col("symbol").as("ls"), col("chunk").as("lc"),
+      col("timestamp").as("current_snapshot_timestamp"),
+      col("cidx").as("current_idx"))
+
+    def anchorFrame(df: DataFrame, anchorType: String, price: String) = df.select(
+      col("symbol"), col("chunk"), lit(anchorType).as("anchor_type"),
+      col("timestamp").as("anchor_timestamp"), col("cidx").as("anchor_idx"),
+      col(price).as("price_at_anchor"))
+
+    // peak/valley anchors: every flagged row in the chunk
+    val peakFrames = PeaksPass.configs.flatMap { case (name, _, _) =>
+      Seq(
+        anchorFrame(base.filter(col(s"is_${name}_peak") === 1), s"${name}_peak", "high"),
+        anchorFrame(base.filter(col(s"is_${name}_valley") === 1), s"${name}_valley", "low"))
+    }
+
+    // time triggers: the day's first trigger row, in its own chunk only,
+    // and only when that day is the chunk's last
+    val wDay = Window.partitionBy("symbol", "local_date").orderBy("timestamp")
+    val triggerFrames = Triggers.map { case (name, h, m) =>
+      val hits = base.filter(col("local_hour") === h && col("local_minute") === m)
+        .withColumn("__r", row_number().over(wDay))
+        .filter(col("__r") === 1 && col("local_date") === col("last_date"))
+      anchorFrame(hits, name, "close")
+    }
+
+    // daily extremes: last new-extreme row in the chunk for its last day
+    val wChunkDesc = Window.partitionBy("symbol", "chunk").orderBy(col("timestamp").desc)
+    def extremeFrame(flag: String, anchorType: String, price: String) = {
+      val hits = base.filter(col(flag) === 1 && col("local_date") === col("last_date"))
+        .withColumn("__r", row_number().over(wChunkDesc))
+        .filter(col("__r") === 1)
+      anchorFrame(hits, anchorType, price)
+    }
+    val extremeFrames = Seq(
+      extremeFrame("is_new_daily_high", "daily_high", "high"),
+      extremeFrame("is_new_daily_low", "daily_low", "low"))
+
+    val anchors = (peakFrames ++ triggerFrames ++ extremeFrames).reduce(_ unionByName _)
+
+    val snapshots = anchors
+      .join(lastRows, anchors("symbol") === lastRows("ls") && anchors("chunk") === lastRows("lc"))
+      .select(
+        col("symbol"), lit(timeframe).as("timeframe"), col("anchor_type"),
+        col("anchor_timestamp"), col("anchor_idx"), col("price_at_anchor"),
+        col("current_snapshot_timestamp"), col("current_idx"),
+        lit(null).cast("double").as("anchored_vwap"))
+
+    // Dedup ties: different anchor TYPES can share an anchor_timestamp (a
+    // peak row that is also the daily high). The reference's keep-last then
+    // depends on dict-insertion order — irreproducible — so we pin a
+    // documented priority: peak/valley beats daily types, larger granularity
+    // beats smaller.
+    val priority = typePriority.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (t, i)) =>
+        when(col("anchor_type") === t, lit(i)).otherwise(acc)
+      }
+    TickOps.dedupKeepLast(snapshots,
+      Seq("symbol", "timeframe", "anchor_timestamp"),
+      Seq(col("current_snapshot_timestamp"), priority))
+  }
+
+  /** Collision-tiebreak order, lowest first (see dedup note above). */
+  val typePriority: Seq[String] = Seq(
+    "daily_4am", "daily_930", "daily_4pm", "daily_high", "daily_low",
+    "micro_peak", "micro_valley", "minor_peak", "minor_valley",
+    "major_peak", "major_valley")
+}

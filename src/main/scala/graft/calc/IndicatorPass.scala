@@ -43,6 +43,14 @@ import graft.calc.ta.Ta
   */
 object IndicatorPass {
 
+  /** CDL pattern columns + the row-wise pattern sum (G7,
+    * calculate_candle_pattern_sum candle_to_calcs.py:509-515) — the sum
+    * spans exactly the implemented patterns ([[Ta]]/[[graft.calc.ta.Patterns]]).
+    */
+  val patternFields: Seq[StructField] =
+    graft.calc.ta.Patterns.names.map(n => StructField(n, IntegerType)) :+
+      StructField("candle_pattern_sum", LongType)
+
   val indicatorFields: Seq[StructField] = Seq(
     StructField("typical_price", DoubleType),
     StructField("adx", DoubleType),
@@ -69,7 +77,9 @@ object IndicatorPass {
   /** Per-symbol state machine; `next` consumes one candle in time order and
     * returns the 20 indicator values in [[indicatorFields]] order.
     */
-  final class SymbolState(slopeThreshold: Double = 0.2) {
+  final class SymbolState(slopeThreshold: Double = 0.2, patterns: Boolean = false) {
+    private val patternEval =
+      if (patterns) new graft.calc.ta.Patterns.Evaluator else null
     private val macd = new Ta.Macd(12, 26, 9)
     private val adx = new Ta.Adx(14)
     private val atr = new Ta.Atr(14)
@@ -120,21 +130,31 @@ object IndicatorPass {
       // Seq[Any], not Seq(...): Scala's weak-lub numeric widening would
       // silently promote the Int flag columns to Double and break the
       // row encoder.
-      Seq[Any](
+      val indicators = Seq[Any](
         typicalPrice, adxV, diPos, diNeg, diPos - diNeg,
         z(macd.macd), z(macd.sig), z(macd.hist),
         psar, psarTrend, psarReversal,
         atrFilled, atrNorm, atrChange, highVol,
         t3V, t3Slope, isUp, isDown, isNone)
+      if (patternEval == null) indicators
+      else {
+        val ps = patternEval.next(open, high, low, close)
+        var sum = 0L
+        var i = 0
+        while (i < ps.length) { sum += ps(i); i += 1 }
+        indicators ++ ps :+ sum
+      }
     }
   }
 
-  /** Appends the 20 H-family columns to a candle frame (must have symbol,
-    * timestamp, open, high, low, close).
+  /** Appends the 20 H-family columns — and, when `patterns`, the CDL pattern
+    * columns + candle_pattern_sum in the SAME single-shuffle pass — to a
+    * candle frame (must have symbol, timestamp, open, high, low, close).
     */
-  def withIndicators(candles: DataFrame): DataFrame = {
+  def withIndicators(candles: DataFrame, patterns: Boolean = false): DataFrame = {
     val inSchema = candles.schema
-    val outSchema = StructType(inSchema.fields ++ indicatorFields)
+    val outSchema = StructType(inSchema.fields ++ indicatorFields ++
+      (if (patterns) patternFields else Seq.empty))
     val iSym = inSchema.fieldIndex("symbol")
     val iO = inSchema.fieldIndex("open")
     val iH = inSchema.fieldIndex("high")
@@ -149,7 +169,7 @@ object IndicatorPass {
         var st: SymbolState = null
         rows.map { r =>
           val s = r.getString(iSym)
-          if (st == null || s != sym) { sym = s; st = new SymbolState() }
+          if (st == null || s != sym) { sym = s; st = new SymbolState(patterns = patterns) }
           val out = st.next(
             r.getDouble(iO), r.getDouble(iH), r.getDouble(iL), r.getDouble(iC))
           Row.fromSeq(r.toSeq ++ out)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
-import graft.calc.{IndicatorPass, SessionLabels, WindowCalcs}
+import graft.calc.{AnchorSnapshots, IndicatorPass, PeaksPass, SessionLabels, WindowCalcs}
 import graft.core.Tables
 import graft.operators.{CandleAggregator, TickOps}
 import graft.queries.Det._
@@ -482,6 +482,33 @@ object QueriesDomain {
       IndicatorPass.indicatorFields.map(f => col(f.name))): _*)
   }
 
+  /** W10/G7 — CDL candlestick patterns + candle_pattern_sum, fused into the
+    * same single-shuffle pass as the H-family (candle_to_calcs.py:454-515).
+    * Rows-only check (TA-Lib geometry is not DuckDB-expressible); shape
+    * fidelity covered by PatternsSpec.
+    */
+  private def h2(s: SparkSession, dir: String): DataFrame = {
+    val out = IndicatorPass.withIndicators(candles(s, dir), patterns = true)
+    out.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+      IndicatorPass.patternFields.map(f => col(f.name))): _*)
+  }
+
+  /** W11 — peak/valley flags (find_peaks port); rows-only check (prominence
+    * is not SQL-expressible), fidelity in PeakFinderSpec.
+    */
+  private def w11(s: SparkSession, dir: String): DataFrame =
+    PeaksPass.withPeakFlags(candles(s, dir))
+      .select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+        PeaksPass.peakFields.map(f => col(f.name))): _*)
+
+  /** W14 — the anchored_vwap_points output table; rows-only check (depends
+    * on W11 flags), semantics in AnchorSnapshotsSpec.
+    */
+  private def w14(s: SparkSession, dir: String): DataFrame =
+    AnchorSnapshots.anchoredVwapPoints(candles(s, dir))
+      .withColumn("anchor_timestamp", tsMicros(col("anchor_timestamp")))
+      .withColumn("current_snapshot_timestamp", tsMicros(col("current_snapshot_timestamp")))
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
@@ -502,6 +529,9 @@ object QueriesDomain {
     Q("w4_bollinger", w4, Some(w4Sql), headline = true),
     Q("w12_daily_extremes", w12, Some(w12Sql)),
     Q("w13_time_anchors", w13, Some(w13Sql)),
-    Q("h1_indicator_pass", h1, None, headline = true)
+    Q("h1_indicator_pass", h1, None, headline = true),
+    Q("h2_patterns", h2, None, headline = true),
+    Q("w11_peak_flags", w11, None),
+    Q("w14_anchor_points", w14, None)
   )
 }
