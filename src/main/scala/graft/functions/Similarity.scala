@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: exact brute-force cosine top-k — a block-partitioned cross
+  * join, embarrassingly parallel: queries broadcast (they are the small
+  * side), corpus streams, per-partition top-k via window. Scale path:
+  * sign-random-projection LSH — each vector gets a b-bit bucket from the
+  * signs of dot products with deterministic pseudo-random hyperplanes;
+  * candidates come from ONE shuffle on the bucket key, and the exact cosine
+  * re-ranks only within buckets (quadratic only in bucket size).
+  *
+  * All math is column expressions: floats are cast to double element-wise
+  * and reduced left-to-right (aggregate), so scores are deterministic under
+  * any partitioning.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two float arrays, in double, sequential order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector. Output: query_id,
+    * neighbor_id, cosine rounded to `roundTo` decimals (rounding pins the
+    * rank order across engines), rank.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                     roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), roundTo).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * a value in [-1, 1) derived from xxhash64 — reproducible everywhere,
+    * no driver-side randomness to ship.
+    */
+  private def planeComponent(p: Column, d: Column): Column =
+    (pmod(xxhash64(p, d), lit(2000001L)) - lit(1000000L)).cast("double") / lit(1000000.0)
+
+  /** b-bit sign-random-projection bucket of an embedding; `seed` selects an
+    * independent hash table's hyperplane family.
+    */
+  def lshBucket(embedding: Column, bits: Int = 12, seed: Int = 0): Column = {
+    val masks = array((0 until bits).map(j => lit(1L << j)): _*)
+    aggregate(
+      zip_with(sequence(lit(seed * bits), lit(seed * bits + bits - 1)), masks, (p, m) => {
+        val proj = aggregate(
+          zip_with(embedding, sequence(lit(0), size(embedding) - 1),
+            (x, d) => x.cast("double") * planeComponent(p, d)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, m).otherwise(lit(0L))
+      }),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Approximate top-k: candidates share an LSH bucket; exact cosine
+    * re-ranks within buckets. Recall improves with fewer bits (bigger
+    * buckets) or multiple tables (union over `tables` seeds).
+    */
+  def lshTopK(vectors: DataFrame, k: Int = 5, bits: Int = 12, tables: Int = 2): DataFrame = {
+    // cache: the bucket expression is interpreted (bits × dims hashes per
+    // row); without the boundary both join sides recompute it
+    val bucketed = vectors.select(col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map(t => struct(lit(t).as("table"),
+        lshBucket(col("embedding"), bits, seed = t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
+      .cache()
+    val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+    val cand = a.join(b, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("qe"), col("ce")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

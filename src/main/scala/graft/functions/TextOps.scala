@@ -50,4 +50,52 @@ object TextOps {
       .withColumn("n_punct", chars - length(regexp_replace(t, "[\\p{Punct}]", "")))
       .withColumn("n_digits", chars - length(regexp_replace(t, "[0-9]", "")))
   }
+
+  /** Stopword lists for the n-gram-free language-ID heuristic. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "on", "with", "as", "at", "this", "a", "an"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den", "von", "auf", "für"),
+    "es" -> Seq("el", "la", "los", "las", "es", "un", "una", "de", "que", "por", "para", "con"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "du", "que", "pour", "dans", "sur", "pas", "il"))
+
+  /** Language ID: the language whose stopwords cover the largest fraction
+    * of tokens; "und" (undetermined) when nothing matches. Deterministic
+    * tie-break: lexicographically largest language code wins (struct max).
+    */
+  def langId(text: Column): Column = {
+    val tokens = split(normalized(text), " ")
+    val scored = stopwords.map { case (lang, words) =>
+      val hits = size(filter(tokens, t => t.isInCollection(words)))
+      struct((hits.cast("double") / greatest(size(tokens), lit(1))).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Heuristic quality score in [0, 1]: half alphabetic-character ratio,
+    * half (capped) English-stopword density, zeroed for degenerate token
+    * counts. Per-row scalar math — bit-identical across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val chars = greatest(length(text), lit(1))
+    val alphaRatio = (chars - length(regexp_replace(text, "[a-zA-Z ]", ""))).cast("double") / chars
+    val tokens = split(normalized(text), " ")
+    val stopHits = size(filter(tokens, t => t.isInCollection(stopwords.head._2)))
+    val stopRatio = stopHits.cast("double") / greatest(size(tokens), lit(1))
+    val lengthOk = tokenCount(text).between(5, 100000).cast("double")
+    lengthOk * (lit(0.5) * alphaRatio + lit(0.5) * least(stopRatio * 5, lit(1.0)))
+  }
+
+  /** Winnowing document fingerprints: rolling k-gram hashes thinned to the
+    * minimum of each w-window (Schleimer et al.'s winnowing scheme) —
+    * a compact, position-robust fingerprint set for overlap detection.
+    */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    val t = normalized(text)
+    val n = length(t)
+    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => xxhash64(t.substr(i, lit(k))))
+    array_distinct(transform(sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w)))))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextOps
+import graft.functions.{MinHash, SimHash, Similarity, TextOps}
 
 /** LLM-data-pipeline operators over `documents` / `embeddings`
   * (BASELINE north_star): dedup, text analysis, similarity search. DuckDB
@@ -55,8 +55,145 @@ object QueriesLlm {
       |  CAST(SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS sum_digits
       |FROM documents GROUP BY lang, source""".stripMargin
 
+  /** MinHash-LSH fuzzy dedup summary: total docs, survivors at Jaccard 0.8,
+    * candidate pairs seen. Banded LSH — never all-pairs (rows-only check;
+    * the hash family is engine-specific).
+    */
+  private def minhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = MinHash.candidatePairs(docs).cache()
+    val survivors = MinHash.dedupFuzzyFromPairs(docs, pairs)
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(
+      survivors.agg(count(lit(1)).as("n_survivors"))).crossJoin(
+      pairs.agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("est_jaccard") >= 0.8, 1L).otherwise(0L)).as("n_dup_pairs")))
+  }
+
+  /** SimHash near-dup pairs by Hamming distance (rows-only). */
+  private def simhash(s: SparkSession, dir: String): DataFrame =
+    SimHash.nearDupPairs(Tables.documents(s, dir), maxDist = 10)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+
+  /** Exact brute-force cosine top-5 for the first 10 vectors. Both engines
+    * do element-wise double math reduced left-to-right, so the rounded
+    * scores hash-match.
+    */
+  private def cosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  private val cosineSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+      |s AS (
+      |  SELECT qid, nid,
+      |    round(
+      |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+      |      (sqrt(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+      |       sqrt(list_sum(list_transform(range(1, len(ce) + 1), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))), 6) AS cos
+      |  FROM q, c WHERE qid <> nid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
+      |SELECT qid AS query_id, nid AS neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** LSH-bucketed approximate top-k (the 100 TB path) with recall measured
+    * against the exact result — self-checking, rows-only.
+    */
+  private def ann(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshTopK(e, k = 5, bits = 8, tables = 4)
+      .filter(col("query_id") < 10)
+      .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+    val hits = exact.join(approx,
+      exact("query_id") === approx("aq") && exact("neighbor_id") === approx("an"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact")).crossJoin(
+      hits.agg(count(lit(1)).as("n_recalled")))
+  }
+
+  /** Language ID + quality-score buckets per source. Quality is per-row
+    * scalar double math (identical bits in any engine), bucketed to
+    * integers so the oracle comparison is exact.
+    */
+  private def quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("pred_lang", TextOps.langId(col("text")))
+      .withColumn("bucket", floor(TextOps.qualityScore(col("text")) * 10).cast("int"))
+      .groupBy(col("source"), col("pred_lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+
+  private val qualitySql = {
+    val en = TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    val langCases = TextOps.stopwords.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"struct_pack(score := len(list_filter(toks, t -> t IN ($lst)))::DOUBLE / greatest(len(toks), 1), lang := '$lang')"
+    }.mkString(",\n      ")
+    s"""WITH base AS (
+       |  SELECT source, doc_id, text,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT source, doc_id,
+       |    greatest(
+       |      $langCases
+       |    ) AS best,
+       |    CASE WHEN len(list_filter(toks, t -> t SIMILAR TO '\\S+')) BETWEEN 5 AND 100000
+       |      THEN 1.0 ELSE 0.0 END *
+       |    (0.5 * (length(text) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')))::DOUBLE / greatest(length(text), 1) +
+       |     0.5 * least(len(list_filter(toks, t -> t IN ($en)))::DOUBLE / greatest(len(toks), 1) * 5, 1.0)) AS q
+       |  FROM base)
+       |SELECT source,
+       |  CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang,
+       |  CAST(floor(q * 10) AS INTEGER) AS bucket,
+       |  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+       |FROM scored GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** Winnowing fingerprint summary (rows-only; engine-specific hashes). */
+  private def fingerprints(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_fp", size(TextOps.winnowFingerprints(col("text"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_fp").cast("long")).as("sum_fingerprints"))
+
+  /** J3 — as-of join: each event picks the latest 1-second candle at or
+    * before it, per symbol (union-window form, one shuffle). DuckDB oracle
+    * uses its native ASOF JOIN.
+    */
+  private def asof(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.ticks(s, dir)
+    val candles = graft.operators.CandleAggregator.aggregate(t)
+      .select(col("symbol"), col("timestamp"), col("close").as("candle_close"))
+    val events = t.select(col("symbol"), col("timestamp"), col("price"), col("seq"))
+    graft.operators.AsOfJoin.asOf(events, candles, "symbol", "timestamp", Seq("candle_close"))
+      .select(col("symbol"), graft.queries.Det.tsMicros(col("timestamp")).as("ts"),
+        col("price"), col("seq"), col("candle_close"))
+  }
+
+  private val asofSql =
+    """WITH ticks AS (
+      |  SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price,
+      |         CAST(user_id + 1 AS DOUBLE) AS volume, event_id AS seq
+      |  FROM events),
+      |candles AS (
+      |  SELECT symbol, min(tstamp) AS tstamp, arg_max(price, tstamp) AS close
+      |  FROM ticks GROUP BY symbol, date_trunc('second', tstamp))
+      |SELECT t.symbol, strftime(t.tstamp, '%Y-%m-%d %H:%M:%S.%f') AS ts, t.price, t.seq,
+      |  c.close AS candle_close
+      |FROM ticks t ASOF LEFT JOIN candles c
+      |  ON t.symbol = c.symbol AND t.tstamp >= c.tstamp""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("llm_exact_dedup", dedup, Some(dedupSql)),
-    Q("llm_text_stats", stats, Some(statsSql))
+    Q("llm_text_stats", stats, Some(statsSql)),
+    Q("llm_minhash_dedup", minhash, None, headline = true),
+    Q("llm_simhash_neardup", simhash, None),
+    Q("llm_cosine_topk", cosine, Some(cosineSql), headline = true),
+    Q("llm_ann_recall", ann, None),
+    Q("llm_quality_langid", quality, Some(qualitySql)),
+    Q("llm_fingerprints", fingerprints, None),
+    Q("j3_asof_join", asof, Some(asofSql))
   )
 }

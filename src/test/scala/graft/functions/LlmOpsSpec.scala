@@ -1,0 +1,106 @@
+package graft.functions
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps one representative per normalized content") {
+    val docs = Seq(
+      (1L, "Hello   World", "a"),
+      (2L, "hello world", "a"), // same after normalization
+      (3L, "different text", "b")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.dedupExact(docs).select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash finds a near-duplicate pair and fuzzy dedup drops the later doc") {
+    val words = (1 to 40).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.take(38) :+ "zz").mkString(" ") // ~0.9 shingle overlap
+    val c = (1 to 40).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = MinHash.candidatePairs(docs).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L
+      && r.getAs[Double]("est_jaccard") > 0.7))
+    assert(!pairs.exists(r => r.getAs[Long]("id_b") == 3L))
+    val kept = MinHash.dedupFuzzy(docs, threshold = 0.7).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+  }
+
+  test("simhash: identical docs at distance 0; unrelated docs far apart") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val pairs = SimHash.nearDupPairs(docs, maxDist = 3).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("id_a") == 1L && pairs.head.getAs[Long]("id_b") == 2L)
+    assert(pairs.head.getAs[Int]("dist") == 0)
+  }
+
+  test("cosine top-k ranks by true cosine on hand-built vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1), // orthogonal
+      (3L, Array(0.7f, 0.7f, 0.0f), 1) // in between
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 3L, 2L))
+  }
+
+  test("langId picks the dominant stopword language; quality is in [0,1]") {
+    val docs = Seq(
+      (1L, "the cat and the dog is in the house for a while"),
+      (2L, "der hund ist nicht mit der katze auf dem dach"),
+      (3L, "zzz qqq www rrr ttt yyy uuu iii")
+    ).toDF("doc_id", "text")
+    val out = docs.withColumn("lang", TextOps.langId($"text"))
+      .withColumn("q", TextOps.qualityScore($"text"))
+      .select("doc_id", "lang", "q").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getString(1) == "en")
+    assert(byId(2L).getString(1) == "de")
+    assert(byId(3L).getString(1) == "und")
+    out.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(byId(1L).getDouble(2) > byId(3L).getDouble(2))
+  }
+
+  test("as-of join attaches the latest candle at or before each tick") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val candles = Seq(
+      ("A", ts("2024-01-01 00:00:01"), 10.0),
+      ("A", ts("2024-01-01 00:00:03"), 30.0)
+    ).toDF("symbol", "timestamp", "candle_close")
+    val ticks = Seq(
+      ("A", ts("2024-01-01 00:00:00.500"), 1L), // before any candle → null
+      ("A", ts("2024-01-01 00:00:01.000"), 2L), // exact tie → includes the 00:01 candle
+      ("A", ts("2024-01-01 00:00:02.500"), 3L), // between → 10.0
+      ("A", ts("2024-01-01 00:00:04.000"), 4L) // after → 30.0
+    ).toDF("symbol", "timestamp", "seq")
+    val out = AsOfJoin.asOf(ticks, candles, "symbol", "timestamp", Seq("candle_close"))
+      .orderBy("seq").select("candle_close").collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) == 10.0)
+    assert(out(2).getDouble(0) == 10.0)
+    assert(out(3).getDouble(0) == 30.0)
+  }
+
+  test("winnowing fingerprints are content-stable and position-robust") {
+    val fp = (t: String) => Seq((1L, t)).toDF("doc_id", "text")
+      .select(TextOps.winnowFingerprints($"text").as("fp")).collect().head.getSeq[Long](0).toSet
+    val a = fp("the quick brown fox jumps over the lazy dog")
+    val b = fp("PREFIX the quick brown fox jumps over the lazy dog")
+    // shared content → large fingerprint overlap despite the shift
+    assert((a intersect b).size.toDouble / a.size > 0.5)
+  }
+}
