@@ -41,7 +41,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also land the JSON in a file: the stdout line is buried in sbt [info]
+    // noise and the driver's log scrape has missed it two rounds running.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), json + "\n")
     spark.stop()
   }
 }

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** SimHash near-duplicate detection: a 64-bit sketch whose Hamming distance
   * approximates token-multiset cosine distance. Pure column expressions per
-  * document; near-dup candidate generation buckets on 16-bit sub-bands
-  * (pigeonhole: Hamming distance ≤ 3 ⇒ at least one of 4 bands equal), so
-  * the join is bucket-local — never all-pairs.
+  * document; near-dup candidate generation buckets on sub-bands sized to
+  * the requested distance (pigeonhole: with B bands, Hamming distance
+  * ≤ B-1 ⇒ at least one band equal), so the join is bucket-local — never
+  * all-pairs.
   */
 object SimHash {
 
@@ -37,16 +38,25 @@ object SimHash {
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-duplicate pairs with Hamming distance ≤ maxDist, via 4×16-bit
-    * band bucketing.
+  /** Near-duplicate pairs with Hamming distance ≤ maxDist, via band
+    * bucketing. The band count is derived from maxDist so the pigeonhole
+    * guarantee always holds: with B bands, two sketches at distance ≤ B-1
+    * must agree on at least one whole band. B = next power of two
+    * ≥ maxDist+1 (so 64/B stays integral): maxDist ≤ 3 → 4×16-bit bands,
+    * ≤ 7 → 8×8-bit, ≤ 15 → 16×4-bit. Narrower bands mean coarser buckets
+    * (2^width values) and a bigger candidate join — the recall/cost dial.
     */
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 31, s"maxDist $maxDist outside [0, 31]")
+    val bands = Seq(1, 2, 4, 8, 16, 32).find(_ >= maxDist + 1).get
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
     val sh = docs.select(col(idCol).as("id"),
       simhash64(split(TextOps.normalized(col(textCol)), " ")).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("b"))
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("sh"), b * width).bitwiseAND(lit(mask)).as("chunk"))): _*)).as("b"))
     val a = banded.select(col("b"), col("id").as("id_a"), col("sh").as("sh_a"))
     val bd = banded.select(col("b"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(bd, a("b") === bd("b") && a("id_a") < bd("id_b"))

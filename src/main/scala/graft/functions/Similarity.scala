@@ -81,14 +81,17 @@ object Similarity {
       .cache()
     val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qe"))
     val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    val cand = a.join(b, Seq("table", "bucket"))
+    // Score inside the bucket join, THEN dedup across tables on the id pair
+    // alone — the multi-table dedup shuffles 3 scalars per candidate, never
+    // the embedding arrays (max() is a no-op: cos is identical per pair).
+    val scored = a.join(b, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qe"), col("ce"))
-      .distinct()
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val cand = scored.groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("qe"), col("ce")), 6).as("cos"))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

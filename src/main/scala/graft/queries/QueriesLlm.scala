@@ -69,9 +69,11 @@ object QueriesLlm {
         sum(when(col("est_jaccard") >= 0.8, 1L).otherwise(0L)).as("n_dup_pairs")))
   }
 
-  /** SimHash near-dup pairs by Hamming distance (rows-only). */
+  /** SimHash near-dup pairs by Hamming distance (rows-only). maxDist = 7
+    * rides the 8×8-bit banding guarantee (recall 1.0 for dist ≤ 7).
+    */
   private def simhash(s: SparkSession, dir: String): DataFrame =
-    SimHash.nearDupPairs(Tables.documents(s, dir), maxDist = 10)
+    SimHash.nearDupPairs(Tables.documents(s, dir), maxDist = 7)
       .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
 
   /** Exact brute-force cosine top-5 for the first 10 vectors. Both engines
@@ -136,9 +138,9 @@ object QueriesLlm {
        |  FROM documents),
        |scored AS (
        |  SELECT source, doc_id,
-       |    greatest(
+       |    list_sort([
        |      $langCases
-       |    ) AS best,
+       |    ])[-1] AS best,
        |    CASE WHEN len(list_filter(toks, t -> t SIMILAR TO '\\S+')) BETWEEN 5 AND 100000
        |      THEN 1.0 ELSE 0.0 END *
        |    (0.5 * (length(text) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')))::DOUBLE / greatest(length(text), 1) +
