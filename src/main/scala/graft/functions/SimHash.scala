@@ -57,9 +57,12 @@ object SimHash {
     val banded = sh.select(col("id"), col("sh"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         shiftright(col("sh"), b * width).bitwiseAND(lit(mask)).as("chunk"))): _*)).as("b"))
-    val a = banded.select(col("b"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val bd = banded.select(col("b"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(bd, a("b") === bd("b") && a("id_a") < bd("id_b"))
+    // Rename the band key per side: a self-join condition built from the
+    // same parent lineage (a("b") === bd("b")) resolves both sides to one
+    // attribute — trivially true — and Spark plans an all-pairs cross join.
+    val a = banded.select(col("b").as("b_a"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val bd = banded.select(col("b").as("b_b"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(bd, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sh_a"), col("sh_b")).as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
