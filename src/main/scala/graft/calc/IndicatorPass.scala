@@ -115,7 +115,7 @@ object IndicatorPass {
       val atrChange = if (first) 0.0 else atrFilled - prevAtrFilled
       prevAtrFilled = atrFilled
       atrNormRing.push(atrNorm)
-      val rollMean = if (atrNormRing.isFull) atrNormRing.mean else 0.0
+      val rollMean = if (atrNormRing.isFull) atrNormRing.seqMean else 0.0
       val highVol = if (atrNorm > rollMean) 1 else 0
 
       val t3Raw = t3.update(close)

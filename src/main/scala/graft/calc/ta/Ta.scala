@@ -277,6 +277,20 @@ object Ta {
     }
     def isFull: Boolean = n == size
     def mean: Double = if (n == 0) Double.NaN else sum / n
+    /** Mean from a fresh oldest-first summation (not the incrementally
+      * maintained `sum`, whose float error drifts after evictions). The
+      * left-assoc oldest→newest add order is reproducible exactly in SQL as
+      * an explicit lag chain — which is what makes high_volatility
+      * oracle-checkable bit-for-bit.
+      */
+    def seqMean: Double = {
+      if (n == 0) return Double.NaN
+      val start = if (n == size) pos else 0
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += buf((start + i) % size); i += 1 }
+      s / n
+    }
     def count: Int = n
   }
 }

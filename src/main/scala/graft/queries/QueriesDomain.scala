@@ -53,15 +53,15 @@ object QueriesDomain {
       |)""".stripMargin
 
   private val withTicks = s"WITH $ticksCte"
-  private val withCandles = s"WITH $ticksCte, $candlesCte"
+  private[queries] val withCandles = s"WITH $ticksCte, $candlesCte"
 
-  private val fmt = "%Y-%m-%d %H:%M:%S.%f"
+  private[queries] val fmt = "%Y-%m-%d %H:%M:%S.%f"
 
   // ---------------------------------------------------------------- Spark helpers
 
   private def ticks(s: SparkSession, dir: String): DataFrame = Tables.ticks(s, dir)
 
-  private def candles(s: SparkSession, dir: String): DataFrame =
+  private[queries] def candles(s: SparkSession, dir: String): DataFrame =
     CandleAggregator.aggregate(ticks(s, dir))
 
   private val candleCols = Seq("open", "high", "low", "close", "volume", "number_of_trades", "vwap")

@@ -12,6 +12,7 @@ object Registry {
   def all: Seq[Q] =
     QueriesRelational.all ++
       QueriesDomain.all ++
+      QueriesH.all ++
       QueriesLlm.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
