@@ -33,36 +33,45 @@ object CandleAggregator {
     * @param priceCol price for raw ticks, close for candle→candle rollup
     *                 (the `use_raw` switch, aggregator_candles.py:196)
     */
-  def aggregate(ticks: DataFrame, seconds: Int = 1, priceCol: String = "price",
-                priceScale: Int = 4, volumeScale: Int = 4): DataFrame = {
+  /** The eight candle aggregates, shared verbatim by the batch path and the
+    * streaming path ([[graft.streaming.StreamingCandles]]) so batch ≡ stream
+    * holds by construction.
+    */
+  private[graft] def candleAggs(ticks: DataFrame, priceCol: String,
+                                priceScale: Int, volumeScale: Int): Seq[Column] = {
     val hasSeq = ticks.columns.contains("seq")
     val ord = if (hasSeq) struct(col("timestamp"), col("seq")) else col("timestamp")
     val p = col(priceCol)
-    val bucket =
-      if (seconds == 1) date_trunc("second", col("timestamp"))
-      else timestamp_seconds(expr(s"unix_timestamp(timestamp) div $seconds") * seconds)
-
     // Σp·v and Σv in decimal: double sums are shuffle-order-dependent; exact
     // decimal arithmetic makes candle VWAP bit-reproducible on any cluster
     // layout (and hash-comparable against the DuckDB oracle).
     val pD = p.cast(DecimalType(18, priceScale))
     val vD = col("volume").cast(DecimalType(18, volumeScale))
+    Seq(
+      min(col("timestamp")).as("timestamp"), // first-tick ts quirk
+      min_by(p, ord).as("open"),
+      max(p).as("high"),
+      min(p).as("low"),
+      max_by(p, ord).as("close"),
+      sum(vD).cast("double").as("volume"),
+      count(lit(1)).as("number_of_trades"),
+      when(sum(vD) > 0,
+        sum(pD * vD).cast("double") / sum(vD).cast("double")).as("vwap")
+    )
+  }
+
+  def aggregate(ticks: DataFrame, seconds: Int = 1, priceCol: String = "price",
+                priceScale: Int = 4, volumeScale: Int = 4): DataFrame = {
+    val bucket =
+      if (seconds == 1) date_trunc("second", col("timestamp"))
+      else timestamp_seconds(expr(s"unix_timestamp(timestamp) div $seconds") * seconds)
+    val aggs = candleAggs(ticks, priceCol, priceScale, volumeScale)
 
     // bucket_start is grouping-only: the reference candle schema has no such
     // column (aggregator_candles.py:142) — the candle ts is the first tick's.
     ticks
       .groupBy(col("symbol"), bucket.as("bucket_start"))
-      .agg(
-        min(col("timestamp")).as("timestamp"), // first-tick ts quirk
-        min_by(p, ord).as("open"),
-        max(p).as("high"),
-        min(p).as("low"),
-        max_by(p, ord).as("close"),
-        sum(vD).cast("double").as("volume"),
-        count(lit(1)).as("number_of_trades"),
-        when(sum(vD) > 0,
-          sum(pD * vD).cast("double") / sum(vD).cast("double")).as("vwap")
-      )
+      .agg(aggs.head, aggs.tail: _*)
       .drop("bucket_start")
   }
 
