@@ -1,7 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash + LSH fuzzy deduplication over documents, 100 TB-shaped:
   *
@@ -83,6 +86,78 @@ object MinHash {
   def signature(shingleCol: Column, numPerms: Int = 128): Column =
     signatureFromHashes(shingleHashes(shingleCol), numPerms)
 
+  /** The text→signature fold as a plain-Scala mapPartitions kernel.
+    *
+    * Higher-order expressions (`aggregate`/`zip_with`/`transform`) never hit
+    * whole-stage codegen — every multiply-add of the signature fold runs
+    * interpreted, and that constant factor was the single most expensive
+    * query in the bench (~15 s of a 46 s suite at sf0.1). This kernel does
+    * the identical work — Spark's own xxhash64 (same seed 42) per shingle,
+    * then the affine min-fold — in while-loops: O(shingles × numPerms)
+    * multiply-adds at native speed, no string re-hashing per permutation.
+    *
+    * Bit-compatible with [[signature]]∘[[shingleHashes]]∘[[shingles]]: the
+    * normalization (trim-spaces → lowercase → `\s+`→" ", as
+    * [[TextOps.normalized]]), shingling, hashing and fold reproduce the
+    * expression semantics value-for-value, so candidate pairs and survivor
+    * sets are unchanged.
+    */
+  def withSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                     numPerms: Int = 128, n: Int = 3): DataFrame = {
+    val (as, bs) = coeffs(numPerms)
+    val in = docs.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val outSchema = StructType(Seq(
+      in.schema.head, StructField("sig", ArrayType(LongType, containsNull = false))))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val sig = signatureOf(r.getString(1), as, bs, numPerms, n)
+        Row(r.get(0), sig)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private def signatureOf(text: String, as: Array[Long], bs: Array[Long],
+                          numPerms: Int, n: Int): Array[Long] = {
+    // Spark's trim strips 0x20 only; then lower; then Java-regex collapse —
+    // the exact operator order of TextOps.normalized.
+    var b0 = 0
+    var e0 = text.length
+    while (b0 < e0 && text.charAt(b0) == ' ') b0 += 1
+    while (e0 > b0 && text.charAt(e0 - 1) == ' ') e0 -= 1
+    val norm = text.substring(b0, e0).toLowerCase.replaceAll("\\s+", " ")
+    val tokens = norm.split(" ", -1)
+    val acc = Array.fill(numPerms)(Long.MaxValue)
+
+    def fold(shingle: String): Unit = {
+      val raw = XxHash64Function.hash(UTF8String.fromString(shingle), StringType, 42L)
+      val h = ((raw % Prime) + Prime) % Prime
+      var p = 0
+      while (p < numPerms) {
+        val v = (as(p) * h + bs(p)) % Prime
+        if (v < acc(p)) acc(p) = v
+        p += 1
+      }
+    }
+
+    if (tokens.length <= n) fold(tokens.mkString(" "))
+    else {
+      var i = 0
+      val sb = new java.lang.StringBuilder
+      while (i <= tokens.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j))
+          j += 1
+        }
+        fold(sb.toString)
+        i += 1
+      }
+    }
+    acc
+  }
+
   /** (band, bandHash) rows for LSH bucketing: murmur3 of each signature
     * slice.
     */
@@ -96,20 +171,28 @@ object MinHash {
     * after the distinct.
     */
   def candidatePairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                     numPerms: Int = 128, numBands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    // Two-step materialization is load-bearing: the higher-order exprs are
-    // interpreted, and without a cache boundary the projection collapse
-    // re-evaluates the upstream pipeline per band / per join side. Cache
-    // the per-shingle hashes (one regex + one string hash per doc), then
-    // the signatures (probed by the band explode and twice by the
-    // re-attach). At 100 TB the same boundary is a checkpoint to parquet.
-    val hashed = docs.select(col(idCol).as("id"),
-      shingleHashes(shingles(col(textCol))).as("hs")).cache()
-    val sigd = hashed.select(col("id"), signatureFromHashes(col("hs"), numPerms).as("sig")).cache()
+                     numPerms: Int = 128, numBands: Int = 16, rowsPerBand: Int = 8,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    // The signature materialization boundary is load-bearing: the signature
+    // frame is consumed three times (band explode + both sides of the
+    // re-attach), and without a boundary the projection collapse would
+    // re-run the text kernel per consumer. Default = JVM cache (harness
+    // scale); `checkpointDir` = write-to-parquet + re-read, the 100 TB path
+    // where the signature set outgrows executor storage memory — nothing is
+    // then pinned in cache at all.
+    val sigRaw = withSignatures(docs, textCol, idCol, numPerms)
+    val sigd = checkpointDir match {
+      case Some(dir) =>
+        sigRaw.write.mode("overwrite").parquet(dir)
+        docs.sparkSession.read.parquet(dir)
+      case None => sigRaw.cache()
+    }
     val banded = sigd.select(col("id"), explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
-    val a = banded.select(col("b"), col("id").as("id_a"))
-    val bd = banded.select(col("b"), col("id").as("id_b"))
-    val idPairs = a.join(bd, a("b") === bd("b") && a("id_a") < bd("id_b"))
+    // per-side key rename: a self-join on the same lineage would otherwise
+    // resolve both sides of `b === b` to one attribute (trivially true)
+    val a = banded.select(col("b").as("b_a"), col("id").as("id_a"))
+    val bd = banded.select(col("b").as("b_b"), col("id").as("id_b"))
+    val idPairs = a.join(bd, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     idPairs
