@@ -71,6 +71,16 @@ object TickOps {
     dedupKeepLast(tagged, keys, Seq(col("__src"))).drop("__src")
   }
 
+  /** P6 — weekend filter: drop rows whose US/Eastern wall-clock day is
+    * Saturday/Sunday (reference: is_weekend
+    * fetch_historical_trades_nvda.py:97-99, applied per fetch date :333-335).
+    * Eastern (not UTC) on purpose: the trading calendar is a wall-clock
+    * concept, and the predicate is codegen'd + partition-prunable when the
+    * lake is date-partitioned.
+    */
+  def filterWeekdays(df: DataFrame, tsCol: String = "timestamp"): DataFrame =
+    df.filter(!dayofweek(from_utc_timestamp(col(tsCol), "US/Eastern")).isin(1, 7))
+
   /** G3 audit scan: the final-output validation aggregates
     * (reference: validate_final_csv fetch_historical_trades_nvda.py:286-325).
     * Single pass, map-side partials.

@@ -52,14 +52,14 @@ object QueriesDomain {
       |  FROM ticks GROUP BY symbol, date_trunc('second', tstamp)
       |)""".stripMargin
 
-  private val withTicks = s"WITH $ticksCte"
+  private[queries] val withTicks = s"WITH $ticksCte"
   private[queries] val withCandles = s"WITH $ticksCte, $candlesCte"
 
   private[queries] val fmt = "%Y-%m-%d %H:%M:%S.%f"
 
   // ---------------------------------------------------------------- Spark helpers
 
-  private def ticks(s: SparkSession, dir: String): DataFrame = Tables.ticks(s, dir)
+  private[queries] def ticks(s: SparkSession, dir: String): DataFrame = Tables.ticks(s, dir)
 
   private[queries] def candles(s: SparkSession, dir: String): DataFrame =
     CandleAggregator.aggregate(ticks(s, dir))
@@ -316,10 +316,12 @@ object QueriesDomain {
   /** W1 — rolling-60 average volume + spike flag
     * (detect_volume_spikes, candle_to_calcs.py:517-526).
     */
-  private def w1(s: SparkSession, dir: String): DataFrame =
-    WindowCalcs.withVolumeSpikes(candles(s, dir), exact = true)
+  private def w1x(exact: Boolean)(s: SparkSession, dir: String): DataFrame =
+    WindowCalcs.withVolumeSpikes(candles(s, dir), exact = exact)
       .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
         col("volume"), col("rolling_avg_volume"), col("is_volume_spike"))
+
+  private def w1(s: SparkSession, dir: String): DataFrame = w1x(exact = true)(s, dir)
 
   private val w1Sql =
     s"""$withCandles, w AS (
@@ -350,10 +352,12 @@ object QueriesDomain {
   /** W3 — rolling mean with pandas min_periods=window (null until the frame
     * fills; candle_to_calcs.py:412).
     */
-  private def w3(s: SparkSession, dir: String): DataFrame =
-    WindowCalcs.rollingMeanFull(candles(s, dir), "close", "close_ma14", 14, exact = true)
+  private def w3x(exact: Boolean)(s: SparkSession, dir: String): DataFrame =
+    WindowCalcs.rollingMeanFull(candles(s, dir), "close", "close_ma14", 14, exact = exact)
       .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
         col("close"), col("close_ma14"))
+
+  private def w3(s: SparkSession, dir: String): DataFrame = w3x(exact = true)(s, dir)
 
   private val w3Sql =
     s"""$withCandles, w AS (
@@ -370,11 +374,13 @@ object QueriesDomain {
   /** W4 — Bollinger Bands with the reference's exact derived columns
     * (candle_to_calcs.py:419-425).
     */
-  private def w4(s: SparkSession, dir: String): DataFrame =
-    WindowCalcs.withBollinger(candles(s, dir), exact = true)
+  private def w4x(exact: Boolean)(s: SparkSession, dir: String): DataFrame =
+    WindowCalcs.withBollinger(candles(s, dir), exact = exact)
       .select(col("symbol"), tsMicros(col("timestamp")).as("ts"), col("close"),
         col("bb_mid"), col("bb_upper"), col("bb_lower"),
         col("bb_width"), col("bb_pos"), col("bb_breakout"))
+
+  private def w4(s: SparkSession, dir: String): DataFrame = w4x(exact = true)(s, dir)
 
   private val w4Sql =
     s"""$withCandles, b AS (
@@ -523,10 +529,10 @@ object QueriesDomain {
     Q("g6_distinct_symbols", g6, Some(g6Sql)),
     Q("f6_session_labels", f6, Some(f6Sql)),
     Q("f7_json_extract", f7, Some(f7Sql)),
-    Q("w1_volume_spikes", w1, Some(w1Sql), headline = true),
+    Q("w1_volume_spikes", w1, Some(w1Sql), headline = true, benchRun = Some(w1x(exact = false))),
     Q("w2_lag_diff", w2, Some(w2Sql)),
-    Q("w3_rolling_mean", w3, Some(w3Sql)),
-    Q("w4_bollinger", w4, Some(w4Sql), headline = true),
+    Q("w3_rolling_mean", w3, Some(w3Sql), benchRun = Some(w3x(exact = false))),
+    Q("w4_bollinger", w4, Some(w4Sql), headline = true, benchRun = Some(w4x(exact = false))),
     Q("w12_daily_extremes", w12, Some(w12Sql)),
     Q("w13_time_anchors", w13, Some(w13Sql)),
     Q("h1_indicator_pass", h1, None, headline = true),

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TickOps
+import graft.queries.Det._
+import graft.queries.QueriesDomain.{fmt, ticks, withTicks}
+import graft.sources.{CsvTickSource, Sinks}
+
+/** The ingest/persistence surface: P6 weekend filter, S5 CSV scan
+  * (schema assert + `%f UTC` parse + F4 regex, end-to-end through real CSV
+  * files), and the A1/A3 sinks verified by reading the written tables back.
+  */
+object QueriesIngest {
+
+  /** Staging paths (inside the repo tree; target/ is untracked). Absolute
+    * because the driver's DuckDB may run with any CWD.
+    */
+  private val s5CsvPath = "/root/repo/target/graft/s5_ticks_csv"
+  private val a3ValidPath = "/root/repo/target/graft/a3_valid_ticks"
+  private val a3InvalidPath = "/root/repo/target/graft/a3_invalid_ticks"
+
+  // ---------------------------------------------------------------- P6
+
+  /** P6 — weekend filter over US/Eastern wall-clock
+    * (fetch_historical_trades_nvda.py:97-99).
+    */
+  private def p6(s: SparkSession, dir: String): DataFrame =
+    TickOps.filterWeekdays(ticks(s, dir))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_weekday_ticks"), sum(col("seq")).as("sum_seq"))
+
+  private val p6Sql =
+    s"""$withTicks
+       |SELECT symbol, COUNT(*) AS n_weekday_ticks,
+       |  CAST(SUM(seq) AS BIGINT) AS sum_seq
+       |FROM ticks
+       |WHERE dayofweek(timezone('US/Eastern', timezone('UTC', tstamp))) NOT IN (0, 6)
+       |GROUP BY symbol""".stripMargin
+
+  // ---------------------------------------------------------------- S5
+
+  /** S5/F1/F4 — full CSV ingest: ticks staged to real CSV files in the
+    * reference's wire format (with deterministically injected malformed
+    * timestamps), read back through the schema assert + regex + parse path,
+    * audited. The oracle re-reads the same CSV files with DuckDB.
+    */
+  private def s5(s: SparkSession, dir: String): DataFrame = {
+    ticks(s, dir)
+      .select(col("symbol"),
+        // every 997th row gets a malformed (second-precision) timestamp to
+        // exercise the F4 divert; the rest carry the exact wire format
+        when(col("seq") % 997 === 0, concat(tsSec(col("timestamp")), lit(" UTC")))
+          .otherwise(concat(tsMicros(col("timestamp")), lit(" UTC"))).as("timestamp"),
+        col("price"), col("volume"))
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(s5CsvPath)
+
+    val vf = CsvTickSource.read(s, s5CsvPath)
+    val ok = vf.valid.agg(
+      count(lit(1)).as("n"),
+      min(tsMicros(col("timestamp"))).as("min_ts"),
+      max(tsMicros(col("timestamp"))).as("max_ts"))
+      .select(lit("valid").as("reject_reason"), col("n"), col("min_ts"), col("max_ts"))
+    val bad = vf.invalid.groupBy(col("reject_reason"))
+      .agg(count(lit(1)).as("n"), min(col("timestamp")).as("min_ts"),
+        max(col("timestamp")).as("max_ts"))
+    bad.unionByName(ok)
+  }
+
+  private val s5Sql =
+    s"""WITH raw AS (
+       |  SELECT * FROM read_csv('$s5CsvPath/*.csv', header = true,
+       |    columns = {'symbol': 'VARCHAR', 'timestamp': 'VARCHAR',
+       |               'price': 'DOUBLE', 'volume': 'DOUBLE'})),
+       |lab AS (
+       |  SELECT *,
+       |    CASE WHEN NOT regexp_matches(timestamp,
+       |      '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6} UTC$$')
+       |      THEN 'bad_timestamp_format' ELSE 'valid' END AS reject_reason
+       |  FROM raw)
+       |SELECT reject_reason, COUNT(*) AS n,
+       |  CASE WHEN reject_reason = 'valid'
+       |    THEN strftime(MIN(try_strptime(left(timestamp, 26), '$fmt')), '$fmt')
+       |    ELSE MIN(timestamp) END AS min_ts,
+       |  CASE WHEN reject_reason = 'valid'
+       |    THEN strftime(MAX(try_strptime(left(timestamp, 26), '$fmt')), '$fmt')
+       |    ELSE MAX(timestamp) END AS max_ts
+       |FROM lab GROUP BY reject_reason""".stripMargin
+
+  // ---------------------------------------------------------------- A3
+
+  /** A1/A3 — the valid/invalid sink, verified end-to-end: corrupt ticks the
+    * same way as p1, persist BOTH streams as parquet tables via
+    * [[Sinks.writeValidated]], then answer from the tables on disk — the
+    * reference's invalid_ticks.csv analog actually exists after this runs.
+    */
+  private def a3(s: SparkSession, dir: String): DataFrame = {
+    val t = ticks(s, dir)
+      .withColumn("price",
+        when(col("seq") % 97 === 0, -col("price"))
+          .when(col("seq") % 101 === 0, lit(null))
+          .otherwise(col("price")))
+      .withColumn("volume", when(col("seq") % 89 === 0, -col("volume")).otherwise(col("volume")))
+    Sinks.writeValidated(TickOps.validate(t), a3ValidPath, a3InvalidPath)
+    val inv = s.read.parquet(a3InvalidPath)
+      .groupBy(col("reject_reason"))
+      .agg(count(lit(1)).as("n"), sum(col("seq")).as("sum_seq"))
+    val ok = s.read.parquet(a3ValidPath)
+      .agg(count(lit(1)).as("n"), sum(col("seq")).as("sum_seq"))
+      .select(lit("valid").as("reject_reason"), col("n"), col("sum_seq"))
+    inv.unionByName(ok)
+  }
+
+  private val a3Sql =
+    s"""$withTicks, t AS (
+       |  SELECT seq,
+       |    CASE WHEN seq % 97 = 0 THEN -price WHEN seq % 101 = 0 THEN NULL ELSE price END AS price,
+       |    CASE WHEN seq % 89 = 0 THEN -volume ELSE volume END AS volume,
+       |    tstamp
+       |  FROM ticks),
+       |lab AS (
+       |  SELECT seq,
+       |    CASE WHEN price IS NULL OR volume IS NULL OR tstamp IS NULL THEN 'null_field'
+       |         WHEN price <= 0 THEN 'nonpositive_price'
+       |         WHEN volume < 0 THEN 'negative_volume'
+       |         ELSE 'valid' END AS reject_reason
+       |  FROM t)
+       |SELECT reject_reason, COUNT(*) AS n, CAST(SUM(seq) AS BIGINT) AS sum_seq
+       |FROM lab GROUP BY reject_reason""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val all: Seq[Q] = Seq(
+    Q("p6_weekday_filter", p6, Some(p6Sql)),
+    Q("s5_csv_ingest", s5, Some(s5Sql)),
+    Q("a3_sink_roundtrip", a3, Some(a3Sql))
+  )
+}

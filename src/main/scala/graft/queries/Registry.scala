@@ -13,6 +13,7 @@ object Registry {
     QueriesRelational.all ++
       QueriesDomain.all ++
       QueriesH.all ++
+      QueriesIngest.all ++
       QueriesLlm.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
