@@ -53,17 +53,31 @@ object AnchorSnapshots {
       .withColumn("chunk", expr(s"(unix_micros(timestamp) - ${chunkOriginUs}L) div ${chunkUs}L"))
     val withPeaks = PeaksPass.withPeakFlags(labeled, Seq("chunk"))
 
-    val wSym = Window.partitionBy("symbol").orderBy("timestamp")
+    // cidx = position in the reference's buffer+chunk frame = in-chunk row
+    // number + min(rows before this chunk, bufferSize). The in-chunk number
+    // comes from a (symbol, chunk)-keyed window — bounded partitions — and
+    // the cross-chunk offset from a per-(symbol, chunk) count rollup whose
+    // running sum runs over symbols × chunks rows (tiny), broadcast back.
+    // No global per-symbol window anywhere: at 100 TB no task ever sees a
+    // symbol's full history.
+    val wChunkOrd = Window.partitionBy("symbol", "chunk").orderBy("timestamp")
     val wChunk = Window.partitionBy("symbol", "chunk")
+    val counts = withPeaks.groupBy(col("symbol").as("cs"), col("chunk").as("cc"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("cs").orderBy("cc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = counts
+      .withColumn("prior_rows", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
     val base = withPeaks
-      .withColumn("rn", row_number().over(wSym))
-      .withColumn("first_rn", min(col("rn")).over(wChunk))
-      .withColumn("last_rn", max(col("rn")).over(wChunk))
+      .withColumn("crn", row_number().over(wChunkOrd))
+      .withColumn("chunk_cnt", count(lit(1)).over(wChunk))
       .withColumn("last_date", max(col("local_date")).over(wChunk))
+      .join(broadcast(prior), col("symbol") === col("cs") && col("chunk") === col("cc"))
       .withColumn("cidx",
-        col("rn") - col("first_rn") + least(col("first_rn") - 1, lit(bufferSize)))
+        (col("crn") - 1 + least(col("prior_rows"), lit(bufferSize.toLong))).cast("int"))
+      .drop("cs", "cc", "cnt")
 
-    val lastRows = base.filter(col("rn") === col("last_rn")).select(
+    val lastRows = base.filter(col("crn") === col("chunk_cnt")).select(
       col("symbol").as("ls"), col("chunk").as("lc"),
       col("timestamp").as("current_snapshot_timestamp"),
       col("cidx").as("current_idx"))

@@ -1,7 +1,7 @@
 package graft.calc
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.calc.ta.Ta
@@ -147,11 +147,34 @@ object IndicatorPass {
     }
   }
 
+  /** Few-symbol-skew scale path: split each symbol into `bucketSeconds` time
+    * buckets, overlap each bucket with the previous `warmupRows` rows'
+    * worth of time, recompute the overlap from a cold start and drop it —
+    * the reference's own warm-up-buffer scheme
+    * (candle_to_calcs.py:647-651,688-691). Parallelism becomes
+    * symbols × buckets instead of symbols.
+    *
+    * `warmupRows` trades precision for overlap cost: the truncated-history
+    * error of the exponential kernels decays as (1−α)^warmup — at the
+    * default 960 rows the slowest kernel (T3's 6-cascaded EMA(60), α=2/61)
+    * carries ~5e-9 relative error; ADX/ATR (α=1/14) are at double noise
+    * after ~500. SAR re-synchronizes at the first reversal inside the
+    * overlap. The overlap window is TIME-based (warmupRows ×
+    * `rowIntervalSeconds`), matching the reference's row-count buffer
+    * exactly when candles are dense; across an empty gap wider than the
+    * window a bucket starts cold (the reference would carry stale rows —
+    * semantics across day-scale gaps are equally arbitrary either way).
+    */
+  final case class BucketSpec(bucketSeconds: Long, warmupRows: Int = 960,
+                              rowIntervalSeconds: Double = 1.0)
+
   /** Appends the 20 H-family columns — and, when `patterns`, the CDL pattern
     * columns + candle_pattern_sum in the SAME single-shuffle pass — to a
     * candle frame (must have symbol, timestamp, open, high, low, close).
+    * `bucket` engages the warm-up-overlap path for few-symbol skew.
     */
-  def withIndicators(candles: DataFrame, patterns: Boolean = false): DataFrame = {
+  def withIndicators(candles: DataFrame, patterns: Boolean = false,
+                     bucket: Option[BucketSpec] = None): DataFrame = {
     val inSchema = candles.schema
     val outSchema = StructType(inSchema.fields ++ indicatorFields ++
       (if (patterns) patternFields else Seq.empty))
@@ -161,19 +184,61 @@ object IndicatorPass {
     val iL = inSchema.fieldIndex("low")
     val iC = inSchema.fieldIndex("close")
 
-    candles
-      .repartition(col("symbol"))
-      .sortWithinPartitions(col("symbol"), col("timestamp"))
-      .mapPartitions { rows =>
-        var sym: String = null
-        var st: SymbolState = null
-        rows.map { r =>
-          val s = r.getString(iSym)
-          if (st == null || s != sym) { sym = s; st = new SymbolState(patterns = patterns) }
-          val out = st.next(
-            r.getDouble(iO), r.getDouble(iH), r.getDouble(iL), r.getDouble(iC))
-          Row.fromSeq(r.toSeq ++ out)
-        }
-      }(Encoders.row(outSchema))
+    bucket match {
+      case None =>
+        candles
+          .repartition(col("symbol"))
+          .sortWithinPartitions(col("symbol"), col("timestamp"))
+          .mapPartitions { rows =>
+            var sym: String = null
+            var st: SymbolState = null
+            rows.map { r =>
+              val s = r.getString(iSym)
+              if (st == null || s != sym) { sym = s; st = new SymbolState(patterns = patterns) }
+              val out = st.next(
+                r.getDouble(iO), r.getDouble(iH), r.getDouble(iL), r.getDouble(iC))
+              Row.fromSeq(r.toSeq ++ out)
+            }
+          }(Encoders.row(outSchema))
+
+      case Some(spec) =>
+        val bUs = spec.bucketSeconds * 1000000L
+        val wUs = math.ceil(spec.warmupRows * spec.rowIntervalSeconds).toLong * 1000000L
+        val us = unix_micros(col("timestamp"))
+        val bkt = expr(s"unix_micros(timestamp) div ${bUs}L")
+        // each row processes in its own bucket; rows in the tail window are
+        // ALSO replayed (tagged warm-up) at the head of the next bucket
+        val assignments = when(us >= (bkt + 1) * bUs - wUs,
+          array(struct(bkt.as("b"), lit(false).as("w")),
+            struct((bkt + 1).as("b"), lit(true).as("w"))))
+          .otherwise(array(struct(bkt.as("b"), lit(false).as("w"))))
+        val exploded = candles
+          .withColumn("__a", explode(assignments))
+          .withColumn("__b", col("__a").getField("b"))
+          .withColumn("__w", col("__a").getField("w"))
+          .drop("__a")
+        val iB = exploded.schema.fieldIndex("__b")
+        val iW = exploded.schema.fieldIndex("__w")
+
+        exploded
+          .repartition(col("symbol"), col("__b"))
+          .sortWithinPartitions(col("symbol"), col("__b"), col("timestamp"))
+          .mapPartitions { rows =>
+            var sym: String = null
+            var bk = Long.MinValue
+            var st: SymbolState = null
+            rows.flatMap { r =>
+              val s = r.getString(iSym)
+              val b = r.getLong(iB)
+              if (st == null || s != sym || b != bk) {
+                sym = s; bk = b; st = new SymbolState(patterns = patterns)
+              }
+              val out = st.next(
+                r.getDouble(iO), r.getDouble(iH), r.getDouble(iL), r.getDouble(iC))
+              if (r.getBoolean(iW)) None
+              else Some(Row.fromSeq(r.toSeq.dropRight(2) ++ out))
+            }
+          }(Encoders.row(outSchema))
+    }
   }
 }
