@@ -12,7 +12,12 @@ final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    /** Production-path variant for the bench: same query with codegen'd
+      * double arithmetic where `run` uses exact-decimal oracle math (what a
+      * user would actually execute). None → bench runs `run`.
+      */
+    benchRun: Option[(SparkSession, String) => DataFrame] = None)
 
 /** Cross-engine determinism helpers.
   *
