@@ -71,6 +71,22 @@ object TickOps {
     dedupKeepLast(tagged, keys, Seq(col("__src"))).drop("__src")
   }
 
+  /** S4 — columnar→row projection
+    * (reference: fetch_historical_trades_nvda.py:155-160): the wire response
+    * arrives as parallel arrays (epoch-ms times `t`, prices `p`, volumes `v`)
+    * per symbol batch; zip + explode + cast projects tick rows. A null array
+    * slot becomes a null field (the reference's missing-index guard), caught
+    * downstream by P1.
+    */
+  def fromColumnarBatches(batches: DataFrame): DataFrame =
+    batches
+      .select(col("symbol"), explode(arrays_zip(col("t"), col("p"), col("v"))).as("z"))
+      .select(
+        col("symbol"),
+        timestamp_millis(col("z.t")).as("timestamp"),
+        col("z.p").cast("double").as("price"),
+        col("z.v").cast("double").as("volume"))
+
   /** P6 — weekend filter: drop rows whose US/Eastern wall-clock day is
     * Saturday/Sunday (reference: is_weekend
     * fetch_historical_trades_nvda.py:97-99, applied per fetch date :333-335).

@@ -155,10 +155,287 @@ object QueriesH {
        |  COALESCE(atr, 0.0) AS atr
        |FROM rec""".stripMargin
 
+  // ---------------------------------------------------------------- h1_adx
+
+  private def h1Adx(s: SparkSession, dir: String): DataFrame =
+    IndicatorPass.withIndicators(candles(s, dir)).select(
+      col("symbol"), tsMicros(col("timestamp")).as("ts"),
+      col("adx"), col("di_pos"), col("di_neg"))
+
+  /** Shared recursion preamble: trimmed candle CTEs + per-symbol row
+    * numbering.
+    */
+  private val recPreamble =
+    """WITH RECURSIVE ticks AS MATERIALIZED (
+      |  SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price
+      |  FROM events),
+      |candles AS MATERIALIZED (
+      |  SELECT symbol, min(tstamp) AS tstamp, max(price) AS high,
+      |    min(price) AS low, arg_max(price, tstamp) AS close
+      |  FROM ticks GROUP BY symbol, date_trunc('second', tstamp)),
+      |base AS MATERIALIZED (
+      |  SELECT symbol, tstamp, high, low, close,
+      |    row_number() OVER (PARTITION BY symbol ORDER BY tstamp) AS rn
+      |  FROM candles),""".stripMargin
+
+  /** Wilder ADX/±DI(14) state machine mirroring Ta.Adx: raw DM/TR
+    * accumulation over rows 2..14, the Wilder transition
+    * `s - s/14 + v` from row 15, DX-mean ADX seed at the 14th DX, zero-TR
+    * rows pin DI to 0 and freeze the DX counters. Tie bars (diffP = diffM)
+    * count for neither side; the layered subqueries order sm→di→dx exactly
+    * like the kernel's statement sequence.
+    */
+  private val h1AdxSql =
+    s"""$recPreamble
+       |rec AS (
+       |  SELECT symbol, rn, tstamp, high AS ph, low AS pl, close AS pc,
+       |    CAST(0.0 AS DOUBLE) AS sm_plus, CAST(0.0 AS DOUBLE) AS sm_minus,
+       |    CAST(0.0 AS DOUBLE) AS sm_tr, CAST(0.0 AS DOUBLE) AS dx_sum,
+       |    0 AS dx_n, CAST(NULL AS DOUBLE) AS adx,
+       |    CAST(NULL AS DOUBLE) AS di_plus, CAST(NULL AS DOUBLE) AS di_minus
+       |  FROM base WHERE rn = 1
+       |  UNION ALL
+       |  SELECT symbol, rn, tstamp, h, l, c,
+       |    sm_plus2, sm_minus2, sm_tr2,
+       |    CASE WHEN rn >= 15 AND sm_tr2 <> 0 AND dx_n < 14 THEN dx_sum + dxt ELSE dx_sum END,
+       |    CASE WHEN rn >= 15 AND sm_tr2 <> 0 AND dx_n < 14 THEN dx_n + 1 ELSE dx_n END,
+       |    CASE WHEN rn >= 15 AND sm_tr2 <> 0 THEN
+       |           CASE WHEN dx_n < 14 THEN (CASE WHEN dx_n + 1 = 14 THEN (dx_sum + dxt) / 14.0 ELSE adx END)
+       |                WHEN s2 <> 0 THEN ((adx * 13.0) + dxt) / 14.0
+       |                ELSE adx END
+       |         ELSE adx END,
+       |    di_plus2, di_minus2
+       |  FROM (
+       |    SELECT *, CASE WHEN s2 <> 0 THEN 100.0 * (ABS(di_plus2 - di_minus2) / s2) ELSE 0.0 END AS dxt
+       |    FROM (
+       |      SELECT *, di_plus2 + di_minus2 AS s2
+       |      FROM (
+       |        SELECT *,
+       |          CASE WHEN rn < 15 THEN CAST(NULL AS DOUBLE)
+       |               WHEN sm_tr2 <> 0 THEN 100.0 * (sm_plus2 / sm_tr2) ELSE 0.0 END AS di_plus2,
+       |          CASE WHEN rn < 15 THEN CAST(NULL AS DOUBLE)
+       |               WHEN sm_tr2 <> 0 THEN 100.0 * (sm_minus2 / sm_tr2) ELSE 0.0 END AS di_minus2
+       |        FROM (
+       |          SELECT r.symbol AS symbol, b.rn AS rn, b.tstamp AS tstamp,
+       |            b.high AS h, b.low AS l, b.close AS c,
+       |            r.dx_sum AS dx_sum, r.dx_n AS dx_n, r.adx AS adx,
+       |            CASE WHEN b.rn <= 14 THEN r.sm_plus +
+       |                   (CASE WHEN b.high - r.ph > 0 AND b.high - r.ph > r.pl - b.low THEN b.high - r.ph ELSE 0 END)
+       |                 ELSE (r.sm_plus - r.sm_plus / 14) +
+       |                   (CASE WHEN b.high - r.ph > 0 AND b.high - r.ph > r.pl - b.low THEN b.high - r.ph ELSE 0 END) END AS sm_plus2,
+       |            CASE WHEN b.rn <= 14 THEN r.sm_minus +
+       |                   (CASE WHEN r.pl - b.low > 0 AND b.high - r.ph < r.pl - b.low THEN r.pl - b.low ELSE 0 END)
+       |                 ELSE (r.sm_minus - r.sm_minus / 14) +
+       |                   (CASE WHEN r.pl - b.low > 0 AND b.high - r.ph < r.pl - b.low THEN r.pl - b.low ELSE 0 END) END AS sm_minus2,
+       |            CASE WHEN b.rn <= 14 THEN r.sm_tr + GREATEST(b.high - b.low, ABS(b.high - r.pc), ABS(b.low - r.pc))
+       |                 ELSE (r.sm_tr - r.sm_tr / 14) + GREATEST(b.high - b.low, ABS(b.high - r.pc), ABS(b.low - r.pc)) END AS sm_tr2
+       |          FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1)))))
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
+       |  COALESCE(adx, 0.0) AS adx,
+       |  COALESCE(di_plus, 0.0) AS di_pos,
+       |  COALESCE(di_minus, 0.0) AS di_neg
+       |FROM rec""".stripMargin
+
+  // ---------------------------------------------------------------- h1_t3
+
+  private def h1T3(s: SparkSession, dir: String): DataFrame =
+    IndicatorPass.withIndicators(candles(s, dir)).select(
+      col("symbol"), tsMicros(col("timestamp")).as("ts"), col("t3"))
+
+  /** T3(60, 0.7) mirroring Ta.T3: e1 seeds as the SMA of rows 1-60, each
+    * deeper EMA seeds as the mean of the previous stage's seed + next 59
+    * outputs (seed rows 119/178/237/296/355 — phase is a pure function of
+    * rn), steady-state from row 355 with the `k·x + (1−k)·e` float form.
+    * Every 0.7 is cast to DOUBLE: DuckDB would otherwise fold the GD
+    * coefficients in exact decimal (−0.343) where the JVM has
+    * −0.3429999999999999. NaN→close fill matches IndicatorPass.
+    */
+  private val h1T3Sql = {
+    val k = "(2.0 / 61.0)"
+    val omk = "(1.0 - 2.0 / 61.0)"
+    val v = "0.7::DOUBLE"
+    s"""$recPreamble
+       |rec AS (
+       |  SELECT symbol, rn, tstamp, close, close AS temp_sum,
+       |    CAST(NULL AS DOUBLE) AS e1, CAST(NULL AS DOUBLE) AS e2,
+       |    CAST(NULL AS DOUBLE) AS e3, CAST(NULL AS DOUBLE) AS e4,
+       |    CAST(NULL AS DOUBLE) AS e5, CAST(NULL AS DOUBLE) AS e6
+       |  FROM base WHERE rn = 1
+       |  UNION ALL
+       |  SELECT symbol, rn, tstamp, c,
+       |    CASE WHEN rn < 60 THEN temp_sum + c
+       |         WHEN rn = 60 THEN e1n
+       |         WHEN rn < 119 THEN temp_sum + e1n
+       |         WHEN rn = 119 THEN e2n
+       |         WHEN rn < 178 THEN temp_sum + e2n
+       |         WHEN rn = 178 THEN e3n
+       |         WHEN rn < 237 THEN temp_sum + e3n
+       |         WHEN rn = 237 THEN e4n
+       |         WHEN rn < 296 THEN temp_sum + e4n
+       |         WHEN rn = 296 THEN e5n
+       |         WHEN rn < 355 THEN temp_sum + e5n
+       |         WHEN rn = 355 THEN e6n
+       |         ELSE temp_sum END,
+       |    e1n, e2n, e3n, e4n, e5n, e6n
+       |  FROM (
+       |    SELECT r.symbol AS symbol, b.rn AS rn, b.tstamp AS tstamp,
+       |      b.close AS c, r.temp_sum AS temp_sum,
+       |      CASE WHEN b.rn < 60 THEN CAST(NULL AS DOUBLE)
+       |           WHEN b.rn = 60 THEN (r.temp_sum + b.close) / 60.0
+       |           ELSE ($k * b.close) + ($omk * r.e1) END AS e1n,
+       |      r.e2 AS e2_old, r.e3 AS e3_old, r.e4 AS e4_old,
+       |      r.e5 AS e5_old, r.e6 AS e6_old
+       |    FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+       |  ) q0
+       |  , LATERAL (SELECT CASE WHEN q0.rn < 119 THEN CAST(NULL AS DOUBLE)
+       |      WHEN q0.rn = 119 THEN (q0.temp_sum + q0.e1n) / 60.0
+       |      ELSE ($k * q0.e1n) + ($omk * q0.e2_old) END AS e2n) l2
+       |  , LATERAL (SELECT CASE WHEN q0.rn < 178 THEN CAST(NULL AS DOUBLE)
+       |      WHEN q0.rn = 178 THEN (q0.temp_sum + l2.e2n) / 60.0
+       |      ELSE ($k * l2.e2n) + ($omk * q0.e3_old) END AS e3n) l3
+       |  , LATERAL (SELECT CASE WHEN q0.rn < 237 THEN CAST(NULL AS DOUBLE)
+       |      WHEN q0.rn = 237 THEN (q0.temp_sum + l3.e3n) / 60.0
+       |      ELSE ($k * l3.e3n) + ($omk * q0.e4_old) END AS e4n) l4
+       |  , LATERAL (SELECT CASE WHEN q0.rn < 296 THEN CAST(NULL AS DOUBLE)
+       |      WHEN q0.rn = 296 THEN (q0.temp_sum + l4.e4n) / 60.0
+       |      ELSE ($k * l4.e4n) + ($omk * q0.e5_old) END AS e5n) l5
+       |  , LATERAL (SELECT CASE WHEN q0.rn < 355 THEN CAST(NULL AS DOUBLE)
+       |      WHEN q0.rn = 355 THEN (q0.temp_sum + l5.e5n) / 60.0
+       |      ELSE ($k * l5.e5n) + ($omk * q0.e6_old) END AS e6n) l6
+       |)
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
+       |  CASE WHEN rn >= 355 THEN
+       |    (-($v*$v*$v)) * e6
+       |    + (3.0::DOUBLE*($v*$v) + 3.0::DOUBLE*($v*$v*$v)) * e5
+       |    + (-6.0::DOUBLE*($v*$v) - 3.0::DOUBLE*$v - 3.0::DOUBLE*($v*$v*$v)) * e4
+       |    + (1.0::DOUBLE + 3.0::DOUBLE*$v + ($v*$v*$v) + 3.0::DOUBLE*($v*$v)) * e3
+       |  ELSE close END AS t3
+       |FROM rec""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- h1_sar
+
+  private def h1Sar(s: SparkSession, dir: String): DataFrame =
+    IndicatorPass.withIndicators(candles(s, dir)).select(
+      col("symbol"), tsMicros(col("timestamp")).as("ts"), col("psar"))
+
+  /** Parabolic SAR(0.02, 0.2) mirroring Ta.Sar: row-2 direction from the
+    * one-period −DM of the first two bars, the reversal/advance/clamp
+    * sequence flattened into layered CASEs (out = the pre-advance SAR the
+    * kernel emits), prior-two-bars clamping by the NEW direction. NaN→close
+    * fill on row 1.
+    */
+  private val h1SarSql =
+    s"""$recPreamble
+       |rec AS (
+       |  SELECT symbol, rn, tstamp, high AS prev_high, low AS prev_low, close,
+       |    TRUE AS il, CAST(0.02 AS DOUBLE) AS af, CAST(NULL AS DOUBLE) AS ep,
+       |    CAST(NULL AS DOUBLE) AS sar, CAST(NULL AS DOUBLE) AS psar_out
+       |  FROM base WHERE rn = 1
+       |  UNION ALL
+       |  SELECT symbol, rn, tstamp, h, l, c,
+       |    il1, af1, ep1,
+       |    CASE WHEN il1 THEN LEAST(LEAST(out + af1 * (ep1 - out), pL), l)
+       |         ELSE GREATEST(GREATEST(out + af1 * (ep1 - out), pH), h) END,
+       |    out
+       |  FROM (
+       |    SELECT *,
+       |      CASE WHEN rev THEN NOT il0 ELSE il0 END AS il1,
+       |      CASE WHEN rev THEN (CASE WHEN il0 THEN GREATEST(GREATEST(ep0, pH), h)
+       |                               ELSE LEAST(LEAST(ep0, pL), l) END)
+       |           ELSE sar0 END AS out,
+       |      CASE WHEN rev THEN 0.02::DOUBLE
+       |           ELSE CASE WHEN il0 AND h > ep0 THEN LEAST(af0 + 0.02::DOUBLE, 0.2::DOUBLE)
+       |                     WHEN NOT il0 AND l < ep0 THEN LEAST(af0 + 0.02::DOUBLE, 0.2::DOUBLE)
+       |                     ELSE af0 END END AS af1,
+       |      CASE WHEN rev THEN (CASE WHEN il0 THEN l ELSE h END)
+       |           ELSE CASE WHEN il0 AND h > ep0 THEN h
+       |                     WHEN NOT il0 AND l < ep0 THEN l
+       |                     ELSE ep0 END END AS ep1
+       |    FROM (
+       |      SELECT *, CASE WHEN il0 THEN l <= sar0 ELSE h >= sar0 END AS rev
+       |      FROM (
+       |        SELECT b.symbol AS symbol, b.rn AS rn, b.tstamp AS tstamp,
+       |          b.high AS h, b.low AS l, b.close AS c,
+       |          r.prev_high AS pH, r.prev_low AS pL,
+       |          CASE WHEN b.rn = 2 THEN NOT (r.prev_low - b.low > 0 AND b.high - r.prev_high < r.prev_low - b.low)
+       |               ELSE r.il END AS il0,
+       |          CASE WHEN b.rn = 2 THEN 0.02::DOUBLE ELSE r.af END AS af0,
+       |          CASE WHEN b.rn = 2 THEN (CASE WHEN NOT (r.prev_low - b.low > 0 AND b.high - r.prev_high < r.prev_low - b.low) THEN b.high ELSE b.low END)
+       |               ELSE r.ep END AS ep0,
+       |          CASE WHEN b.rn = 2 THEN (CASE WHEN NOT (r.prev_low - b.low > 0 AND b.high - r.prev_high < r.prev_low - b.low) THEN r.prev_low ELSE r.prev_high END)
+       |               ELSE r.sar END AS sar0
+       |        FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1))))
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
+       |  COALESCE(psar_out, close) AS psar
+       |FROM rec""".stripMargin
+
+  // ---------------------------------------------------------------- h2 sample
+
+  private val samplePatterns =
+    Seq("CDLDOJI", "CDLMARUBOZU", "CDLSHORTLINE", "CDLLONGLINE", "CDLENGULFING")
+
+  private def h2Sample(s: SparkSession, dir: String): DataFrame =
+    IndicatorPass.withIndicators(candles(s, dir), patterns = true).select(
+      (col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+        samplePatterns.map(col)): _*)
+
+  /** Window-SQL oracle for five representative CDL kernels — covering all
+    * three TA-Lib range types (RealBody, HighLow, Shadows), factor scaling,
+    * the strictly-before trailing averages (explicit newest-first lag chains
+    * replaying TA_CANDLEAVERAGE's exact add order), ±100 color outputs, the
+    * lookback zero-fill, and a pure-geometry two-candle pattern
+    * (ENGULFING). The other 54 kernels share exactly this machinery
+    * ([[graft.calc.ta.Patterns.State]]) with more clauses.
+    */
+  private val h2SampleSql = {
+    def chain(expr: String, n: Int) =
+      (1 to n).map(k => s"lag($expr, $k) OVER w").mkString(" + ")
+    s"""${QueriesDomain.withCandles},
+       |g AS (
+       |  SELECT symbol, tstamp, open, high, low, close,
+       |    ABS(close - open) AS body,
+       |    high - GREATEST(close, open) AS up,
+       |    LEAST(close, open) - low AS lo,
+       |    CASE WHEN close >= open THEN 1 ELSE -1 END AS color,
+       |    row_number() OVER w AS rn,
+       |    ${chain("ABS(close - open)", 10)} AS sum_body_10,
+       |    ${chain("high - low", 10)} AS sum_hl_10,
+       |    ${chain("(high - GREATEST(close, open)) + (LEAST(close, open) - low)", 10)} AS sum_sh_10,
+       |    lag(CASE WHEN close >= open THEN 1 ELSE -1 END) OVER w AS pcolor,
+       |    lag(open) OVER w AS popen, lag(close) OVER w AS pclose
+       |  FROM candles
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY tstamp)),
+       |t AS (
+       |  SELECT *,
+       |    0.1::DOUBLE * (sum_hl_10 / 10.0) AS thr_hl01,
+       |    (sum_body_10 / 10.0) AS thr_body,
+       |    (sum_sh_10 / 10.0) / 2.0 AS thr_sh
+       |  FROM g)
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
+       |  CASE WHEN rn > 10 AND body <= thr_hl01 THEN 100 ELSE 0 END AS CDLDOJI,
+       |  CASE WHEN rn > 10 AND body > thr_body AND up < thr_hl01 AND lo < thr_hl01
+       |    THEN color * 100 ELSE 0 END AS CDLMARUBOZU,
+       |  CASE WHEN rn > 10 AND body < thr_body AND up < thr_sh AND lo < thr_sh
+       |    THEN color * 100 ELSE 0 END AS CDLSHORTLINE,
+       |  CASE WHEN rn > 10 AND body > thr_body AND up < thr_sh AND lo < thr_sh
+       |    THEN color * 100 ELSE 0 END AS CDLLONGLINE,
+       |  CASE WHEN rn > 2 AND color = 1 AND pcolor = -1 AND close >= popen AND open <= pclose
+       |            AND (close > popen OR open < pclose) THEN 100
+       |       WHEN rn > 2 AND color = -1 AND pcolor = 1 AND open >= pclose AND close <= popen
+       |            AND (open > pclose OR close < popen) THEN -100
+       |       ELSE 0 END AS CDLENGULFING
+       |FROM t""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
     Q("h1_derived", h1Derived, Some(h1DerivedSql)),
-    Q("h1_recurrences", h1Recurrences, Some(h1RecurrencesSql))
+    Q("h1_recurrences", h1Recurrences, Some(h1RecurrencesSql)),
+    Q("h1_adx", h1Adx, Some(h1AdxSql)),
+    Q("h1_t3", h1T3, Some(h1T3Sql)),
+    Q("h1_sar", h1Sar, Some(h1SarSql)),
+    Q("h2_patterns_sample", h2Sample, Some(h2SampleSql))
   )
 }

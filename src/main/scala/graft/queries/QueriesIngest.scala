@@ -129,11 +129,86 @@ object QueriesIngest {
        |SELECT reject_reason, COUNT(*) AS n, CAST(SUM(seq) AS BIGINT) AS sum_seq
        |FROM lab GROUP BY reject_reason""".stripMargin
 
+  // ---------------------------------------------------------------- S4
+
+  /** S4 — columnar→row projection round-trip: ticks columnarized into
+    * per-(symbol, minute) parallel arrays (the wire shape,
+    * fetch_historical_trades_nvda.py:155-160), projected back to rows via
+    * arrays_zip + explode, then audited. The oracle computes the same audit
+    * straight off the flat ticks: equality proves the projection is
+    * content-preserving.
+    */
+  private def s4(s: SparkSession, dir: String): DataFrame = {
+    val t = ticks(s, dir)
+    val batches = t
+      .withColumn("minute", date_trunc("minute", col("timestamp")))
+      .groupBy(col("symbol"), col("minute"))
+      .agg(sort_array(collect_list(struct(
+        unix_millis(col("timestamp")).as("t"),
+        col("price").as("p"), col("volume").as("v")))).as("rows"))
+      .select(col("symbol"),
+        col("rows.t").as("t"), col("rows.p").as("p"), col("rows.v").as("v"))
+    TickOps.fromColumnarBatches(batches)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("price"), 4).as("sum_price"),
+        dsum(col("volume"), 4).as("sum_volume"),
+        min(tsSec(col("timestamp"))).as("min_ts"),
+        max(tsSec(col("timestamp"))).as("max_ts"))
+  }
+
+  /** The wire carries epoch-MILLIS (the reference divides by 1000 —
+    * fetch_historical_trades_nvda.py:157), so the round-trip truncates µs →
+    * ms; the oracle mirrors with epoch_ms, and min/max compare at second
+    * precision (unaffected by the truncation).
+    */
+  private val s4Sql =
+    s"""$withTicks
+       |SELECT symbol, COUNT(*) AS n,
+       |  CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+       |  CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS sum_volume,
+       |  strftime(MIN(tstamp), '%Y-%m-%d %H:%M:%S') AS min_ts,
+       |  strftime(MAX(tstamp), '%Y-%m-%d %H:%M:%S') AS max_ts
+       |FROM ticks GROUP BY symbol""".stripMargin
+
+  // ---------------------------------------------------------------- P4
+
+  /** P4 — the stage-2 abort-check: same rules as P3 but unconditional
+    * `number_of_trades <= 0` (aggregator_candles.py:139-163). Violations are
+    * counted, not diverted — the reference returns False and aborts the
+    * symbol.
+    */
+  private def p4(s: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("timestamp"))
+    val c = QueriesDomain.candles(s, dir)
+      .withColumn("high", when(us % 31 === 0, col("low") - 1).otherwise(col("high")))
+      .withColumn("number_of_trades", when(us % 37 === 0, lit(0L)).otherwise(col("number_of_trades")))
+    val viol = graft.operators.CandleAggregator.invariantViolations(c)
+    c.agg(count(lit(1)).as("n_candles")).crossJoin(
+      viol.agg(count(lit(1)).as("n_violations")))
+  }
+
+  private val p4Sql =
+    s"""${QueriesDomain.withCandles}, c AS (
+       |  SELECT
+       |    CASE WHEN epoch_us(tstamp) % 31 = 0 THEN low - 1 ELSE high END AS high,
+       |    low, open, close, volume,
+       |    CASE WHEN epoch_us(tstamp) % 37 = 0 THEN 0 ELSE number_of_trades END AS number_of_trades
+       |  FROM candles)
+       |SELECT (SELECT COUNT(*) FROM c) AS n_candles,
+       |  (SELECT COUNT(*) FROM c
+       |   WHERE open IS NULL OR high IS NULL OR low IS NULL OR close IS NULL
+       |      OR volume IS NULL OR number_of_trades IS NULL
+       |      OR high < low OR open <= 0 OR close <= 0
+       |      OR volume < 0 OR number_of_trades <= 0) AS n_violations""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
     Q("p6_weekday_filter", p6, Some(p6Sql)),
     Q("s5_csv_ingest", s5, Some(s5Sql)),
-    Q("a3_sink_roundtrip", a3, Some(a3Sql))
+    Q("a3_sink_roundtrip", a3, Some(a3Sql)),
+    Q("s4_columnar_roundtrip", s4, Some(s4Sql)),
+    Q("p4_invariant_check", p4, Some(p4Sql))
   )
 }
