@@ -203,6 +203,28 @@ object MinHash {
           / lit(numPerms.toDouble)).as("est_jaccard"))
   }
 
+  /** Exact n-gram Jaccard verification on candidate pairs: the true
+    * |A∩B|/|A∪B| over the (distinct) shingle-hash sets, attached to each
+    * candidate pair. Only docs that appear in a pair get re-shingled (a
+    * semi-join keeps the verify stage proportional to candidates, not to
+    * corpus size) — the classic LSH-then-verify shape at 100 TB.
+    */
+  def withExactJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val ids = pairs.select(col("id_a").as("__jid"))
+      .union(pairs.select(col("id_b").as("__jid"))).distinct()
+    val hs = docs.join(ids, docs(idCol) === ids("__jid"), "left_semi")
+      .select(col(idCol).as("__jid"),
+        array_distinct(shingleHashes(shingles(col(textCol)))).as("__hs"))
+    pairs
+      .join(hs.select(col("__jid").as("id_a"), col("__hs").as("__hs_a")), "id_a")
+      .join(hs.select(col("__jid").as("id_b"), col("__hs").as("__hs_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("__hs_a"), col("__hs_b"))).cast("double") /
+          size(array_union(col("__hs_a"), col("__hs_b"))))
+      .drop("__hs_a", "__hs_b")
+  }
+
   /** Fuzzy dedup: docs whose estimated Jaccard with a smaller-id candidate
     * exceeds `threshold` are dropped; returns the survivors.
     */

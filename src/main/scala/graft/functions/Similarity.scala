@@ -44,6 +44,26 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Exact cosine near-duplicate pairs: id_a < id_b with rounded cosine ≥
+    * threshold. All-pairs — the declared exact baseline, quadratic by
+    * definition; the scale path buckets with [[lshTopK]]'s
+    * sign-random-projection tables first and verifies only within buckets.
+    */
+  def nearDupPairs(vectors: DataFrame, threshold: Double, roundTo: Int = 6): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("ea"), col("eb")), roundTo).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding near-dup dedup: drop the larger id of every near-dup pair. */
+  def dedupByCosine(vectors: DataFrame, threshold: Double): DataFrame = {
+    val dups = nearDupPairs(vectors, threshold).select(col("id_b").as("__dup")).distinct()
+    vectors.join(dups, vectors("vec_id") === dups("__dup"), "left_anti")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * a value in [-1, 1) derived from xxhash64 — reproducible everywhere,
     * no driver-side randomness to ship.

@@ -39,8 +39,16 @@ object CandleAggregator {
     */
   private[graft] def candleAggs(ticks: DataFrame, priceCol: String,
                                 priceScale: Int, volumeScale: Int): Seq[Column] = {
-    val hasSeq = ticks.columns.contains("seq")
-    val ord = if (hasSeq) struct(col("timestamp"), col("seq")) else col("timestamp")
+    // The min_by/max_by ordering key MUST be a single primitive: a
+    // struct(ts, seq) key gives the aggregate a non-mutable buffer and
+    // Catalyst silently falls back to SortAggregate — a full sort of the
+    // tick table per aggregation, the difference between hash and sort-merge
+    // cost at 100 TB (PlanSpec pins the HashAggregate shape). A µs long is
+    // enough: the pipeline contract is G5 keep-last dedup upstream, so
+    // (symbol, timestamp) is unique exactly as in the reference, where
+    // candle aggregation always follows the dedup merge
+    // (aggregator_candles.py:104-136,319).
+    val ord = unix_micros(col("timestamp"))
     val p = col(priceCol)
     // Σp·v and Σv in decimal: double sums are shuffle-order-dependent; exact
     // decimal arithmetic makes candle VWAP bit-reproducible on any cluster

@@ -63,10 +63,14 @@ object QueriesLlm {
     val docs = Tables.documents(s, dir)
     val pairs = MinHash.candidatePairs(docs).cache()
     val survivors = MinHash.dedupFuzzyFromPairs(docs, pairs)
+    // LSH-then-verify: true n-gram Jaccard on the candidates only
+    val verified = MinHash.withExactJaccard(pairs, docs)
     docs.agg(count(lit(1)).as("n_docs")).crossJoin(
       survivors.agg(count(lit(1)).as("n_survivors"))).crossJoin(
       pairs.agg(count(lit(1)).as("n_candidate_pairs"),
-        sum(when(col("est_jaccard") >= 0.8, 1L).otherwise(0L)).as("n_dup_pairs")))
+        sum(when(col("est_jaccard") >= 0.8, 1L).otherwise(0L)).as("n_dup_pairs"))).crossJoin(
+      verified.agg(
+        sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_true_dup_pairs")))
   }
 
   /** SimHash near-dup pairs by Hamming distance (rows-only). maxDist = 7
@@ -153,6 +157,40 @@ object QueriesLlm {
        |FROM scored GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** Embedding-cosine near-dup dedup, oracle-checked: the testdata has no
+    * natural near-dups (max pairwise cosine ≈ 0.51), so both engines inject
+    * perturbed copies (vec_id % 50 == 0 → id+100000, elements scaled
+    * x·1.001 + 0.01 in double) and dedup at rounded cosine ≥ 0.99 — every
+    * injected copy must drop, every original survive.
+    */
+  private def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val injected = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001) + lit(0.01)).as("embedding"))
+    val base = e.unionByName(injected)
+    Similarity.dedupByCosine(base, threshold = 0.99)
+      .agg(count(lit(1)).as("n_survivors"), sum(col("vec_id")).as("sum_vec_id"))
+  }
+
+  private val embedNearDupSql =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000,
+      |    list_transform(embedding, x -> x::DOUBLE * 1.001::DOUBLE + 0.01::DOUBLE)
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+      |      (sqrt(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * a.e[i]))) *
+      |       sqrt(list_sum(list_transform(range(1, len(b.e) + 1), i -> b.e[i] * b.e[i])))), 6) AS cos
+      |  FROM base a, base b WHERE a.vec_id < b.vec_id),
+      |d AS (SELECT DISTINCT id_b FROM p WHERE cos >= 0.99)
+      |SELECT COUNT(*) AS n_survivors, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+      |FROM base WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.id_b = base.vec_id)""".stripMargin
+
   /** Winnowing fingerprint summary (rows-only; engine-specific hashes). */
   private def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -195,6 +233,7 @@ object QueriesLlm {
     Q("llm_cosine_topk", cosine, Some(cosineSql), headline = true),
     Q("llm_ann_recall", ann, None),
     Q("llm_quality_langid", quality, Some(qualitySql)),
+    Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("llm_fingerprints", fingerprints, None),
     Q("j3_asof_join", asof, Some(asofSql))
   )
