@@ -44,9 +44,15 @@ object AnchorSnapshots {
   val Triggers: Seq[(String, Int, Int)] =
     Seq(("daily_4am", 4, 0), ("daily_930", 9, 30), ("daily_4pm", 16, 0))
 
-  def anchoredVwapPoints(candles: DataFrame, timeframe: String = "1s",
-                         chunkDays: Int = 30, bufferSize: Int = 10000,
-                         chunkOriginUs: Long = 0L): DataFrame = {
+  /** The snapshot rows BEFORE the keep-last dedup — the full anchor × last
+    * row cross per (symbol, chunk). Exposed separately so the daily-anchor
+    * subset can be oracle-checked without the peak flags (which can steal a
+    * colliding anchor_timestamp in the dedup); the dedup itself is G5,
+    * oracle-verified on its own.
+    */
+  def snapshots(candles: DataFrame, timeframe: String = "1s",
+                chunkDays: Int = 30, bufferSize: Int = 10000,
+                chunkOriginUs: Long = 0L): DataFrame = {
     val chunkUs = chunkDays * 86400L * 1000000L
     val labeled = WindowCalcs.withDailyRunningExtremes(
       SessionLabels.withSessionLabels(candles))
@@ -118,14 +124,19 @@ object AnchorSnapshots {
 
     val anchors = (peakFrames ++ triggerFrames ++ extremeFrames).reduce(_ unionByName _)
 
-    val snapshots = anchors
+    anchors
       .join(lastRows, anchors("symbol") === lastRows("ls") && anchors("chunk") === lastRows("lc"))
       .select(
         col("symbol"), lit(timeframe).as("timeframe"), col("anchor_type"),
         col("anchor_timestamp"), col("anchor_idx"), col("price_at_anchor"),
         col("current_snapshot_timestamp"), col("current_idx"),
         lit(null).cast("double").as("anchored_vwap"))
+  }
 
+  def anchoredVwapPoints(candles: DataFrame, timeframe: String = "1s",
+                         chunkDays: Int = 30, bufferSize: Int = 10000,
+                         chunkOriginUs: Long = 0L): DataFrame = {
+    val snaps = snapshots(candles, timeframe, chunkDays, bufferSize, chunkOriginUs)
     // Dedup ties: different anchor TYPES can share an anchor_timestamp (a
     // peak row that is also the daily high). The reference's keep-last then
     // depends on dict-insertion order — irreproducible — so we pin a
@@ -135,7 +146,7 @@ object AnchorSnapshots {
       .foldLeft(lit(-1)) { case (acc, (t, i)) =>
         when(col("anchor_type") === t, lit(i)).otherwise(acc)
       }
-    TickOps.dedupKeepLast(snapshots,
+    TickOps.dedupKeepLast(snaps,
       Seq("symbol", "timeframe", "anchor_timestamp"),
       Seq(col("current_snapshot_timestamp"), priority))
   }

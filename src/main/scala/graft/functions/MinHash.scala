@@ -116,30 +116,24 @@ object MinHash {
     }(Encoders.row(outSchema))
   }
 
-  private def signatureOf(text: String, as: Array[Long], bs: Array[Long],
-                          numPerms: Int, n: Int): Array[Long] = {
-    // Spark's trim strips 0x20 only; then lower; then Java-regex collapse —
-    // the exact operator order of TextOps.normalized.
+  /** Spark's trim strips 0x20 only; then lower; then Java-regex collapse —
+    * the exact operator order of TextOps.normalized — then the space split.
+    */
+  private def normTokens(text: String): Array[String] = {
     var b0 = 0
     var e0 = text.length
     while (b0 < e0 && text.charAt(b0) == ' ') b0 += 1
     while (e0 > b0 && text.charAt(e0 - 1) == ' ') e0 -= 1
-    val norm = text.substring(b0, e0).toLowerCase.replaceAll("\\s+", " ")
-    val tokens = norm.split(" ", -1)
-    val acc = Array.fill(numPerms)(Long.MaxValue)
+    text.substring(b0, e0).toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+  }
 
-    def fold(shingle: String): Unit = {
+  /** Applies `f` to the reduced xxhash64 of every word n-gram shingle. */
+  private def foreachShingleHash(tokens: Array[String], n: Int)(f: Long => Unit): Unit = {
+    def hashOf(shingle: String): Long = {
       val raw = XxHash64Function.hash(UTF8String.fromString(shingle), StringType, 42L)
-      val h = ((raw % Prime) + Prime) % Prime
-      var p = 0
-      while (p < numPerms) {
-        val v = (as(p) * h + bs(p)) % Prime
-        if (v < acc(p)) acc(p) = v
-        p += 1
-      }
+      ((raw % Prime) + Prime) % Prime
     }
-
-    if (tokens.length <= n) fold(tokens.mkString(" "))
+    if (tokens.length <= n) f(hashOf(tokens.mkString(" ")))
     else {
       var i = 0
       val sb = new java.lang.StringBuilder
@@ -151,11 +145,46 @@ object MinHash {
           sb.append(tokens(i + j))
           j += 1
         }
-        fold(sb.toString)
+        f(hashOf(sb.toString))
         i += 1
       }
     }
+  }
+
+  private def signatureOf(text: String, as: Array[Long], bs: Array[Long],
+                          numPerms: Int, n: Int): Array[Long] = {
+    val acc = Array.fill(numPerms)(Long.MaxValue)
+    foreachShingleHash(normTokens(text), n) { h =>
+      var p = 0
+      while (p < numPerms) {
+        val v = (as(p) * h + bs(p)) % Prime
+        if (v < acc(p)) acc(p) = v
+        p += 1
+      }
+    }
     acc
+  }
+
+  /** Distinct shingle-hash set per doc, as a kernel — the verify-stage input
+    * for exact Jaccard (value-identical to
+    * array_distinct(shingleHashes(shingles(text)))).
+    */
+  def withShingleHashSets(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val in = docs.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val outSchema = StructType(Seq(
+      in.schema.head, StructField("hs", ArrayType(LongType, containsNull = false))))
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val set = new java.util.LinkedHashSet[java.lang.Long]()
+        foreachShingleHash(normTokens(r.getString(1)), n)(h => set.add(h))
+        val arr = new Array[Long](set.size)
+        val it = set.iterator()
+        var i = 0
+        while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        Row(r.get(0), arr)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** (band, bandHash) rows for LSH bucketing: murmur3 of each signature
@@ -213,9 +242,9 @@ object MinHash {
                        idCol: String = "doc_id"): DataFrame = {
     val ids = pairs.select(col("id_a").as("__jid"))
       .union(pairs.select(col("id_b").as("__jid"))).distinct()
-    val hs = docs.join(ids, docs(idCol) === ids("__jid"), "left_semi")
-      .select(col(idCol).as("__jid"),
-        array_distinct(shingleHashes(shingles(col(textCol)))).as("__hs"))
+    val hs = withShingleHashSets(
+      docs.join(ids, docs(idCol) === ids("__jid"), "left_semi"), textCol, idCol)
+      .select(col("id").as("__jid"), col("hs").as("__hs"))
     pairs
       .join(hs.select(col("__jid").as("id_a"), col("__hs").as("__hs_a")), "id_a")
       .join(hs.select(col("__jid").as("id_b"), col("__hs").as("__hs_b")), "id_b")

@@ -515,6 +515,83 @@ object QueriesDomain {
       .withColumn("anchor_timestamp", tsMicros(col("anchor_timestamp")))
       .withColumn("current_snapshot_timestamp", tsMicros(col("current_snapshot_timestamp")))
 
+  /** W14 daily subset, oracle-checked: the pre-dedup snapshot rows for the
+    * daily trigger + extreme anchors — chunking, the buffer-rebased cidx
+    * arithmetic, day-first trigger selection, last-new-extreme selection and
+    * the anchor × chunk-last-row cross all replicated in window SQL. Peak
+    * anchors are excluded (find_peaks is not SQL-expressible) and the final
+    * keep-last dedup is covered by g5's own oracle.
+    */
+  private def w14d(s: SparkSession, dir: String): DataFrame =
+    AnchorSnapshots.snapshots(candles(s, dir))
+      .filter(col("anchor_type").startsWith("daily"))
+      .select(col("symbol"), col("anchor_type"),
+        tsMicros(col("anchor_timestamp")).as("anchor_ts"), col("anchor_idx"),
+        col("price_at_anchor"),
+        tsMicros(col("current_snapshot_timestamp")).as("snapshot_ts"), col("current_idx"))
+
+  private val w14dSql =
+    s"""$withCandles,
+       |loc AS (
+       |  SELECT symbol, tstamp, high, low, close,
+       |    CAST(timezone('America/New_York', timezone('UTC', tstamp)) AS DATE) AS ld,
+       |    hour(timezone('America/New_York', timezone('UTC', tstamp))) AS h,
+       |    minute(timezone('America/New_York', timezone('UTC', tstamp))) AS mi,
+       |    epoch_us(tstamp) // 2592000000000 AS chunk
+       |  FROM candles),
+       |cnts AS (SELECT symbol, chunk, COUNT(*) AS cnt FROM loc GROUP BY 1, 2),
+       |pri AS (
+       |  SELECT symbol AS ps, chunk AS pc,
+       |    COALESCE(SUM(cnt) OVER (PARTITION BY symbol ORDER BY chunk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_rows
+       |  FROM cnts),
+       |r1 AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY symbol, chunk ORDER BY tstamp) AS crn,
+       |    COUNT(*) OVER (PARTITION BY symbol, chunk) AS chunk_cnt,
+       |    MAX(ld) OVER (PARTITION BY symbol, chunk) AS last_date,
+       |    MAX(high) OVER (PARTITION BY symbol, ld ORDER BY tstamp
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rh,
+       |    MIN(low) OVER (PARTITION BY symbol, ld ORDER BY tstamp
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rl
+       |  FROM loc),
+       |r2 AS (
+       |  SELECT r1.*, p.prior_rows,
+       |    crn - 1 + LEAST(p.prior_rows, 10000) AS cidx,
+       |    CASE WHEN high > lag(rh) OVER (PARTITION BY symbol, ld ORDER BY tstamp)
+       |      THEN 1 ELSE 0 END AS inh,
+       |    CASE WHEN low < lag(rl) OVER (PARTITION BY symbol, ld ORDER BY tstamp)
+       |      THEN 1 ELSE 0 END AS inl
+       |  FROM r1 JOIN pri p ON r1.symbol = p.ps AND r1.chunk = p.pc),
+       |last_rows AS (
+       |  SELECT symbol AS lsym, chunk AS lchunk, tstamp AS snap_ts,
+       |    cidx AS current_idx
+       |  FROM r2 WHERE crn = chunk_cnt),
+       |trig AS (
+       |  SELECT symbol, chunk, anchor_type, tstamp, cidx, close AS price_at_anchor
+       |  FROM (
+       |    SELECT *, CASE WHEN h = 4 AND mi = 0 THEN 'daily_4am'
+       |                   WHEN h = 9 AND mi = 30 THEN 'daily_930'
+       |                   WHEN h = 16 AND mi = 0 THEN 'daily_4pm' END AS anchor_type
+       |    FROM r2) x
+       |  WHERE anchor_type IS NOT NULL
+       |  QUALIFY row_number() OVER (PARTITION BY symbol, ld, anchor_type ORDER BY tstamp) = 1
+       |    AND ld = last_date),
+       |ext AS (
+       |  SELECT symbol, chunk, 'daily_high' AS anchor_type, tstamp, cidx,
+       |    high AS price_at_anchor
+       |  FROM r2 WHERE inh = 1 AND ld = last_date
+       |  QUALIFY row_number() OVER (PARTITION BY symbol, chunk ORDER BY tstamp DESC) = 1
+       |  UNION ALL
+       |  SELECT symbol, chunk, 'daily_low', tstamp, cidx, low
+       |  FROM r2 WHERE inl = 1 AND ld = last_date
+       |  QUALIFY row_number() OVER (PARTITION BY symbol, chunk ORDER BY tstamp DESC) = 1)
+       |SELECT a.symbol, a.anchor_type, strftime(a.tstamp, '$fmt') AS anchor_ts,
+       |  a.cidx AS anchor_idx, a.price_at_anchor,
+       |  strftime(l.snap_ts, '$fmt') AS snapshot_ts, l.current_idx
+       |FROM (SELECT * FROM trig UNION ALL SELECT * FROM ext) a
+       |JOIN last_rows l ON a.symbol = l.lsym AND a.chunk = l.lchunk""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
@@ -538,6 +615,7 @@ object QueriesDomain {
     Q("h1_indicator_pass", h1, None, headline = true),
     Q("h2_patterns", h2, None, headline = true),
     Q("w11_peak_flags", w11, None),
-    Q("w14_anchor_points", w14, None)
+    Q("w14_anchor_points", w14, None),
+    Q("w14_daily_snapshots", w14d, Some(w14dSql))
   )
 }

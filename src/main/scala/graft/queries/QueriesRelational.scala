@@ -33,6 +33,24 @@ object QueriesRelational {
         count(lit(1)).as("count_order"))
   }
 
+  /** Production-path q01: plain double sums (what a user writes; the decimal
+    * forms above exist for bit-exact oracle parity only).
+    */
+  private def q01Bench(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(rev).as("sum_disc_price"),
+        sum(rev * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+  }
+
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -48,19 +66,22 @@ object QueriesRelational {
   /** Revenue per nation: 4-way join; region/nation broadcast (tiny dims),
     * customer⋈orders⋈lineitem shuffle-hash on keys.
     */
-  private def q02(s: SparkSession, dir: String): DataFrame = {
+  private def q02x(exact: Boolean)(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
+    val rev =
+      if (exact) sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double")
+      else sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(
-        sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"),
-        count(lit(1)).as("n_lines"))
+      .agg(rev.as("revenue"), count(lit(1)).as("n_lines"))
   }
+
+  private def q02(s: SparkSession, dir: String): DataFrame = q02x(exact = true)(s, dir)
 
   private val q02Sql =
     """SELECT n_name,
@@ -129,14 +150,17 @@ object QueriesRelational {
   /** Running (unbounded-preceding) per-user sum — exact decimal window.
     * event_id is the deterministic tiebreaker for duplicate (user_id, ts).
     */
-  private def q06(s: SparkSession, dir: String): DataFrame = {
+  private def q06x(exact: Boolean)(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    e.select(
-      col("event_id"), col("user_id"),
-      sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"))
+    val running =
+      if (exact) sum(col("value").cast("decimal(18,2)")).over(w).cast("double")
+      else sum(col("value")).over(w)
+    e.select(col("event_id"), col("user_id"), running.as("running_value"))
   }
+
+  private def q06(s: SparkSession, dir: String): DataFrame = q06x(exact = true)(s, dir)
 
   private val q06Sql =
     """SELECT event_id, user_id,
@@ -211,12 +235,12 @@ object QueriesRelational {
       |) GROUP BY event_type""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
-    Q("q02_revenue_by_nation", q02, Some(q02Sql), headline = true),
+    Q("q01_pricing_summary", q01, Some(q01Sql), headline = true, benchRun = Some(q01Bench)),
+    Q("q02_revenue_by_nation", q02, Some(q02Sql), headline = true, benchRun = Some(q02x(exact = false))),
     Q("q03_top_orders", q03, Some(q03Sql)),
     Q("q04_segment_with_orders", q04, Some(q04Sql)),
     Q("q05_customers_no_orders", q05, Some(q05Sql)),
-    Q("q06_running_user_value", q06, Some(q06Sql), headline = true),
+    Q("q06_running_user_value", q06, Some(q06Sql), headline = true, benchRun = Some(q06x(exact = false))),
     Q("q07_rolling_avg_value", q07, Some(q07Sql)),
     Q("q08_lag_diff_value", q08, Some(q08Sql)),
     Q("q09_part_brand_stats", q09, Some(q09Sql)),
