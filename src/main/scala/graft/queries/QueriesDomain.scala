@@ -488,6 +488,7 @@ object QueriesDomain {
       IndicatorPass.indicatorFields.map(f => col(f.name))): _*)
   }
 
+
   /** W10/G7 — CDL candlestick patterns + candle_pattern_sum, fused into the
     * same single-shuffle pass as the H-family (candle_to_calcs.py:454-515).
     * Rows-only check (TA-Lib geometry is not DuckDB-expressible); shape
@@ -495,6 +496,20 @@ object QueriesDomain {
     */
   private def h2(s: SparkSession, dir: String): DataFrame = {
     val out = IndicatorPass.withIndicators(candles(s, dir), patterns = true)
+    out.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+      IndicatorPass.patternFields.map(f => col(f.name))): _*)
+  }
+
+  /** Bench variant: the warm-up-overlap bucketed pass (1-day buckets) — the
+    * declared few-symbol scale path, parallelism symbols × days instead of
+    * symbols. Measurably faster than the 5-way funnel for the pattern-heavy
+    * kernel even at sf0.1; h1's lighter kernel doesn't amortize the overlap
+    * replay at this scale, so only h2 benches bucketed (both paths are
+    * exposed and equivalence-proven in IndicatorBucketedSpec).
+    */
+  private def h2Bench(s: SparkSession, dir: String): DataFrame = {
+    val out = IndicatorPass.withIndicators(candles(s, dir), patterns = true,
+      bucket = Some(IndicatorPass.BucketSpec(bucketSeconds = 86400)))
     out.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
       IndicatorPass.patternFields.map(f => col(f.name))): _*)
   }
@@ -613,7 +628,7 @@ object QueriesDomain {
     Q("w12_daily_extremes", w12, Some(w12Sql)),
     Q("w13_time_anchors", w13, Some(w13Sql)),
     Q("h1_indicator_pass", h1, None, headline = true),
-    Q("h2_patterns", h2, None, headline = true),
+    Q("h2_patterns", h2, None, headline = true, benchRun = Some(h2Bench)),
     Q("w11_peak_flags", w11, None),
     Q("w14_anchor_points", w14, None),
     Q("w14_daily_snapshots", w14d, Some(w14dSql))
