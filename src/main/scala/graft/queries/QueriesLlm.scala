@@ -191,6 +191,42 @@ object QueriesLlm {
       |SELECT COUNT(*) AS n_survivors, CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
       |FROM base WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.id_b = base.vec_id)""".stripMargin
 
+  /** Multimodal frame sampling, oracle-checked: documents' text bytes stand
+    * in for opaque media payloads (binary column); 64-byte frames at
+    * 48-byte stride are sliced with codegen'd binary substring on both
+    * engines and audited per source. Proves the byte-exact slicing plumbing
+    * a real decoder would consume ([[graft.functions.Multimodal]]).
+    */
+  private def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(s, dir)
+      .withColumn("media", encode(col("text"), "UTF-8"))
+    media.select(col("source"), col("media"),
+        graft.functions.Multimodal.frameSizes(col("media"), 64, 48).as("fs"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("fs")).cast("long")).as("n_frames"),
+        sum(aggregate(col("fs"), lit(0L), (a, x) => a + x)).as("sum_frame_bytes"),
+        sum(length(col("media")).cast("long")).as("sum_media_bytes"))
+  }
+
+  /** DuckDB cannot substring BLOBs, so the oracle slices the VARCHAR — the
+    * documents corpus is pure ASCII (verified: length = octet_length for
+    * every row), making character slicing byte-identical to the Spark
+    * side's real binary slicing; non-ASCII data would hash-mismatch loudly.
+    */
+  private val mmFramesSql =
+    """WITH f AS (
+      |  SELECT source, text,
+      |    list_transform(
+      |      range(0, (greatest(length(text) - 1, 0) // 48) + 1),
+      |      i -> length(substring(text, (i * 48 + 1)::INTEGER, 64))) AS fs
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(fs)) AS BIGINT) AS n_frames,
+      |  CAST(SUM(list_sum(fs)) AS BIGINT) AS sum_frame_bytes,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_media_bytes
+      |FROM f GROUP BY source""".stripMargin
+
   /** Winnowing fingerprint summary (rows-only; engine-specific hashes). */
   private def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -234,6 +270,7 @@ object QueriesLlm {
     Q("llm_ann_recall", ann, None),
     Q("llm_quality_langid", quality, Some(qualitySql)),
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
+    Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
     Q("llm_fingerprints", fingerprints, None),
     Q("j3_asof_join", asof, Some(asofSql))
   )

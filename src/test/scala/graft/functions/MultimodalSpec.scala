@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: byte-exact frame slicing (incl. short tails and
+  * empty payloads), the batch decode kernel, and stub features flowing into
+  * the similarity operators.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("frames slice bytes with clamped tails; empty payload yields one empty frame") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (1L, "abcdefghij"), // 10 bytes, frame 4 stride 3 -> starts 0,3,6,9
+      (2L, "") // empty
+    ).toDF("doc_id", "text").withColumn("media", encode(col("text"), "UTF-8"))
+    val out = df.select(col("doc_id"),
+      Multimodal.frames(col("media"), 4, 3).as("fr"),
+      Multimodal.frameSizes(col("media"), 4, 3).as("fs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](2)).toMap
+    assert(out(1L) == Seq(4, 4, 4, 1)) // last frame clamps at the tail
+    assert(out(2L) == Seq(0))
+  }
+
+  test("decodeBatches appends deterministic decode columns per row") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((1L, "hello"), (2L, "world!")).toDF("doc_id", "text")
+      .withColumn("media", encode(col("text"), "UTF-8"))
+    val out = Multimodal.decodeBatches(df).select("doc_id", "decoded_bytes", "checksum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 5L, 2L -> 6L))
+    // deterministic: a second run produces identical checksums
+    val a = Multimodal.decodeBatches(df).select("checksum").collect().toSeq
+    val b = Multimodal.decodeBatches(df).select("checksum").collect().toSeq
+    assert(a == b)
+  }
+
+  test("stub features are unit-ranged, fixed-dim, and usable by Similarity") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((0L, "aaa"), (1L, "bbb"), (2L, "aaa")).toDF("vec_id", "text")
+      .withColumn("embedding", Multimodal.featureStub(encode(col("text"), "UTF-8"), dim = 8))
+    val dims = df.select(size(col("embedding"))).collect().map(_.getInt(0))
+    assert(dims.forall(_ == 8))
+    // identical payloads -> identical features -> cosine 1 with each other
+    val top = Similarity.bruteForceTopK(df.filter(col("vec_id") === 0), df, k = 1)
+      .select("neighbor_id", "cos").collect()(0)
+    assert(top.getLong(0) == 2L && top.getDouble(1) == 1.0)
+  }
+}
