@@ -38,6 +38,16 @@ object TextOps {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
 
+  /** BPE-ish subword token count: letter runs, digit runs, and individual
+    * non-alphanumeric marks each count as one token (the pre-tokenization
+    * grain BPE vocabularies split on). The pattern uses only constructs with
+    * identical semantics across regex engines, so it is oracle-checkable.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Quality-score features: char/token counts, mean token length,
     * punctuation and digit ratios. All single-pass column expressions.
     */

@@ -38,10 +38,12 @@ object QueriesLlm {
     */
   private def stats(s: SparkSession, dir: String): DataFrame =
     TextOps.withTextStats(Tables.documents(s, dir))
+      .withColumn("n_bpe", TextOps.bpeTokenCount(col("text")))
       .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        sum(col("n_bpe").cast("long")).as("sum_bpe_tokens"),
         sum(col("n_chars_actual").cast("long")).as("sum_chars"),
         sum(col("n_punct").cast("long")).as("sum_punct"),
         sum(col("n_digits").cast("long")).as("sum_digits"))
@@ -50,6 +52,7 @@ object QueriesLlm {
     """SELECT lang, source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
       |    ELSE length(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens,
       |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
       |  CAST(SUM(length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) AS BIGINT) AS sum_punct,
       |  CAST(SUM(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) AS BIGINT) AS sum_digits

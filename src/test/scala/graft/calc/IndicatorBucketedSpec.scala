@@ -27,6 +27,21 @@ class IndicatorBucketedSpec extends SparkSpec {
     }
   }
 
+  test("bucketed pass survives empty buckets (cold restart after a gap)") {
+    val session = spark
+    import session.implicits._
+    // 1h of candles, a 5h hole, then 1h more: the post-gap bucket gets no
+    // warm-up rows and must restart cold without losing or crashing rows
+    val rows = mkCandles("GAP", 3, 3600) ++
+      mkCandles("GAP", 4, 3600).map { c =>
+        c.copy(_2 = new Timestamp(c._2.getTime + 6 * 3600 * 1000L))
+      }
+    val df = rows.toDF("symbol", "timestamp", "open", "high", "low", "close")
+    val out = IndicatorPass.withIndicators(df,
+      bucket = Some(IndicatorPass.BucketSpec(bucketSeconds = 3600, warmupRows = 960)))
+    assert(out.count() == 7200)
+  }
+
   test("bucketed indicator pass matches the single-pass result") {
     val session = spark
     import session.implicits._
