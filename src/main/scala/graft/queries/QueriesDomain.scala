@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
@@ -99,6 +100,60 @@ object QueriesDomain {
        |    CAST(SUM(CAST(close AS DECIMAL(18,4)) * CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
        |      / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) END AS vwap
        |FROM candles GROUP BY symbol, epoch_us(tstamp) // 60000000""".stripMargin
+
+  /** G2 chained — the multi-timeframe rollup the reference scaffolds but
+    * never activates (aggregator_candles.py:30,196): 1s → 1m → 1h, each
+    * level aggregating the previous level's close. Candle timestamps stay
+    * first-input timestamps at every level (the G1 quirk composes).
+    */
+  private def g2chain(s: SparkSession, dir: String): DataFrame =
+    candleSelect(CandleAggregator.aggregate(
+      CandleAggregator.aggregate(candles(s, dir), seconds = 60, priceCol = "close"),
+      seconds = 3600, priceCol = "close"))
+
+  private def rollupSelect(src: String, divUs: Long): String =
+    s"""SELECT symbol, min(tstamp) AS tstamp,
+       |  arg_min(close, tstamp) AS open, max(close) AS high, min(close) AS low,
+       |  arg_max(close, tstamp) AS close,
+       |  CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+       |  COUNT(*) AS number_of_trades,
+       |  CASE WHEN SUM(CAST(volume AS DECIMAL(18,4))) > 0 THEN
+       |    CAST(SUM(CAST(close AS DECIMAL(18,4)) * CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+       |      / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) END AS vwap
+       |FROM $src GROUP BY symbol, epoch_us(tstamp) // $divUs""".stripMargin
+
+  private val g2chainSql =
+    s"""$withCandles,
+       |c1m AS (${rollupSelect("candles", 60000000L)}),
+       |c1h AS (${rollupSelect("c1m", 3600000000L)})
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
+       |  open, high, low, close, volume, number_of_trades, vwap
+       |FROM c1h""".stripMargin
+
+  /** W15 (extension) — a TIME-range window frame: trailing 5-minute mean
+    * close per candle. Row frames (w1-w4) assume regular spacing; range
+    * frames are the correct rolling form for irregular series, and Spark
+    * plans them in the same sort-based window exec.
+    */
+  private def w15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy(unix_micros(col("timestamp")))
+      .rangeBetween(-300000000L, 0)
+    candles(s, dir)
+      .withColumn("close_5m_avg",
+        sum(col("close").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
+        col("close"), col("close_5m_avg"))
+  }
+
+  private val w15Sql =
+    s"""$withCandles
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts, close,
+       |  CAST(SUM(CAST(close AS DECIMAL(18,2))) OVER w AS DOUBLE)
+       |    / COUNT(*) OVER w AS close_5m_avg
+       |FROM candles
+       |WINDOW w AS (PARTITION BY symbol ORDER BY epoch_us(tstamp)
+       |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
   // ---------------------------------------------------------------- G5 / J2
 
@@ -612,6 +667,8 @@ object QueriesDomain {
   val all: Seq[Q] = Seq(
     Q("g1_candles_1s", g1, Some(g1Sql), headline = true),
     Q("g2_rollup_60s", g2, Some(g2Sql)),
+    Q("g2_rollup_chain", g2chain, Some(g2chainSql)),
+    Q("w15_time_range_avg", w15, Some(w15Sql)),
     Q("g5_dedup_keep_last", g5, Some(g5Sql), headline = true),
     Q("j2_merge_keep_new", j2, Some(j2Sql)),
     Q("p1_tick_validity", p1, Some(p1Sql)),
