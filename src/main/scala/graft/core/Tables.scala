@@ -40,6 +40,21 @@ object Tables {
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Registers every testdata table — plus the derived `ticks` and
+    * `candles_1s` views — as temp views, giving the engine a plain
+    * `spark.sql` surface over the same data the typed API serves.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings").foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+    events(spark, dir).createOrReplaceTempView("events")
+    ticks(spark, dir).createOrReplaceTempView("ticks")
+    graft.operators.CandleAggregator.aggregate(ticks(spark, dir))
+      .createOrReplaceTempView("candles_1s")
+  }
+
   /** The tick table of the reference pipeline, projected out of `events`.
     *
     * The reference's tick schema is (symbol, timestamp, price, volume)
