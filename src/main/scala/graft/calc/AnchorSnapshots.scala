@@ -80,7 +80,7 @@ object AnchorSnapshots {
       .withColumn("last_date", max(col("local_date")).over(wChunk))
       .join(broadcast(prior), col("symbol") === col("cs") && col("chunk") === col("cc"))
       .withColumn("cidx",
-        (col("crn") - 1 + least(col("prior_rows"), lit(bufferSize.toLong))).cast("int"))
+        (col("crn") - 1 + least(col("prior_rows"), lit(bufferSize.toLong))).cast("long"))
       .drop("cs", "cc", "cnt")
 
     val lastRows = base.filter(col("crn") === col("chunk_cnt")).select(

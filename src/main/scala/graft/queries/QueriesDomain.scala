@@ -569,13 +569,128 @@ object QueriesDomain {
       IndicatorPass.patternFields.map(f => col(f.name))): _*)
   }
 
-  /** W11 — peak/valley flags (find_peaks port); rows-only check (prominence
-    * is not SQL-expressible), fidelity in PeakFinderSpec.
+  /** W11 — peak/valley flags (find_peaks port); oracle below replays scipy
+    * in SQL, fidelity also in PeakFinderSpec.
     */
   private def w11(s: SparkSession, dir: String): DataFrame =
     PeaksPass.withPeakFlags(candles(s, dir))
       .select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
         PeaksPass.peakFields.map(f => col(f.name))): _*)
+
+  /** W11 oracle — scipy find_peaks replayed in DuckDB SQL (PeakFinder.scala
+    * is the spec; reference: candle_to_calcs.py:528-558):
+    *
+    *  - local maxima via equal-value runs: a run is a peak iff both adjacent
+    *    runs exist (signal edges excluded) and are strictly lower; the flag
+    *    lands on the run midpoint `(a+b)//2`, scipy's plateau rule;
+    *  - prominence: nearest strictly-higher bar on each side bounds the scan
+    *    (signal edge fallback); prominence = height − the larger of the two
+    *    side minima; independent of which other peaks survive thinning, so
+    *    computed once per candidate;
+    *  - greedy distance thinning as a recursive CTE stepping candidates in
+    *    scipy's priority order (height DESC, index DESC — stable argsort
+    *    iterated in reverse) carrying the kept-set as a LIST per
+    *    (config, symbol, side): a candidate survives iff no surviving
+    *    higher-priority candidate lies within `distance`. This fixpoint
+    *    equals the sequential greedy because removal never cascades — a
+    *    removed peak removes nothing.
+    *
+    * Valleys are peaks of the negated lows; the three granularities share
+    * maxima + prominences and differ only in (distance, prominence floor).
+    * All comparisons are on bit-identical doubles (the candle CTE is the
+    * hash-green g1 oracle), so the flags match exactly.
+    */
+  /** The sig→flagged CTE chain implementing find_peaks over a caller-defined
+    * relation `b(keys..., tstamp, pos, high, low)` with `pos` 0-based within
+    * each key group. `flagged` = (cname, keys, side, p) — one row per kept
+    * peak per granularity. Key-parameterized so W11 (per symbol) and the W14
+    * peak anchors (per symbol × 30-day chunk, the reference's own chunked
+    * find_peaks, candle_to_calcs.py:535) share one implementation.
+    */
+  private def peaksCtes(keys: Seq[String]): String = {
+    val K = keys.mkString(", ")
+    def eq(a: String, b: String) = keys.map(k => s"$a.$k = $b.$k").mkString(" AND ")
+    s"""sig AS MATERIALIZED (
+       |  SELECT $K, 'pk' AS side, pos, high AS x FROM b
+       |  UNION ALL
+       |  SELECT $K, 'vl' AS side, pos, -low AS x FROM b),
+       |sr1 AS (
+       |  SELECT *, CASE WHEN lag(x) OVER (PARTITION BY $K, side ORDER BY pos)
+       |    IS DISTINCT FROM x THEN 1 ELSE 0 END AS st
+       |  FROM sig),
+       |sr2 AS (
+       |  SELECT *, SUM(st) OVER (PARTITION BY $K, side ORDER BY pos) AS runid
+       |  FROM sr1),
+       |runs AS MATERIALIZED (
+       |  SELECT $K, side, runid, MIN(pos) AS a, MAX(pos) AS b2, ANY_VALUE(x) AS h
+       |  FROM sr2 GROUP BY ALL),
+       |maxima AS MATERIALIZED (
+       |  SELECT ${keys.map(k => s"r.$k").mkString(", ")}, r.side, (r.a + r.b2) // 2 AS p, r.h
+       |  FROM runs r
+       |  JOIN runs pv ON ${eq("pv", "r")} AND pv.side = r.side AND pv.runid = r.runid - 1
+       |  JOIN runs nx ON ${eq("nx", "r")} AND nx.side = r.side AND nx.runid = r.runid + 1
+       |  WHERE pv.h < r.h AND nx.h < r.h),
+       |pb AS MATERIALIZED (
+       |  SELECT ${keys.map(k => s"m.$k").mkString(", ")}, m.side, m.p, m.h,
+       |    COALESCE((SELECT MAX(s.pos) FROM sig s WHERE ${eq("s", "m")}
+       |      AND s.side = m.side AND s.pos < m.p AND s.x > m.h), -1) AS lb,
+       |    COALESCE((SELECT MIN(s.pos) FROM sig s WHERE ${eq("s", "m")}
+       |      AND s.side = m.side AND s.pos > m.p AND s.x > m.h), 1099511627776) AS rb
+       |  FROM maxima m),
+       |prom AS MATERIALIZED (
+       |  SELECT ${keys.map(k => s"pb.$k").mkString(", ")}, pb.side, pb.p,
+       |    pb.h - GREATEST(
+       |      COALESCE((SELECT MIN(s.x) FROM sig s WHERE ${eq("s", "pb")}
+       |        AND s.side = pb.side AND s.pos > pb.lb AND s.pos < pb.p), pb.h),
+       |      COALESCE((SELECT MIN(s.x) FROM sig s WHERE ${eq("s", "pb")}
+       |        AND s.side = pb.side AND s.pos > pb.p AND s.pos < pb.rb), pb.h)) AS prm
+       |  FROM pb),
+       |cfg(cname, dist, pthr) AS (VALUES ('major', 10, 0.9::DOUBLE),
+       |  ('minor', 7, 0.7::DOUBLE), ('micro', 5, 0.5::DOUBLE)),
+       |grp AS MATERIALIZED (
+       |  SELECT cfg.cname, cfg.dist, ${keys.map(k => s"c.$k").mkString(", ")}, c.side, c.p,
+       |    row_number() OVER (PARTITION BY cfg.cname, $K, side
+       |      ORDER BY c.h DESC, c.p DESC) AS prio
+       |  FROM maxima c CROSS JOIN cfg),
+       |ng AS MATERIALIZED (
+       |  SELECT cname, $K, side, MAX(prio) AS np FROM grp GROUP BY ALL),
+       |thin AS (
+       |  SELECT cname, $K, side, 0 AS step, CAST([] AS BIGINT[]) AS kept FROM ng
+       |  UNION ALL
+       |  SELECT t.cname, ${keys.map(k => s"t.$k").mkString(", ")}, t.side, t.step + 1,
+       |    CASE WHEN len(list_filter(t.kept, q -> abs(q - g.p) < g.dist)) > 0
+       |         THEN t.kept ELSE list_append(t.kept, g.p) END
+       |  FROM thin t
+       |  JOIN grp g ON g.cname = t.cname AND ${eq("g", "t")}
+       |    AND g.side = t.side AND g.prio = t.step + 1),
+       |fin AS (
+       |  SELECT t.cname, ${keys.map(k => s"t.$k").mkString(", ")}, t.side, UNNEST(t.kept) AS p
+       |  FROM thin t JOIN ng ON ng.cname = t.cname AND ${eq("ng", "t")}
+       |    AND ng.side = t.side AND t.step = ng.np),
+       |flagged AS (
+       |  SELECT f.cname, ${keys.map(k => s"f.$k").mkString(", ")}, f.side, f.p
+       |  FROM fin f
+       |  JOIN prom ON ${eq("prom", "f")} AND prom.side = f.side AND prom.p = f.p
+       |  JOIN cfg ON cfg.cname = f.cname
+       |  WHERE prom.prm >= cfg.pthr)""".stripMargin
+  }
+
+  private val w11Sql =
+    s"""WITH RECURSIVE $ticksCte, $candlesCte,
+       |b AS MATERIALIZED (
+       |  SELECT symbol, tstamp, high, low,
+       |    row_number() OVER (PARTITION BY symbol ORDER BY tstamp) - 1 AS pos
+       |  FROM candles),
+       |${peaksCtes(Seq("symbol"))}
+       |SELECT b.symbol, strftime(b.tstamp, '$fmt') AS ts,
+       |  MAX(CASE WHEN fl.cname = 'major' AND fl.side = 'pk' THEN 1 ELSE 0 END) AS is_major_peak,
+       |  MAX(CASE WHEN fl.cname = 'major' AND fl.side = 'vl' THEN 1 ELSE 0 END) AS is_major_valley,
+       |  MAX(CASE WHEN fl.cname = 'minor' AND fl.side = 'pk' THEN 1 ELSE 0 END) AS is_minor_peak,
+       |  MAX(CASE WHEN fl.cname = 'minor' AND fl.side = 'vl' THEN 1 ELSE 0 END) AS is_minor_valley,
+       |  MAX(CASE WHEN fl.cname = 'micro' AND fl.side = 'pk' THEN 1 ELSE 0 END) AS is_micro_peak,
+       |  MAX(CASE WHEN fl.cname = 'micro' AND fl.side = 'vl' THEN 1 ELSE 0 END) AS is_micro_valley
+       |FROM b LEFT JOIN flagged fl ON fl.symbol = b.symbol AND fl.p = b.pos
+       |GROUP BY b.symbol, b.tstamp""".stripMargin
 
   /** W14 — the anchored_vwap_points output table; rows-only check (depends
     * on W11 flags), semantics in AnchorSnapshotsSpec.
@@ -600,9 +715,12 @@ object QueriesDomain {
         col("price_at_anchor"),
         tsMicros(col("current_snapshot_timestamp")).as("snapshot_ts"), col("current_idx"))
 
-  private val w14dSql =
-    s"""$withCandles,
-       |loc AS (
+  /** Shared W14 oracle machinery: localized candles, 30-day chunking, the
+    * buffer-rebased cidx arithmetic and each chunk's last row — used by both
+    * the daily-anchor subset (w14dSql) and the peak-anchor subset (w14pSql).
+    */
+  private val w14CommonCtes =
+    s"""loc AS (
        |  SELECT symbol, tstamp, high, low, close,
        |    CAST(timezone('America/New_York', timezone('UTC', tstamp)) AS DATE) AS ld,
        |    hour(timezone('America/New_York', timezone('UTC', tstamp))) AS h,
@@ -627,7 +745,7 @@ object QueriesDomain {
        |  FROM loc),
        |r2 AS (
        |  SELECT r1.*, p.prior_rows,
-       |    crn - 1 + LEAST(p.prior_rows, 10000) AS cidx,
+       |    CAST(crn - 1 + LEAST(p.prior_rows, 10000) AS BIGINT) AS cidx,
        |    CASE WHEN high > lag(rh) OVER (PARTITION BY symbol, ld ORDER BY tstamp)
        |      THEN 1 ELSE 0 END AS inh,
        |    CASE WHEN low < lag(rl) OVER (PARTITION BY symbol, ld ORDER BY tstamp)
@@ -636,7 +754,11 @@ object QueriesDomain {
        |last_rows AS (
        |  SELECT symbol AS lsym, chunk AS lchunk, tstamp AS snap_ts,
        |    cidx AS current_idx
-       |  FROM r2 WHERE crn = chunk_cnt),
+       |  FROM r2 WHERE crn = chunk_cnt)""".stripMargin
+
+  private val w14dSql =
+    s"""$withCandles,
+       |$w14CommonCtes,
        |trig AS (
        |  SELECT symbol, chunk, anchor_type, tstamp, cidx, close AS price_at_anchor
        |  FROM (
@@ -662,6 +784,38 @@ object QueriesDomain {
        |FROM (SELECT * FROM trig UNION ALL SELECT * FROM ext) a
        |JOIN last_rows l ON a.symbol = l.lsym AND a.chunk = l.lchunk""".stripMargin
 
+  /** W14 peak subset, oracle-checked: every (symbol, chunk)-local find_peaks
+    * flag becomes an anchor crossed with the chunk's last row — the peak half
+    * of the reference's anchor emission (candle_to_calcs.py:660-662). With
+    * w14d this closes W14: daily triggers + extremes + peaks all hash-checked
+    * pre-dedup; the final keep-last dedup is G5's own oracle.
+    */
+  private def w14p(s: SparkSession, dir: String): DataFrame =
+    AnchorSnapshots.snapshots(candles(s, dir))
+      .filter(col("anchor_type").endsWith("_peak") || col("anchor_type").endsWith("_valley"))
+      .select(col("symbol"), col("anchor_type"),
+        tsMicros(col("anchor_timestamp")).as("anchor_ts"), col("anchor_idx"),
+        col("price_at_anchor"),
+        tsMicros(col("current_snapshot_timestamp")).as("snapshot_ts"), col("current_idx"))
+
+  private val w14pSql =
+    s"""WITH RECURSIVE $ticksCte, $candlesCte,
+       |$w14CommonCtes,
+       |b AS MATERIALIZED (
+       |  SELECT symbol, chunk, tstamp, high, low, crn - 1 AS pos FROM r2),
+       |${peaksCtes(Seq("symbol", "chunk"))},
+       |anchors AS (
+       |  SELECT r2.symbol, r2.chunk,
+       |    fl.cname || '_' || (CASE WHEN fl.side = 'pk' THEN 'peak' ELSE 'valley' END) AS anchor_type,
+       |    r2.tstamp, r2.cidx,
+       |    CASE WHEN fl.side = 'pk' THEN r2.high ELSE r2.low END AS price_at_anchor
+       |  FROM flagged fl
+       |  JOIN r2 ON r2.symbol = fl.symbol AND r2.chunk = fl.chunk AND r2.crn - 1 = fl.p)
+       |SELECT a.symbol, a.anchor_type, strftime(a.tstamp, '$fmt') AS anchor_ts,
+       |  a.cidx AS anchor_idx, a.price_at_anchor,
+       |  strftime(l.snap_ts, '$fmt') AS snapshot_ts, l.current_idx
+       |FROM anchors a JOIN last_rows l ON a.symbol = l.lsym AND a.chunk = l.lchunk""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
@@ -686,8 +840,9 @@ object QueriesDomain {
     Q("w13_time_anchors", w13, Some(w13Sql)),
     Q("h1_indicator_pass", h1, None, headline = true),
     Q("h2_patterns", h2, None, headline = true, benchRun = Some(h2Bench)),
-    Q("w11_peak_flags", w11, None),
+    Q("w11_peak_flags", w11, Some(w11Sql)),
     Q("w14_anchor_points", w14, None),
-    Q("w14_daily_snapshots", w14d, Some(w14dSql))
+    Q("w14_daily_snapshots", w14d, Some(w14dSql)),
+    Q("w14_peak_anchors", w14p, Some(w14pSql))
   )
 }

@@ -56,11 +56,11 @@ class AnchorSnapshotsSpec extends SparkSpec {
     out.foreach { r =>
       assert(r.getAs[Timestamp]("current_snapshot_timestamp") ==
         Timestamp.valueOf("2024-01-16 21:00:00"))
-      assert(r.getAs[Int]("current_idx") == 5) // 6 rows, 0-based
+      assert(r.getAs[Long]("current_idx") == 5L) // 6 rows, 0-based
     }
     // anchor_idx matches each anchor row's position
-    val m = out.map(r => r.getAs[String]("anchor_type") -> r.getAs[Int]("anchor_idx")).toMap
-    assert(m("daily_4am") == 1 && m("major_peak") == 2 && m("major_valley") == 3)
+    val m = out.map(r => r.getAs[String]("anchor_type") -> r.getAs[Long]("anchor_idx")).toMap
+    assert(m("daily_4am") == 1L && m("major_peak") == 2L && m("major_valley") == 3L)
   }
 
   test("dedup keeps one row per (symbol, timeframe, anchor_timestamp)") {
