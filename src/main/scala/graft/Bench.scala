@@ -26,29 +26,41 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = GraftSession.get()
     // Untimed warmup: the first query of a cold JVM otherwise absorbs ~5 s
     // of classloading/codegen that belongs to no query (it landed on
     // whichever query ran first — suite-order noise).
     materialize(spark.read.parquet(s"$sfDir/nation.parquet"))
+    // Median of `reps` runs per query: single-run times carry ±0.3 s of JVM
+    // noise, which last round manufactured two phantom regressions. The
+    // cache is cleared between reps — Spark keys cached data on the
+    // canonicalized plan, so rep 2 of a query with an internal .cache()
+    // boundary would otherwise reuse rep 1's materialization and report a
+    // fantasy time.
     val results = Registry.headline.map { q =>
       // production-path variant where one exists (codegen'd doubles); the
       // exact-decimal run stays Verify-only oracle parity machinery
       val fn = q.benchRun.getOrElse(q.run)
-      val t0 = System.nanoTime()
-      val sec =
+      val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
         try { materialize(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
             -1.0
         }
+      }
+      val sec =
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.length / 2)
       q.name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
     println(json)
     // Also land the JSON in a file: the stdout line is buried in sbt [info]
     // noise and the driver's log scrape has missed it two rounds running.

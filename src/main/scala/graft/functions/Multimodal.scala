@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   * vectorized decode (rows in, batch out) so a real codec drops into the
   * same slot.
   *
-  * STUB NOTICE: this container has no image/audio codecs, so
-  * [[decodeStub]]/[[featureStub]] produce DETERMINISTIC FAKES (metadata and
-  * features derived from the bytes via xxhash64). The Spark-side plumbing —
-  * schema, partitioning, batch shape, expression slicing — is real and
-  * tested; swap the stub body for an actual decoder to productionize.
+  * PNG is decoded FOR REAL ([[decodeImages]], javax.imageio — pure JVM, no
+  * native codec needed): genuine header parse + raster decode, oracle-checked
+  * end-to-end via [[encodePngBatches]] roundtrips. STUB NOTICE: for the other
+  * media types this container has no codecs, so [[decodeStub]]/[[featureStub]]
+  * produce DETERMINISTIC FAKES (metadata and features derived from the bytes
+  * via xxhash64). The Spark-side plumbing — schema, partitioning, batch
+  * shape, expression slicing — is real and tested; swap the stub body for an
+  * actual decoder to productionize.
   */
 object Multimodal {
 
@@ -65,6 +68,78 @@ object Multimodal {
   def featureStub(media: Column, dim: Int = 16): Column =
     transform(sequence(lit(0), lit(dim - 1)),
       j => (pmod(xxhash64(media, j), lit(2000001L)) - lit(1000000L)).cast("double") / 1000000.0)
+
+  /** Real PNG encode kernel: every row gets a genuine PNG payload
+    * (javax.imageio writer) with deterministic dimensions `1 + id % maxW/H`
+    * and grayscale pixels `(x·31 + y·17 + id) mod 256` — so an oracle can
+    * recompute the expected metadata/pixel sums in closed form and verify
+    * [[decodeImages]] end-to-end through a real codec roundtrip (PNG is
+    * lossless, so the raster survives bit-exact).
+    */
+  def encodePngBatches(df: DataFrame, idCol: String = "doc_id",
+                       maxW: Int = 64, maxH: Int = 48): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("media", BinaryType))
+    val iId = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(iId)
+        val w = (1 + id % maxW).toInt
+        val h = (1 + id % maxH).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((x * 31 + y * 17 + id) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL image decode behind the batch-kernel boundary: PNG payloads
+    * (signature-sniffed) are decoded with javax.imageio — actual header
+    * parse, actual raster — emitting true width/height plus a pixel checksum
+    * (Σ blue channel) proving the raster itself was read. Non-image payloads
+    * fall back to null metadata, keeping the column total. This is the
+    * production slot [[decodeStub]] stands in for on codec-less media types.
+    */
+  def decodeImages(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("img_width", IntegerType),
+      StructField("img_height", IntegerType),
+      StructField("pix_sum", LongType)))
+    val iM = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](iM)
+        val isPng = bytes != null && bytes.length > 8 &&
+          (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+        if (isPng) {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          // Seq[Any]: a plain Seq(Int, Int, Long) would widen the Ints to
+          // Long and break the INT columns' external-type check
+          Row.fromSeq(r.toSeq ++ Seq[Any](img.getWidth, img.getHeight, sum))
+        } else Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null))
+      }
+    }(Encoders.row(outSchema))
+  }
 
   /** The decode boundary as a batch kernel: rows stream through per
     * partition, the stub "decodes" each payload (here: length + first-bytes

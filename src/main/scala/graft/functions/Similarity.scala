@@ -87,18 +87,35 @@ object Similarity {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
+  /** The (table, bucket)-exploded frame behind every LSH path, pinned at a
+    * materialization boundary: the bucket expression is interpreted (bits ×
+    * dims hashes per row) and the frame is consumed by both join sides, so
+    * without the boundary it would be recomputed per consumer. Default = JVM
+    * cache (harness scale); `checkpointDir` = write-parquet + re-read,
+    * mirroring [[MinHash.candidatePairs]] — the 100 TB path where the
+    * bucketed frame outgrows executor storage memory.
+    */
+  private def bucketedFrame(vectors: DataFrame, bits: Int, tables: Int,
+                            checkpointDir: Option[String]): DataFrame = {
+    val raw = vectors.select(col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map(t => struct(lit(t).as("table"),
+        lshBucket(col("embedding"), bits, seed = t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
+    checkpointDir match {
+      case Some(dir) =>
+        raw.write.mode("overwrite").parquet(dir)
+        vectors.sparkSession.read.parquet(dir)
+      case None => raw.cache()
+    }
+  }
+
   /** Approximate top-k: candidates share an LSH bucket; exact cosine
     * re-ranks within buckets. Recall improves with fewer bits (bigger
     * buckets) or multiple tables (union over `tables` seeds).
     */
-  def lshTopK(vectors: DataFrame, k: Int = 5, bits: Int = 12, tables: Int = 2): DataFrame = {
-    // cache: the bucket expression is interpreted (bits × dims hashes per
-    // row); without the boundary both join sides recompute it
-    val bucketed = vectors.select(col("vec_id"), col("embedding"),
-      explode(array((0 until tables).map(t => struct(lit(t).as("table"),
-        lshBucket(col("embedding"), bits, seed = t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
-      .cache()
+  def lshTopK(vectors: DataFrame, k: Int = 5, bits: Int = 12, tables: Int = 2,
+              checkpointDir: Option[String] = None): DataFrame = {
+    val bucketed = bucketedFrame(vectors, bits, tables, checkpointDir)
     val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qe"))
     val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     // Score inside the bucket join, THEN dedup across tables on the id pair
@@ -113,5 +130,32 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding near-dup dedup through LSH buckets — the 100 TB path for
+    * [[dedupByCosine]]: candidate id pairs come from shared (table, bucket)
+    * keys (one shuffle, deduped on two scalars, arrays never cross the
+    * distinct), then exact cosine verifies only the candidates (embeddings
+    * re-attach via two hash joins, mirroring
+    * [[MinHash.dedupFuzzyFromPairs]]). Reproduces the all-pairs answer
+    * whenever every true near-dup pair shares ≥1 bucket — at cosine ≥ 0.99
+    * the per-table collision probability is (1 − θ/π)^bits ≈ 0.96 for 8
+    * bits, so 4 tables give ≈ 1 − (1−0.96)⁴ ≈ 1-in-10⁶ miss odds per pair.
+    */
+  def dedupByCosineLsh(vectors: DataFrame, threshold: Double, bits: Int = 8,
+                       tables: Int = 4, checkpointDir: Option[String] = None): DataFrame = {
+    val bucketed = bucketedFrame(vectors, bits, tables, checkpointDir)
+    val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+    val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
+    val candidates = a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val emb = bucketed.select(col("vec_id"), col("embedding")).distinct()
+    val dups = candidates
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .filter(round(cosine(col("ea"), col("eb")), 6) >= threshold)
+      .select(col("id_b").as("__dup")).distinct()
+    vectors.join(dups, vectors("vec_id") === dups("__dup"), "left_anti")
   }
 }

@@ -106,20 +106,43 @@ object QueriesLlm {
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
       |SELECT qid AS query_id, nid AS neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin
 
-  /** LSH-bucketed approximate top-k (the 100 TB path) with recall measured
-    * against the exact result — self-checking, rows-only.
+  /** LSH-bucketed approximate top-k (the 100 TB path), self-checking: recall
+    * is measured on the retrieval task ANN exists for — queries with a
+    * GENUINELY near neighbor (injected perturbed copies, cosine ≈ 0.9999;
+    * same scheme as llm_embed_neardup) must get their true nearest neighbor
+    * back at rank 1. Per 8-bit table that collision fires with p ≈ 0.98, so
+    * 4 tables pin recall ≈ 1. The raw "recall the brute-force top-5 of
+    * near-orthogonal noise" metric is also emitted for honesty
+    * (`top5_noise_recall`) — it is structurally low (pairwise cos ≈ 0.5 →
+    * (2/3)^8 per table) and NOT what buckets are for; no floor is claimed
+    * on it. A spec pins near_recall ≥ 0.8 (LlmOpsSpec).
     */
   private def ann(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
+    // noise metric: brute-force top-5 of the first 10 raw vectors
     val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
       .select(col("query_id"), col("neighbor_id"))
-    val approx = Similarity.lshTopK(e, k = 5, bits = 8, tables = 4)
+    val approxNoise = Similarity.lshTopK(e, k = 5, bits = 8, tables = 4)
       .filter(col("query_id") < 10)
       .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
-    val hits = exact.join(approx,
-      exact("query_id") === approx("aq") && exact("neighbor_id") === approx("an"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact")).crossJoin(
-      hits.agg(count(lit(1)).as("n_recalled")))
+    val noiseHits = exact.join(approxNoise,
+      exact("query_id") === approxNoise("aq") && exact("neighbor_id") === approxNoise("an"),
+      "left_semi")
+    // near-neighbor metric: injected copies must retrieve their original at rank 1
+    val injected = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f) + lit(0.01f)).as("embedding"))
+    val base = e.select(col("vec_id"), col("embedding")).unionByName(injected)
+    val nearHits = Similarity.lshTopK(base, k = 1, bits = 8, tables = 4)
+      .filter(col("query_id") >= 100000 && col("neighbor_id") === col("query_id") - 100000)
+    injected.agg(count(lit(1)).as("n_near_queries")).crossJoin(
+        nearHits.agg(count(lit(1)).as("n_near_hits"))).crossJoin(
+        exact.agg(count(lit(1)).as("n_exact"))).crossJoin(
+        noiseHits.agg(count(lit(1)).as("n_noise_recalled")))
+      .withColumn("near_recall",
+        round(col("n_near_hits").cast("double") / col("n_near_queries"), 4))
+      .withColumn("top5_noise_recall",
+        round(col("n_noise_recalled").cast("double") / col("n_exact"), 4))
   }
 
   /** Language ID + quality-score buckets per source. Quality is per-row
@@ -177,6 +200,22 @@ object QueriesLlm {
       .agg(count(lit(1)).as("n_survivors"), sum(col("vec_id")).as("sum_vec_id"))
   }
 
+  /** Same injected-near-dup dedup through the LSH-bucketed path
+    * ([[Similarity.dedupByCosineLsh]]) against the SAME all-pairs DuckDB
+    * oracle: hash-green means the bucketed 100 TB path reproduces the exact
+    * baseline's survivors on this corpus, pair for pair.
+    */
+  private def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val injected = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001) + lit(0.01)).as("embedding"))
+    val base = e.unionByName(injected)
+    Similarity.dedupByCosineLsh(base, threshold = 0.99, bits = 8, tables = 4)
+      .agg(count(lit(1)).as("n_survivors"), sum(col("vec_id")).as("sum_vec_id"))
+  }
+
   private val embedNearDupSql =
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
@@ -230,6 +269,38 @@ object QueriesLlm {
       |  CAST(SUM(length(text)) AS BIGINT) AS sum_media_bytes
       |FROM f GROUP BY source""".stripMargin
 
+  /** REAL PNG decode, oracle-checked end-to-end: each doc_id becomes a
+    * genuine PNG (javax.imageio encode) with closed-form dimensions and
+    * pixels; [[graft.functions.Multimodal.decodeImages]] decodes it back
+    * through the real codec and the DuckDB oracle recomputes the expected
+    * width/height/pixel-sum arithmetically. A wrong header parse, raster
+    * read, or channel order hash-mismatches loudly.
+    */
+  private def mmPng(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"))
+    val decoded = graft.functions.Multimodal.decodeImages(
+      graft.functions.Multimodal.encodePngBatches(docs))
+    decoded.groupBy(col("source")).agg(
+      count(lit(1)).as("n_imgs"),
+      sum(col("img_width").cast("long")).as("sum_width"),
+      sum(col("img_height").cast("long")).as("sum_height"),
+      sum(col("pix_sum")).as("sum_pix"))
+  }
+
+  private val mmPngSql =
+    """WITH d AS (
+      |  SELECT source, doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h
+      |  FROM documents),
+      |nums AS (SELECT range AS v FROM range(0, 64)),
+      |px AS (
+      |  SELECT d.source, d.doc_id, d.w, d.h,
+      |    SUM((x.v * 31 + y.v * 17 + d.doc_id) % 256) AS pixsum
+      |  FROM d JOIN nums x ON x.v < d.w JOIN nums y ON y.v < d.h
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT source, COUNT(*) AS n_imgs, CAST(SUM(w) AS BIGINT) AS sum_width,
+      |  CAST(SUM(h) AS BIGINT) AS sum_height, CAST(SUM(pixsum) AS BIGINT) AS sum_pix
+      |FROM px GROUP BY source""".stripMargin
+
   /** Winnowing fingerprint summary (rows-only; engine-specific hashes). */
   private def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -273,7 +344,9 @@ object QueriesLlm {
     Q("llm_ann_recall", ann, None),
     Q("llm_quality_langid", quality, Some(qualitySql)),
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
+    Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),
     Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
+    Q("mm_png_decode", mmPng, Some(mmPngSql)),
     Q("llm_fingerprints", fingerprints, None),
     Q("j3_asof_join", asof, Some(asofSql))
   )

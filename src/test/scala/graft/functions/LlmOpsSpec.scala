@@ -95,6 +95,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3).getDouble(0) == 30.0)
   }
 
+  test("ANN near-neighbor recall@1 stays above the 0.8 floor") {
+    // Same (bits, tables) and injection scheme as the llm_ann_recall
+    // registry query; a recall collapse in the LSH family now fails here
+    // instead of rotting silently. The floor is on the task ANN exists for
+    // (genuinely near neighbors), not on ranking near-orthogonal noise.
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val injected = e.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001f) + lit(0.01f)).as("embedding"))
+    val base = e.select($"vec_id", $"embedding").unionByName(injected)
+    val nQueries = injected.count()
+    val nHits = Similarity.lshTopK(base, k = 1, bits = 8, tables = 4)
+      .filter($"query_id" >= 100000 && $"neighbor_id" === $"query_id" - 100000)
+      .count()
+    assert(nQueries > 0)
+    val recall = nHits.toDouble / nQueries
+    assert(recall >= 0.8, s"ANN near-neighbor recall $recall < 0.8 ($nHits/$nQueries)")
+  }
+
+  test("LSH-bucketed cosine dedup reproduces the all-pairs baseline's survivors") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("embedding"))
+    val injected = e.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001) + lit(0.01)).as("embedding"))
+    val base = e.unionByName(injected)
+    val exact = Similarity.dedupByCosine(base, threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val lsh = Similarity.dedupByCosineLsh(base, threshold = 0.99, bits = 8, tables = 4)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(exact == lsh)
+    // and the injection actually exercised the dedup: every +100000 id dropped
+    assert(base.count() > lsh.size)
+  }
+
   test("winnowing fingerprints are content-stable and position-robust") {
     val fp = (t: String) => Seq((1L, t)).toDF("doc_id", "text")
       .select(TextOps.winnowFingerprints($"text").as("fp")).collect().head.getSeq[Long](0).toSet

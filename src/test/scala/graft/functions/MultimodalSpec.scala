@@ -39,6 +39,27 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("PNG encode→decode roundtrips real dimensions and raster through javax.imageio") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((0L, "a"), (5L, "b"), (63L, "c")).toDF("doc_id", "text")
+    val out = Multimodal.decodeImages(Multimodal.encodePngBatches(df.select($"doc_id")))
+      .select("doc_id", "img_width", "img_height", "pix_sum")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    // closed-form expectations: w = 1+id%64, h = 1+id%48, Σ (x·31+y·17+id)%256
+    for (id <- Seq(0L, 5L, 63L)) {
+      val w = (1 + id % 64).toInt
+      val h = (1 + id % 48).toInt
+      val pix = (for (x <- 0 until w; y <- 0 until h) yield (x * 31 + y * 17 + id) % 256).sum
+      assert(out(id) == ((w, h, pix)), s"id $id")
+    }
+    // a non-PNG payload degrades to null metadata, not a crash
+    val mixed = Seq((1L, "not a png")).toDF("doc_id", "text")
+      .withColumn("media", encode(col("text"), "UTF-8"))
+    val row = Multimodal.decodeImages(mixed).select("img_width").collect()(0)
+    assert(row.isNullAt(0))
+  }
+
   test("stub features are unit-ranged, fixed-dim, and usable by Similarity") {
     val session = spark
     import session.implicits._
