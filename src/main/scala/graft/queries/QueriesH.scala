@@ -428,6 +428,142 @@ object QueriesH {
        |FROM t""".stripMargin
   }
 
+  // ---------------------------------------------------------------- h2 sample 2
+
+  private val samplePatterns2 = Seq("CDLHARAMI", "CDLHARAMICROSS", "CDLDOJISTAR",
+    "CDLPIERCING", "CDLDARKCLOUDCOVER", "CDLMORNINGSTAR", "CDLEVENINGSTAR",
+    "CDLMORNINGDOJISTAR", "CDLEVENINGDOJISTAR", "CDL3WHITESOLDIERS",
+    "CDL3BLACKCROWS", "CDLIDENTICAL3CROWS", "CDL3LINESTRIKE")
+
+  private def h2Sample2(s: SparkSession, dir: String): DataFrame =
+    IndicatorPass.withIndicators(candles(s, dir), patterns = true)
+      .select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+        samplePatterns2.map(col)): _*)
+      .withColumn("cdl_sum_sample", samplePatterns2.map(col).reduce(_ + _))
+
+  /** Second oracle batch — 13 kernels across the harami/star/three-line
+    * families: 2- and 3-candle geometry (inside bodies, body gaps, 30%/50%
+    * penetrations), the Near/Far/Equal 5-period thresholds, a 4-candle
+    * context (3BLACKCROWS' white bar, 3LINESTRIKE's strike), and ±100 from
+    * trend color. `cdl_sum_sample` replays the row-wise pattern-sum shape
+    * (G7, candle_to_calcs.py:482-507) over the sampled set with a hard
+    * oracle. With the first batch this pins 18 of 59 kernels + every range
+    * type, threshold family, and output convention the other 41 reuse.
+    */
+  private val h2Sample2Sql = {
+    def chain(expr: String, n: Int) =
+      (1 to n).map(k => s"lag($expr, $k) OVER w").mkString(" + ")
+    s"""${QueriesDomain.withCandles},
+       |g AS (
+       |  SELECT symbol, tstamp, open, high, low, close,
+       |    ABS(close - open) AS body,
+       |    high - GREATEST(close, open) AS up,
+       |    LEAST(close, open) - low AS lo,
+       |    GREATEST(close, open) AS bt,
+       |    LEAST(close, open) AS bb,
+       |    CASE WHEN close >= open THEN 1 ELSE -1 END AS color,
+       |    row_number() OVER w AS rn,
+       |    ${chain("ABS(close - open)", 10)} AS sum_body_10,
+       |    ${chain("high - low", 10)} AS sum_hl_10,
+       |    ${chain("high - low", 5)} AS sum_hl_5
+       |  FROM candles
+       |  WINDOW w AS (PARTITION BY symbol ORDER BY tstamp)),
+       |t AS (
+       |  SELECT *,
+       |    (sum_body_10 / 10.0) AS thr_body,
+       |    0.1::DOUBLE * (sum_hl_10 / 10.0) AS thr_hl01,
+       |    0.2::DOUBLE * (sum_hl_5 / 5.0) AS thr_near,
+       |    0.6::DOUBLE * (sum_hl_5 / 5.0) AS thr_far,
+       |    0.05::DOUBLE * (sum_hl_5 / 5.0) AS thr_eq
+       |  FROM g),
+       |x AS (
+       |  SELECT *,
+       |    lag(open) OVER w AS o1, lag(open, 2) OVER w AS o2, lag(open, 3) OVER w AS o3,
+       |    lag(close) OVER w AS c1, lag(close, 2) OVER w AS c2, lag(close, 3) OVER w AS c3,
+       |    lag(high) OVER w AS h1, lag(high, 3) OVER w AS h3,
+       |    lag(low) OVER w AS l1,
+       |    lag(body) OVER w AS body1, lag(body, 2) OVER w AS body2,
+       |    lag(up) OVER w AS up1, lag(up, 2) OVER w AS up2,
+       |    lag(lo) OVER w AS lo1, lag(lo, 2) OVER w AS lo2,
+       |    lag(bt) OVER w AS bt1, lag(bt, 2) OVER w AS bt2, lag(bt, 3) OVER w AS bt3,
+       |    lag(bb) OVER w AS bb1, lag(bb, 2) OVER w AS bb2, lag(bb, 3) OVER w AS bb3,
+       |    lag(color) OVER w AS col1, lag(color, 2) OVER w AS col2, lag(color, 3) OVER w AS col3,
+       |    lag(thr_body) OVER w AS thr_body1, lag(thr_body, 2) OVER w AS thr_body2,
+       |    lag(thr_hl01) OVER w AS thr_hl011, lag(thr_hl01, 2) OVER w AS thr_hl012,
+       |    lag(thr_near) OVER w AS thr_near1, lag(thr_near, 2) OVER w AS thr_near2,
+       |    lag(thr_near, 3) OVER w AS thr_near3,
+       |    lag(thr_far, 1) OVER w AS thr_far1, lag(thr_far, 2) OVER w AS thr_far2,
+       |    lag(thr_eq, 1) OVER w AS thr_eq1, lag(thr_eq, 2) OVER w AS thr_eq2
+       |  FROM t WINDOW w AS (PARTITION BY symbol ORDER BY tstamp)),
+       |pats AS (
+       |  SELECT symbol, strftime(tstamp, '$fmt') AS ts,
+       |    CASE WHEN rn > 11 AND body1 > thr_body1 AND body <= thr_body
+       |      AND bt < bt1 AND bb > bb1 THEN -col1 * 100 ELSE 0 END AS CDLHARAMI,
+       |    CASE WHEN rn > 11 AND body1 > thr_body1 AND body <= thr_hl01
+       |      AND bt < bt1 AND bb > bb1 THEN -col1 * 100 ELSE 0 END AS CDLHARAMICROSS,
+       |    CASE WHEN rn > 11 AND body1 > thr_body1 AND body <= thr_hl01
+       |      AND ((col1 = 1 AND bb > bt1) OR (col1 = -1 AND bt < bb1))
+       |      THEN -col1 * 100 ELSE 0 END AS CDLDOJISTAR,
+       |    CASE WHEN rn > 11 AND col1 = -1 AND body1 > thr_body1
+       |      AND color = 1 AND body > thr_body AND open < l1
+       |      AND close < o1 AND close > c1 + body1 * 0.5::DOUBLE
+       |      THEN 100 ELSE 0 END AS CDLPIERCING,
+       |    CASE WHEN rn > 11 AND col1 = 1 AND body1 > thr_body1
+       |      AND color = -1 AND open > h1
+       |      AND close > o1 AND close < c1 - body1 * 0.5::DOUBLE
+       |      THEN -100 ELSE 0 END AS CDLDARKCLOUDCOVER,
+       |    CASE WHEN rn > 12 AND col2 = -1 AND body2 > thr_body2
+       |      AND body1 <= thr_body1 AND bt1 < bb2
+       |      AND color = 1 AND body > thr_body
+       |      AND close > c2 + body2 * 0.3::DOUBLE THEN 100 ELSE 0 END AS CDLMORNINGSTAR,
+       |    CASE WHEN rn > 12 AND col2 = 1 AND body2 > thr_body2
+       |      AND body1 <= thr_body1 AND bb1 > bt2
+       |      AND color = -1 AND body > thr_body
+       |      AND close < c2 - body2 * 0.3::DOUBLE THEN -100 ELSE 0 END AS CDLEVENINGSTAR,
+       |    CASE WHEN rn > 12 AND col2 = -1 AND body2 > thr_body2
+       |      AND body1 <= thr_hl011 AND bt1 < bb2
+       |      AND color = 1 AND body > thr_body
+       |      AND close > c2 + body2 * 0.3::DOUBLE THEN 100 ELSE 0 END AS CDLMORNINGDOJISTAR,
+       |    CASE WHEN rn > 12 AND col2 = 1 AND body2 > thr_body2
+       |      AND body1 <= thr_hl011 AND bb1 > bt2
+       |      AND color = -1 AND body > thr_body
+       |      AND close < c2 - body2 * 0.3::DOUBLE THEN -100 ELSE 0 END AS CDLEVENINGDOJISTAR,
+       |    CASE WHEN rn > 12 AND col2 = 1 AND up2 < thr_hl012
+       |      AND col1 = 1 AND up1 < thr_hl011 AND color = 1 AND up < thr_hl01
+       |      AND close > c1 AND c1 > c2
+       |      AND o1 > o2 AND o1 <= c2 + thr_near2
+       |      AND open > o1 AND open <= c1 + thr_near1
+       |      AND body1 > body2 - thr_far2 AND body > body1 - thr_far1
+       |      THEN 100 ELSE 0 END AS CDL3WHITESOLDIERS,
+       |    CASE WHEN rn > 13 AND col3 = 1
+       |      AND col2 = -1 AND lo2 < thr_hl012
+       |      AND col1 = -1 AND lo1 < thr_hl011
+       |      AND color = -1 AND lo < thr_hl01
+       |      AND o1 < o2 AND o1 > c2 AND open < o1 AND open > c1
+       |      AND h3 > c2 AND c2 > c1 AND c1 > close
+       |      THEN -100 ELSE 0 END AS CDL3BLACKCROWS,
+       |    CASE WHEN rn > 12 AND col2 = -1 AND lo2 < thr_hl012
+       |      AND col1 = -1 AND lo1 < thr_hl011
+       |      AND color = -1 AND lo < thr_hl01
+       |      AND c2 > c1 AND c1 > close
+       |      AND o1 <= c2 + thr_eq2 AND o1 >= c2 - thr_eq2
+       |      AND open <= c1 + thr_eq1 AND open >= c1 - thr_eq1
+       |      THEN -100 ELSE 0 END AS CDLIDENTICAL3CROWS,
+       |    CASE WHEN rn > 8 AND col3 = col2 AND col2 = col1 AND color = -col1
+       |      AND o2 >= bb3 - thr_near3 AND o2 <= bt3 + thr_near3
+       |      AND o1 >= bb2 - thr_near2 AND o1 <= bt2 + thr_near2
+       |      AND ((col1 = 1 AND c1 > c2 AND c2 > c3 AND open > c1 AND close < o3)
+       |        OR (col1 = -1 AND c1 < c2 AND c2 < c3 AND open < c1 AND close > o3))
+       |      THEN col1 * 100 ELSE 0 END AS CDL3LINESTRIKE
+       |  FROM x)
+       |SELECT *,
+       |  (CDLHARAMI + CDLHARAMICROSS + CDLDOJISTAR + CDLPIERCING
+       |   + CDLDARKCLOUDCOVER + CDLMORNINGSTAR + CDLEVENINGSTAR
+       |   + CDLMORNINGDOJISTAR + CDLEVENINGDOJISTAR + CDL3WHITESOLDIERS
+       |   + CDL3BLACKCROWS + CDLIDENTICAL3CROWS + CDL3LINESTRIKE) AS cdl_sum_sample
+       |FROM pats""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
@@ -436,6 +572,7 @@ object QueriesH {
     Q("h1_adx", h1Adx, Some(h1AdxSql)),
     Q("h1_t3", h1T3, Some(h1T3Sql)),
     Q("h1_sar", h1Sar, Some(h1SarSql)),
-    Q("h2_patterns_sample", h2Sample, Some(h2SampleSql))
+    Q("h2_patterns_sample", h2Sample, Some(h2SampleSql)),
+    Q("h2_patterns_sample2", h2Sample2, Some(h2Sample2Sql))
   )
 }

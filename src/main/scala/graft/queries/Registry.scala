@@ -14,7 +14,8 @@ object Registry {
       QueriesDomain.all ++
       QueriesH.all ++
       QueriesIngest.all ++
-      QueriesLlm.all
+      QueriesLlm.all ++
+      QueriesStreaming.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
