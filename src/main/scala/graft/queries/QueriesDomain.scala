@@ -692,8 +692,8 @@ object QueriesDomain {
        |FROM b LEFT JOIN flagged fl ON fl.symbol = b.symbol AND fl.p = b.pos
        |GROUP BY b.symbol, b.tstamp""".stripMargin
 
-  /** W14 — the anchored_vwap_points output table; rows-only check (depends
-    * on W11 flags), semantics in AnchorSnapshotsSpec.
+  /** W14 — the anchored_vwap_points output table, fully oracle-checked
+    * (w14fullSql); semantics also in AnchorSnapshotsSpec.
     */
   private def w14(s: SparkSession, dir: String): DataFrame =
     AnchorSnapshots.anchoredVwapPoints(candles(s, dir))
@@ -756,10 +756,11 @@ object QueriesDomain {
        |    cidx AS current_idx
        |  FROM r2 WHERE crn = chunk_cnt)""".stripMargin
 
-  private val w14dSql =
-    s"""$withCandles,
-       |$w14CommonCtes,
-       |trig AS (
+  /** The daily-trigger + running-extreme anchor CTEs (shared by the daily
+    * subset and the full-table oracle).
+    */
+  private val w14DailyAnchorCtes =
+    s"""trig AS (
        |  SELECT symbol, chunk, anchor_type, tstamp, cidx, close AS price_at_anchor
        |  FROM (
        |    SELECT *, CASE WHEN h = 4 AND mi = 0 THEN 'daily_4am'
@@ -777,12 +778,56 @@ object QueriesDomain {
        |  UNION ALL
        |  SELECT symbol, chunk, 'daily_low', tstamp, cidx, low
        |  FROM r2 WHERE inl = 1 AND ld = last_date
-       |  QUALIFY row_number() OVER (PARTITION BY symbol, chunk ORDER BY tstamp DESC) = 1)
+       |  QUALIFY row_number() OVER (PARTITION BY symbol, chunk ORDER BY tstamp DESC) = 1)""".stripMargin
+
+  private val w14dSql =
+    s"""$withCandles,
+       |$w14CommonCtes,
+       |$w14DailyAnchorCtes
        |SELECT a.symbol, a.anchor_type, strftime(a.tstamp, '$fmt') AS anchor_ts,
        |  a.cidx AS anchor_idx, a.price_at_anchor,
        |  strftime(l.snap_ts, '$fmt') AS snapshot_ts, l.current_idx
        |FROM (SELECT * FROM trig UNION ALL SELECT * FROM ext) a
        |JOIN last_rows l ON a.symbol = l.lsym AND a.chunk = l.lchunk""".stripMargin
+
+  /** W14 FULL table oracle — daily triggers + running extremes + per-chunk
+    * find_peaks anchors, each crossed with its chunk's last row, then the
+    * keep-last dedup on (symbol, timeframe, anchor_timestamp) ordered by
+    * (snapshot time, documented type priority) — the complete
+    * anchored_vwap_points output replayed in SQL.
+    */
+  private val w14fullSql =
+    s"""WITH RECURSIVE $ticksCte, $candlesCte,
+       |$w14CommonCtes,
+       |$w14DailyAnchorCtes,
+       |b AS MATERIALIZED (
+       |  SELECT symbol, chunk, tstamp, high, low, crn - 1 AS pos FROM r2),
+       |${peaksCtes(Seq("symbol", "chunk"))},
+       |pk AS (
+       |  SELECT r2.symbol, r2.chunk,
+       |    fl.cname || '_' || (CASE WHEN fl.side = 'pk' THEN 'peak' ELSE 'valley' END) AS anchor_type,
+       |    r2.tstamp, r2.cidx,
+       |    CASE WHEN fl.side = 'pk' THEN r2.high ELSE r2.low END AS price_at_anchor
+       |  FROM flagged fl
+       |  JOIN r2 ON r2.symbol = fl.symbol AND r2.chunk = fl.chunk AND r2.crn - 1 = fl.p),
+       |joined AS (
+       |  SELECT a.symbol, '1s' AS timeframe, a.anchor_type, a.tstamp AS ats,
+       |    a.cidx AS anchor_idx, a.price_at_anchor, l.snap_ts, l.current_idx,
+       |    CASE a.anchor_type
+       |      WHEN 'daily_4am' THEN 0 WHEN 'daily_930' THEN 1 WHEN 'daily_4pm' THEN 2
+       |      WHEN 'daily_high' THEN 3 WHEN 'daily_low' THEN 4
+       |      WHEN 'micro_peak' THEN 5 WHEN 'micro_valley' THEN 6
+       |      WHEN 'minor_peak' THEN 7 WHEN 'minor_valley' THEN 8
+       |      WHEN 'major_peak' THEN 9 WHEN 'major_valley' THEN 10 ELSE -1 END AS prio
+       |  FROM (SELECT * FROM trig UNION ALL SELECT * FROM ext UNION ALL SELECT * FROM pk) a
+       |  JOIN last_rows l ON a.symbol = l.lsym AND a.chunk = l.lchunk)
+       |SELECT symbol, timeframe, anchor_type,
+       |  strftime(ats, '$fmt') AS anchor_timestamp, anchor_idx, price_at_anchor,
+       |  strftime(snap_ts, '$fmt') AS current_snapshot_timestamp, current_idx,
+       |  CAST(NULL AS DOUBLE) AS anchored_vwap
+       |FROM joined
+       |QUALIFY row_number() OVER (PARTITION BY symbol, timeframe, ats
+       |  ORDER BY snap_ts DESC, prio DESC) = 1""".stripMargin
 
   /** W14 peak subset, oracle-checked: every (symbol, chunk)-local find_peaks
     * flag becomes an anchor crossed with the chunk's last row — the peak half
@@ -841,7 +886,7 @@ object QueriesDomain {
     Q("h1_indicator_pass", h1, None, headline = true),
     Q("h2_patterns", h2, None, headline = true, benchRun = Some(h2Bench)),
     Q("w11_peak_flags", w11, Some(w11Sql)),
-    Q("w14_anchor_points", w14, None),
+    Q("w14_anchor_points", w14, Some(w14fullSql)),
     Q("w14_daily_snapshots", w14d, Some(w14dSql)),
     Q("w14_peak_anchors", w14p, Some(w14pSql))
   )
