@@ -884,7 +884,7 @@ object QueriesDomain {
     Q("w12_daily_extremes", w12, Some(w12Sql)),
     Q("w13_time_anchors", w13, Some(w13Sql)),
     Q("h1_indicator_pass", h1, None, headline = true),
-    Q("h2_patterns", h2, None, headline = true, benchRun = Some(h2Bench)),
+    Q("h2_patterns", h2, Some(H2FullOracle.sql), headline = true, benchRun = Some(h2Bench)),
     Q("w11_peak_flags", w11, Some(w11Sql)),
     Q("w14_anchor_points", w14, Some(w14fullSql)),
     Q("w14_daily_snapshots", w14d, Some(w14dSql)),
