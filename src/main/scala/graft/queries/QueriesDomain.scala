@@ -883,7 +883,7 @@ object QueriesDomain {
     Q("w4_bollinger", w4, Some(w4Sql), headline = true, benchRun = Some(w4x(exact = false))),
     Q("w12_daily_extremes", w12, Some(w12Sql)),
     Q("w13_time_anchors", w13, Some(w13Sql)),
-    Q("h1_indicator_pass", h1, None, headline = true),
+    Q("h1_indicator_pass", h1, Some(H1FullOracle.sql), headline = true),
     Q("h2_patterns", h2, Some(H2FullOracle.sql), headline = true, benchRun = Some(h2Bench)),
     Q("w11_peak_flags", w11, Some(w11Sql)),
     Q("w14_anchor_points", w14, Some(w14fullSql)),

@@ -103,19 +103,28 @@ object QueriesH {
     * The inner nesting computes this row's EMAs before the signal branch
     * consumes the fresh macd value m, matching the sequential kernel.
     */
-  private val h1RecurrencesSql =
-    s"""WITH RECURSIVE ticks AS MATERIALIZED (
-       |  SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price
-       |  FROM events),
-       |candles AS MATERIALIZED (
-       |  SELECT symbol, min(tstamp) AS tstamp, max(price) AS high,
-       |    min(price) AS low, arg_max(price, tstamp) AS close
-       |  FROM ticks GROUP BY symbol, date_trunc('second', tstamp)),
-       |base AS MATERIALIZED (
-       |  SELECT symbol, tstamp, high, low, close,
-       |    row_number() OVER (PARTITION BY symbol ORDER BY tstamp) AS rn
-       |  FROM candles),
-       |rec AS (
+  /** Shared recursion preamble: trimmed candle CTEs + per-symbol row
+    * numbering.
+    */
+  private[queries] val recPreamble =
+    """WITH RECURSIVE ticks AS MATERIALIZED (
+      |  SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price
+      |  FROM events),
+      |candles AS MATERIALIZED (
+      |  SELECT symbol, min(tstamp) AS tstamp, max(price) AS high,
+      |    min(price) AS low, arg_max(price, tstamp) AS close
+      |  FROM ticks GROUP BY symbol, date_trunc('second', tstamp)),
+      |base AS MATERIALIZED (
+      |  SELECT symbol, tstamp, high, low, close,
+      |    row_number() OVER (PARTITION BY symbol ORDER BY tstamp) AS rn
+      |  FROM candles),""".stripMargin
+
+  /** The MACD(12,26,9) + Wilder-ATR(14) state machine as a named recursive
+    * CTE over `base` — name-parameterized so the standalone h1_recurrences
+    * oracle and the composed full-h1 oracle share one text.
+    */
+  private[queries] def macdAtrCte(nm: String): String =
+    s"""$nm AS (
        |  SELECT symbol, rn, tstamp,
        |    close AS sum_slow, CAST(NULL AS DOUBLE) AS e_slow,
        |    CAST(0.0 AS DOUBLE) AS sum_fast, CAST(NULL AS DOUBLE) AS e_fast,
@@ -147,7 +156,11 @@ object QueriesH {
        |        CASE WHEN b.rn < 15 THEN CAST(NULL AS DOUBLE)
        |             WHEN b.rn = 15 THEN (r.sum_tr + GREATEST(b.high - b.low, ABS(b.high - r.prev_close), ABS(b.low - r.prev_close))) / 14.0
        |             ELSE ((r.atr * 13.0) + GREATEST(b.high - b.low, ABS(b.high - r.prev_close), ABS(b.low - r.prev_close))) / 14.0 END AS atr2
-       |      FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1)))
+       |      FROM $nm r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1)))""".stripMargin
+
+  private val h1RecurrencesSql =
+    s"""$recPreamble
+       |${macdAtrCte("rec")}
        |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
        |  CASE WHEN rn >= 34 THEN e_fast - e_slow ELSE 0.0 END AS macd,
        |  CASE WHEN rn >= 34 THEN e_sig ELSE 0.0 END AS macd_signal,
@@ -162,22 +175,6 @@ object QueriesH {
       col("symbol"), tsMicros(col("timestamp")).as("ts"),
       col("adx"), col("di_pos"), col("di_neg"))
 
-  /** Shared recursion preamble: trimmed candle CTEs + per-symbol row
-    * numbering.
-    */
-  private val recPreamble =
-    """WITH RECURSIVE ticks AS MATERIALIZED (
-      |  SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price
-      |  FROM events),
-      |candles AS MATERIALIZED (
-      |  SELECT symbol, min(tstamp) AS tstamp, max(price) AS high,
-      |    min(price) AS low, arg_max(price, tstamp) AS close
-      |  FROM ticks GROUP BY symbol, date_trunc('second', tstamp)),
-      |base AS MATERIALIZED (
-      |  SELECT symbol, tstamp, high, low, close,
-      |    row_number() OVER (PARTITION BY symbol ORDER BY tstamp) AS rn
-      |  FROM candles),""".stripMargin
-
   /** Wilder ADX/±DI(14) state machine mirroring Ta.Adx: raw DM/TR
     * accumulation over rows 2..14, the Wilder transition
     * `s - s/14 + v` from row 15, DX-mean ADX seed at the 14th DX, zero-TR
@@ -185,9 +182,8 @@ object QueriesH {
     * count for neither side; the layered subqueries order sm→di→dx exactly
     * like the kernel's statement sequence.
     */
-  private val h1AdxSql =
-    s"""$recPreamble
-       |rec AS (
+  private[queries] def adxCte(nm: String): String =
+    s"""$nm AS (
        |  SELECT symbol, rn, tstamp, high AS ph, low AS pl, close AS pc,
        |    CAST(0.0 AS DOUBLE) AS sm_plus, CAST(0.0 AS DOUBLE) AS sm_minus,
        |    CAST(0.0 AS DOUBLE) AS sm_tr, CAST(0.0 AS DOUBLE) AS dx_sum,
@@ -229,7 +225,11 @@ object QueriesH {
        |                   (CASE WHEN r.pl - b.low > 0 AND b.high - r.ph < r.pl - b.low THEN r.pl - b.low ELSE 0 END) END AS sm_minus2,
        |            CASE WHEN b.rn <= 14 THEN r.sm_tr + GREATEST(b.high - b.low, ABS(b.high - r.pc), ABS(b.low - r.pc))
        |                 ELSE (r.sm_tr - r.sm_tr / 14) + GREATEST(b.high - b.low, ABS(b.high - r.pc), ABS(b.low - r.pc)) END AS sm_tr2
-       |          FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1)))))
+       |          FROM $nm r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1)))))""".stripMargin
+
+  private val h1AdxSql =
+    s"""$recPreamble
+       |${adxCte("rec")}
        |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
        |  COALESCE(adx, 0.0) AS adx,
        |  COALESCE(di_plus, 0.0) AS di_pos,
@@ -250,12 +250,25 @@ object QueriesH {
     * coefficients in exact decimal (−0.343) where the JVM has
     * −0.3429999999999999. NaN→close fill matches IndicatorPass.
     */
-  private val h1T3Sql = {
-    val k = "(2.0 / 61.0)"
-    val omk = "(1.0 - 2.0 / 61.0)"
-    val v = "0.7::DOUBLE"
-    s"""$recPreamble
-       |rec AS (
+  private val kT3 = "(2.0 / 61.0)"
+  private val omkT3 = "(1.0 - 2.0 / 61.0)"
+  private[queries] val vT3 = "0.7::DOUBLE"
+
+  /** T3's output polynomial over the stage EMAs carried by [[t3Cte]]. */
+  private[queries] def t3Out(pfx: String = ""): String = {
+    val v = vT3
+    s"""CASE WHEN ${pfx}rn >= 355 THEN
+       |    (-($v*$v*$v)) * ${pfx}e6
+       |    + (3.0::DOUBLE*($v*$v) + 3.0::DOUBLE*($v*$v*$v)) * ${pfx}e5
+       |    + (-6.0::DOUBLE*($v*$v) - 3.0::DOUBLE*$v - 3.0::DOUBLE*($v*$v*$v)) * ${pfx}e4
+       |    + (1.0::DOUBLE + 3.0::DOUBLE*$v + ($v*$v*$v) + 3.0::DOUBLE*($v*$v)) * ${pfx}e3
+       |  ELSE ${pfx}close END""".stripMargin
+  }
+
+  private[queries] def t3Cte(nm: String): String = {
+    val k = kT3
+    val omk = omkT3
+    s"""$nm AS (
        |  SELECT symbol, rn, tstamp, close, close AS temp_sum,
        |    CAST(NULL AS DOUBLE) AS e1, CAST(NULL AS DOUBLE) AS e2,
        |    CAST(NULL AS DOUBLE) AS e3, CAST(NULL AS DOUBLE) AS e4,
@@ -285,7 +298,7 @@ object QueriesH {
        |           ELSE ($k * b.close) + ($omk * r.e1) END AS e1n,
        |      r.e2 AS e2_old, r.e3 AS e3_old, r.e4 AS e4_old,
        |      r.e5 AS e5_old, r.e6 AS e6_old
-       |    FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+       |    FROM $nm r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
        |  ) q0
        |  , LATERAL (SELECT CASE WHEN q0.rn < 119 THEN CAST(NULL AS DOUBLE)
        |      WHEN q0.rn = 119 THEN (q0.temp_sum + q0.e1n) / 60.0
@@ -302,16 +315,15 @@ object QueriesH {
        |  , LATERAL (SELECT CASE WHEN q0.rn < 355 THEN CAST(NULL AS DOUBLE)
        |      WHEN q0.rn = 355 THEN (q0.temp_sum + l5.e5n) / 60.0
        |      ELSE ($k * l5.e5n) + ($omk * q0.e6_old) END AS e6n) l6
-       |)
-       |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
-       |  CASE WHEN rn >= 355 THEN
-       |    (-($v*$v*$v)) * e6
-       |    + (3.0::DOUBLE*($v*$v) + 3.0::DOUBLE*($v*$v*$v)) * e5
-       |    + (-6.0::DOUBLE*($v*$v) - 3.0::DOUBLE*$v - 3.0::DOUBLE*($v*$v*$v)) * e4
-       |    + (1.0::DOUBLE + 3.0::DOUBLE*$v + ($v*$v*$v) + 3.0::DOUBLE*($v*$v)) * e3
-       |  ELSE close END AS t3
-       |FROM rec""".stripMargin
+       |)""".stripMargin
   }
+
+  private val h1T3Sql =
+    s"""$recPreamble
+       |${t3Cte("rec")}
+       |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
+       |  ${t3Out()} AS t3
+       |FROM rec""".stripMargin
 
   // ---------------------------------------------------------------- h1_sar
 
@@ -325,9 +337,8 @@ object QueriesH {
     * kernel emits), prior-two-bars clamping by the NEW direction. NaN→close
     * fill on row 1.
     */
-  private val h1SarSql =
-    s"""$recPreamble
-       |rec AS (
+  private[queries] def sarCte(nm: String): String =
+    s"""$nm AS (
        |  SELECT symbol, rn, tstamp, high AS prev_high, low AS prev_low, close,
        |    TRUE AS il, CAST(0.02 AS DOUBLE) AS af, CAST(NULL AS DOUBLE) AS ep,
        |    CAST(NULL AS DOUBLE) AS sar, CAST(NULL AS DOUBLE) AS psar_out
@@ -365,7 +376,11 @@ object QueriesH {
        |               ELSE r.ep END AS ep0,
        |          CASE WHEN b.rn = 2 THEN (CASE WHEN NOT (r.prev_low - b.low > 0 AND b.high - r.prev_high < r.prev_low - b.low) THEN r.prev_low ELSE r.prev_high END)
        |               ELSE r.sar END AS sar0
-       |        FROM rec r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1))))
+       |        FROM $nm r JOIN base b ON b.symbol = r.symbol AND b.rn = r.rn + 1))))""".stripMargin
+
+  private val h1SarSql =
+    s"""$recPreamble
+       |${sarCte("rec")}
        |SELECT symbol, strftime(tstamp, '$fmt') AS ts,
        |  COALESCE(psar_out, close) AS psar
        |FROM rec""".stripMargin
