@@ -76,6 +76,43 @@ object QueriesLlm {
         sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_true_dup_pairs")))
   }
 
+  /** The MinHash pipeline's true-duplicate pairs, oracle-checked: LSH
+    * candidates → exact n-gram Jaccard ≥ 0.8, compared against a DuckDB
+    * ALL-PAIRS Jaccard over the same normalization + 3-word shingles. The
+    * hash-set Jaccard equals the string-set Jaccard (no 64-bit collisions in
+    * this corpus), so a green row proves the shingling/normalization AND
+    * that banded LSH recalled every true ≥0.8 pair — an engine-independent
+    * recall proof for the one pipeline whose internals (hash families) are
+    * inherently engine-specific.
+    */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = MinHash.candidatePairs(docs)
+    MinHash.withExactJaccard(pairs, docs)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private val jaccardPairsSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(norm, ' ')) <= 3 THEN [norm]
+      |         ELSE list_transform(range(1, len(string_split(norm, ' ')) - 1),
+      |           i -> array_to_string(list_slice(string_split(norm, ' '), i, i + 2), ' '))
+      |    END AS sh
+      |  FROM d),
+      |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh)) AS ni,
+      |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS nu
+      |  FROM ds a, ds b WHERE a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, round(ni::DOUBLE / nu, 6) AS jaccard
+      |FROM p WHERE ni::DOUBLE / nu >= 0.8""".stripMargin
+
   /** SimHash near-dup pairs by Hamming distance (rows-only). maxDist = 7
     * rides the 8×8-bit banding guarantee (recall 1.0 for dist ≤ 7).
     */
@@ -339,6 +376,7 @@ object QueriesLlm {
     Q("llm_exact_dedup", dedup, Some(dedupSql)),
     Q("llm_text_stats", stats, Some(statsSql)),
     Q("llm_minhash_dedup", minhash, None, headline = true),
+    Q("llm_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("llm_simhash_neardup", simhash, None),
     Q("llm_cosine_topk", cosine, Some(cosineSql), headline = true),
     Q("llm_ann_recall", ann, None),
