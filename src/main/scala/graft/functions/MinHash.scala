@@ -268,4 +268,19 @@ object MinHash {
       .select(col("id_b").as("__dup_id")).distinct()
     docs.join(dups, docs(idCol) === dups("__dup_id"), "left_anti")
   }
+
+  /** Verify-then-drop dedup: LSH candidates are re-scored with EXACT n-gram
+    * Jaccard before the drop decision, so the signature estimate's false
+    * positives never cost a document and its false negatives on recalled
+    * candidates are repaired. Same shuffle shape as the estimate path plus
+    * the verification join — the grade of dedup a training corpus actually
+    * ships with.
+    */
+  def dedupFuzzyVerified(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", threshold: Double = 0.8): DataFrame = {
+    val dups = withExactJaccard(pairs, docs, textCol, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as("__dup_id")).distinct()
+    docs.join(dups, docs(idCol) === dups("__dup_id"), "left_anti")
+  }
 }

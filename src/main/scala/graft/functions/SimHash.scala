@@ -46,14 +46,27 @@ object SimHash {
     * ≤ 7 → 8×8-bit, ≤ 15 → 16×4-bit. Narrower bands mean coarser buckets
     * (2^width values) and a bigger candidate join — the recall/cost dial.
     */
+  /** (id, sh) sketch frame for a document set — exposed so callers can
+    * union sketch frames from differently-derived inputs (e.g. injected
+    * perturbations) WITHOUT stacking the sketch expression on top of a
+    * union: the combined tree blows Spark's whole-stage-codegen method
+    * limit and falls back to interpreted eval (~100× slower on the
+    * aggregate-over-64-masks sketch).
+    */
+  def sketches(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      simhash64(split(TextOps.normalized(col(textCol)), " ")).as("sh"))
+
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3): DataFrame =
+    nearDupPairsFromSketches(sketches(docs, textCol, idCol), maxDist)
+
+  /** Near-dup pairs from an already-built (id, sh) sketch frame. */
+  def nearDupPairsFromSketches(sh: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 31, s"maxDist $maxDist outside [0, 31]")
     val bands = Seq(1, 2, 4, 8, 16, 32).find(_ >= maxDist + 1).get
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val sh = docs.select(col(idCol).as("id"),
-      simhash64(split(TextOps.normalized(col(textCol)), " ")).as("sh"))
     val banded = sh.select(col("id"), col("sh"),
       explode(array((0 until bands).map(b => struct(lit(b).as("band"),
         shiftright(col("sh"), b * width).bitwiseAND(lit(mask)).as("chunk"))): _*)).as("b"))

@@ -100,12 +100,43 @@ object TextOps {
     * minimum of each w-window (Schleimer et al.'s winnowing scheme) —
     * a compact, position-robust fingerprint set for overlap detection.
     */
-  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    val t = normalized(text)
-    val n = length(t)
-    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
-      i => xxhash64(t.substr(i, lit(k))))
-    array_distinct(transform(sequence(lit(0), greatest(size(grams) - w, lit(0))),
-      i => array_min(slice(grams, i + 1, lit(w)))))
-  }
+  /** Binds `v` as a lambda variable so downstream references evaluate an
+    * ATTRIBUTE, not the originating expression tree: inside nested
+    * higher-order-function lambdas Spark re-evaluates referenced child
+    * expressions per element (no cross-lambda subexpression elimination),
+    * which turns an O(n) winnow into O(n²) regex evaluations of
+    * [[normalized]]. The single-element-array transform guarantees one
+    * evaluation regardless of how many lambda levels read it.
+    */
+  private def bindOnce(v: Column, f: Column => Column): Column =
+    get(transform(array(v), x => f(x)), lit(0))
+
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    bindOnce(normalized(text), { t =>
+      val n = length(t)
+      bindOnce(
+        transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+          i => xxhash64(t.substr(i, lit(k)))),
+        g => array_distinct(transform(sequence(lit(0), greatest(size(g) - w, lit(0))),
+          i => array_min(slice(g, i + 1, lit(w))))))
+    })
+
+  /** Winnowing with an engine-portable polynomial k-gram hash
+    * (h = Σ code(cⱼ)·31^(k-1-j), exact in a 64-bit long for k ≤ 8): the
+    * identical winnowing scheme as [[winnowFingerprints]], but any engine
+    * can recompute the fingerprint VALUES, so the whole gram→window-min→
+    * distinct pipeline is externally checkable. Production keeps xxhash64
+    * (better dispersion); this variant is the correctness witness.
+    */
+  def winnowFingerprintsPoly(text: Column, k: Int = 8, w: Int = 4): Column =
+    bindOnce(normalized(text), { t =>
+      val n = length(t)
+      val grams = bindOnce(
+        transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+          i => aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+            (acc, j) => acc * 31L + ascii(t.substr(i + j, lit(1))))),
+        g => array_distinct(transform(sequence(lit(0), greatest(size(g) - w, lit(0))),
+          i => array_min(slice(g, i + 1, lit(w))))))
+      grams
+    })
 }

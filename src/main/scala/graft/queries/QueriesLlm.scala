@@ -113,12 +113,75 @@ object QueriesLlm {
       |SELECT id_a, id_b, round(ni::DOUBLE / nu, 6) AS jaccard
       |FROM p WHERE ni::DOUBLE / nu >= 0.8""".stripMargin
 
+  /** Verify-then-drop MinHash dedup, oracle-checked end-to-end: candidates
+    * from banded LSH, drop decisions from EXACT n-gram Jaccard — so the
+    * DuckDB all-pairs replay predicts the survivors exactly. Together with
+    * [[jaccardPairs]] (candidate recall proof) this closes the loop: the
+    * whole LSH dedup pipeline's OUTPUT is hash-checked, with only the
+    * signature estimate itself engine-specific.
+    */
+  private def minhashVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    MinHash.dedupFuzzyVerified(docs, MinHash.candidatePairs(docs))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_survivors"), sum(col("doc_id")).as("sum_doc_id"))
+  }
+
+  private val minhashVerifiedSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(norm, ' ')) <= 3 THEN [norm]
+      |         ELSE list_transform(range(1, len(string_split(norm, ' ')) - 1),
+      |           i -> array_to_string(list_slice(string_split(norm, ' '), i, i + 2), ' '))
+      |    END AS sh
+      |  FROM d),
+      |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh)) AS ni,
+      |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS nu
+      |  FROM ds a, ds b WHERE a.doc_id < b.doc_id),
+      |dup AS (SELECT DISTINCT id_b FROM p WHERE ni::DOUBLE / nu >= 0.8)
+      |SELECT source, COUNT(*) AS n_survivors, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+      |FROM documents
+      |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.id_b = documents.doc_id)
+      |GROUP BY source""".stripMargin
+
   /** SimHash near-dup pairs by Hamming distance (rows-only). maxDist = 7
     * rides the 8×8-bit banding guarantee (recall 1.0 for dist ≤ 7).
     */
   private def simhash(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDupPairs(Tables.documents(s, dir), maxDist = 7)
       .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+
+  /** SimHash recovery, oracle-checked by construction: inject cosmetically
+    * perturbed copies (uppercased, padded — normalization-equal, so the
+    * sketches are bit-identical) and demand each is recovered paired with
+    * its original at Hamming distance 0. Banding recall at dist 0 is
+    * GUARANTEED (all bands equal), so the expected pair set is exactly the
+    * injected set — engine-independent, predictable by DuckDB. A wrong
+    * normalization, sketch, banding, or join loses a pair and goes red.
+    */
+  private def simhashRecovery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // leading spaces + uppercase only: Spark's trim strips spaces, NOT tabs,
+    // so a trailing "\t" would survive as a trailing token and shift the sketch
+    val injected = docs.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("  "), upper(col("text"))).as("text"))
+    // sketch each side separately (codegen-sized trees), union the sketches
+    val sk = SimHash.sketches(docs).unionByName(SimHash.sketches(injected))
+    SimHash.nearDupPairsFromSketches(sk, maxDist = 7)
+      .filter(col("id_b") === col("id_a") + 1000000 && col("dist") === 0)
+      .agg(count(lit(1)).as("n_recovered"), sum(col("id_a")).as("sum_orig_id"))
+  }
+
+  private val simhashRecoverySql =
+    """SELECT COUNT(*) AS n_recovered, CAST(SUM(doc_id) AS BIGINT) AS sum_orig_id
+      |FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
   /** Exact brute-force cosine top-5 for the first 10 vectors. Both engines
     * do element-wise double math reduced left-to-right, so the rounded
@@ -154,6 +217,21 @@ object QueriesLlm {
     * (2/3)^8 per table) and NOT what buckets are for; no floor is claimed
     * on it. A spec pins near_recall ≥ 0.8 (LlmOpsSpec).
     */
+  /** Shared injected-near-neighbor construction: perturbed copies of every
+    * 50th vector, and the LSH top-1 hits where the copy retrieved its
+    * original. Used by both the honesty metrics ([[ann]]) and the oracled
+    * floor row ([[annNear]]).
+    */
+  private def injectedNearHits(e: DataFrame): (DataFrame, DataFrame) = {
+    val injected = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f) + lit(0.01f)).as("embedding"))
+    val base = e.select(col("vec_id"), col("embedding")).unionByName(injected)
+    val nearHits = Similarity.lshTopK(base, k = 1, bits = 8, tables = 4)
+      .filter(col("query_id") >= 100000 && col("neighbor_id") === col("query_id") - 100000)
+    (injected, nearHits)
+  }
+
   private def ann(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     // noise metric: brute-force top-5 of the first 10 raw vectors
@@ -166,12 +244,7 @@ object QueriesLlm {
       exact("query_id") === approxNoise("aq") && exact("neighbor_id") === approxNoise("an"),
       "left_semi")
     // near-neighbor metric: injected copies must retrieve their original at rank 1
-    val injected = e.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"),
-        transform(col("embedding"), x => x * lit(1.001f) + lit(0.01f)).as("embedding"))
-    val base = e.select(col("vec_id"), col("embedding")).unionByName(injected)
-    val nearHits = Similarity.lshTopK(base, k = 1, bits = 8, tables = 4)
-      .filter(col("query_id") >= 100000 && col("neighbor_id") === col("query_id") - 100000)
+    val (injected, nearHits) = injectedNearHits(e)
     injected.agg(count(lit(1)).as("n_near_queries")).crossJoin(
         nearHits.agg(count(lit(1)).as("n_near_hits"))).crossJoin(
         exact.agg(count(lit(1)).as("n_exact"))).crossJoin(
@@ -181,6 +254,28 @@ object QueriesLlm {
       .withColumn("top5_noise_recall",
         round(col("n_noise_recalled").cast("double") / col("n_exact"), 4))
   }
+
+  /** ANN near-neighbor recall as a HASH-CHECKED row: the DuckDB oracle
+    * computes the injected-query count by construction and asserts recall
+    * 1.0 — with 4 independent 8-bit tables the per-query miss probability
+    * at cosine ≈ 0.9999 is ~1.6e-6 and the hyperplanes are deterministic,
+    * so on this corpus every copy retrieves its original (verified at all
+    * test SFs). Any bucketing/seeding/top-k regression drops a hit and the
+    * row goes red — the driver-visible rot alarm the rows-only metric
+    * couldn't give.
+    */
+  private def annNear(s: SparkSession, dir: String): DataFrame = {
+    val (injected, nearHits) = injectedNearHits(Tables.embeddings(s, dir))
+    injected.agg(count(lit(1)).as("n_near_queries")).crossJoin(
+        nearHits.agg(count(lit(1)).as("n_near_hits")))
+      .withColumn("near_recall",
+        round(col("n_near_hits").cast("double") / col("n_near_queries"), 4))
+  }
+
+  private val annNearSql =
+    """SELECT COUNT(*) AS n_near_queries, COUNT(*) AS n_near_hits,
+      |  1.0::DOUBLE AS near_recall
+      |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
 
   /** Language ID + quality-score buckets per source. Quality is per-row
     * scalar double math (identical bits in any engine), bucketed to
@@ -345,6 +440,42 @@ object QueriesLlm {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_fp").cast("long")).as("sum_fingerprints"))
 
+  /** Winnowing with the engine-portable polynomial hash, oracle-checked
+    * per document: DuckDB recomputes every k-gram hash, window minimum,
+    * and the distinct fingerprint set, then compares count + value
+    * checksum row by row — the gram→window-min→distinct winnowing pipeline
+    * itself is externally verified (the xxhash64 production variant shares
+    * every line but the hash).
+    */
+  private def fingerprintsPoly(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("fp", TextOps.winnowFingerprintsPoly(col("text")))
+      .select(col("doc_id"), size(col("fp")).as("n_fp"),
+        aggregate(transform(col("fp"), x => pmod(x, lit(1000003L))),
+          lit(0L), (a, x) => a + x).as("fp_sum"))
+
+  private val fingerprintsPolySql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(length(t) - 7, 1) + 1),
+      |      i -> CAST(list_sum(list_transform(range(0, 8),
+      |        j -> (CASE WHEN i + j <= length(t)
+      |               THEN ord(substring(t, (i + j)::INTEGER, 1)) ELSE 0 END) *
+      |             [27512614111, 887503681, 28629151, 923521, 29791, 961, 31, 1][(j + 1)::INTEGER]))
+      |        AS BIGINT)) AS grams
+      |  FROM d),
+      |w AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(0, greatest(len(grams) - 4, 0) + 1),
+      |      i -> list_min(list_slice(grams, (i + 1)::INTEGER, (i + 4)::INTEGER)))) AS fp
+      |  FROM g)
+      |SELECT doc_id, CAST(len(fp) AS INTEGER) AS n_fp,
+      |  CAST(list_sum(list_transform(fp, x -> x % 1000003)) AS BIGINT) AS fp_sum
+      |FROM w""".stripMargin
+
   /** J3 — as-of join: each event picks the latest 1-second candle at or
     * before it, per symbol (union-window form, one shuffle). DuckDB oracle
     * uses its native ASOF JOIN.
@@ -376,16 +507,20 @@ object QueriesLlm {
     Q("llm_exact_dedup", dedup, Some(dedupSql)),
     Q("llm_text_stats", stats, Some(statsSql)),
     Q("llm_minhash_dedup", minhash, None, headline = true),
+    Q("llm_minhash_dedup_verified", minhashVerified, Some(minhashVerifiedSql)),
     Q("llm_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("llm_simhash_neardup", simhash, None),
+    Q("llm_simhash_recovery", simhashRecovery, Some(simhashRecoverySql)),
     Q("llm_cosine_topk", cosine, Some(cosineSql), headline = true),
     Q("llm_ann_recall", ann, None),
+    Q("llm_ann_near_recall", annNear, Some(annNearSql)),
     Q("llm_quality_langid", quality, Some(qualitySql)),
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),
     Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
     Q("mm_png_decode", mmPng, Some(mmPngSql)),
     Q("llm_fingerprints", fingerprints, None),
+    Q("llm_fingerprints_poly", fingerprintsPoly, Some(fingerprintsPolySql)),
     Q("j3_asof_join", asof, Some(asofSql))
   )
 }
