@@ -141,6 +141,83 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Real WAV encode kernel: every row gets a genuine RIFF/WAVE payload
+    * (javax.sound.sampled writer — pure JVM) holding 16-bit little-endian
+    * mono PCM with deterministic length `1 + id % maxSamples` and samples
+    * `((i·7 + id) mod 65536) − 32768`, so an oracle can recompute the
+    * expected sample count and amplitude sum in closed form and verify
+    * [[decodeAudio]] end-to-end through a real codec roundtrip (PCM WAV is
+    * lossless).
+    */
+  def encodeWavBatches(df: DataFrame, idCol: String = "doc_id",
+                       sampleRate: Int = 8000, maxSamples: Int = 1000): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("media", BinaryType))
+    val iId = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(iId)
+        val n = (1 + id % maxSamples).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = (((i * 7 + id) % 65536) - 32768).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL audio decode behind the batch-kernel boundary: WAV payloads
+    * (RIFF-sniffed) go through javax.sound.sampled — actual chunk/format
+    * parse, actual PCM read — emitting the true sample rate, channel count,
+    * frame count, and an amplitude sum proving the samples themselves were
+    * read. Non-audio payloads fall back to null metadata. Assumes the
+    * 16-bit little-endian PCM this library emits; a production decoder
+    * branches on the parsed [[javax.sound.sampled.AudioFormat]].
+    */
+  def decodeAudio(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("wav_sample_rate", IntegerType),
+      StructField("wav_channels", IntegerType),
+      StructField("wav_n_samples", LongType),
+      StructField("sample_sum", LongType)))
+    val iM = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](iM)
+        val isWav = bytes != null && bytes.length > 12 &&
+          bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+        if (isWav) {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val nFrames = ais.getFrameLength
+          val data = ais.readAllBytes()
+          var sum = 0L
+          var i = 0
+          while (i < data.length - 1) {
+            sum += ((data(i) & 0xff) | (data(i + 1).toInt << 8)).toShort
+            i += 2
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](
+            fmt.getSampleRate.toInt, fmt.getChannels, nFrames, sum))
+        } else Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null, null))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** The decode boundary as a batch kernel: rows stream through per
     * partition, the stub "decodes" each payload (here: length + first-bytes
     * checksum), and a real implementation would hand each batch to a native

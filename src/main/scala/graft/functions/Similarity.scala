@@ -87,20 +87,24 @@ object Similarity {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** The (table, bucket)-exploded frame behind every LSH path, pinned at a
-    * materialization boundary: the bucket expression is interpreted (bits ×
-    * dims hashes per row) and the frame is consumed by both join sides, so
-    * without the boundary it would be recomputed per consumer. Default = JVM
-    * cache (harness scale); `checkpointDir` = write-parquet + re-read,
-    * mirroring [[MinHash.candidatePairs]] — the 100 TB path where the
-    * bucketed frame outgrows executor storage memory.
+  /** The (vec_id, table, bucket)-exploded frame behind every LSH path —
+    * SCALARS ONLY, pinned at a materialization boundary. Two reasons the
+    * embedding column must not ride along: the frame feeds both sides of a
+    * self-join, so arrays would cross the bucket shuffle ×tables×2; and the
+    * cache boundary's columnar encoding of array columns costs more than
+    * the entire downstream join (measured 2.0 s of a 2.7 s query at bench
+    * scale). Embeddings re-attach from the input frame (one row per id)
+    * only where exact scoring needs them. Default = JVM cache (harness
+    * scale); `checkpointDir` = write-parquet + re-read, mirroring
+    * [[MinHash.candidatePairs]] — the 100 TB path where even the scalar
+    * frame outgrows executor storage memory.
     */
   private def bucketedFrame(vectors: DataFrame, bits: Int, tables: Int,
                             checkpointDir: Option[String]): DataFrame = {
-    val raw = vectors.select(col("vec_id"), col("embedding"),
+    val raw = vectors.select(col("vec_id"),
       explode(array((0 until tables).map(t => struct(lit(t).as("table"),
         lshBucket(col("embedding"), bits, seed = t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"), col("tb.table"), col("tb.bucket"))
+      .select(col("vec_id"), col("tb.table"), col("tb.bucket"))
     checkpointDir match {
       case Some(dir) =>
         raw.write.mode("overwrite").parquet(dir)
@@ -109,27 +113,29 @@ object Similarity {
     }
   }
 
-  /** Approximate top-k: candidates share an LSH bucket; exact cosine
-    * re-ranks within buckets. Recall improves with fewer bits (bigger
-    * buckets) or multiple tables (union over `tables` seeds).
+  /** Approximate top-k: candidate id pairs share an LSH bucket (scalar
+    * join, deduped across tables on two ids); exact cosine re-ranks the
+    * candidates after embeddings re-attach via two hash joins. Recall
+    * improves with fewer bits (bigger buckets) or multiple tables (union
+    * over `tables` seeds).
     */
   def lshTopK(vectors: DataFrame, k: Int = 5, bits: Int = 12, tables: Int = 2,
               checkpointDir: Option[String] = None): DataFrame = {
     val bucketed = bucketedFrame(vectors, bits, tables, checkpointDir)
-    val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
-    // Score inside the bucket join, THEN dedup across tables on the id pair
-    // alone — the multi-table dedup shuffles 3 scalars per candidate, never
-    // the embedding arrays (max() is a no-op: cos is identical per pair).
-    val scored = a.join(b, Seq("table", "bucket"))
+    val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("query_id"))
+    val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("neighbor_id"))
+    val cand = a.join(b, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"))
+    val scored = cand
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("ce")), 6).as("cos"))
-    val cand = scored.groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(col("cos")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Embedding near-dup dedup through LSH buckets — the 100 TB path for
@@ -150,7 +156,9 @@ object Similarity {
     val candidates = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val emb = bucketed.select(col("vec_id"), col("embedding")).distinct()
+    // re-attach embeddings from the INPUT frame (one row per id) — a
+    // distinct over the bucketed frame would shuffle the arrays ×tables
+    val emb = vectors.select(col("vec_id"), col("embedding"))
     val dups = candidates
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")

@@ -433,6 +433,39 @@ object QueriesLlm {
       |  CAST(SUM(h) AS BIGINT) AS sum_height, CAST(SUM(pixsum) AS BIGINT) AS sum_pix
       |FROM px GROUP BY source""".stripMargin
 
+  /** REAL WAV decode, oracle-checked end-to-end: each doc_id becomes a
+    * genuine RIFF/WAVE payload (javax.sound.sampled encode) with
+    * closed-form PCM samples; [[graft.functions.Multimodal.decodeAudio]]
+    * decodes it back through the real codec and the DuckDB oracle
+    * recomputes the expected sample counts and amplitude sums
+    * arithmetically. A wrong chunk parse, sample width, or endianness
+    * hash-mismatches loudly.
+    */
+  private def mmWav(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"))
+    val decoded = graft.functions.Multimodal.decodeAudio(
+      graft.functions.Multimodal.encodeWavBatches(docs))
+    decoded.groupBy(col("source")).agg(
+      count(lit(1)).as("n_clips"),
+      sum(col("wav_sample_rate").cast("long")).as("sum_rate"),
+      sum(col("wav_n_samples")).as("sum_samples"),
+      sum(col("sample_sum")).as("sum_amplitude"))
+  }
+
+  private val mmWavSql =
+    """WITH d AS (
+      |  SELECT source, doc_id, 1 + doc_id % 1000 AS n FROM documents),
+      |s AS (
+      |  SELECT source, doc_id, n,
+      |    list_sum(list_transform(range(0, n),
+      |      i -> (i * 7 + doc_id) % 65536 - 32768)) AS amp
+      |  FROM d)
+      |SELECT source, COUNT(*) AS n_clips,
+      |  CAST(SUM(8000) AS BIGINT) AS sum_rate,
+      |  CAST(SUM(n) AS BIGINT) AS sum_samples,
+      |  CAST(SUM(amp) AS BIGINT) AS sum_amplitude
+      |FROM s GROUP BY source""".stripMargin
+
   /** Winnowing fingerprint summary (rows-only; engine-specific hashes). */
   private def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -519,6 +552,7 @@ object QueriesLlm {
     Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),
     Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
     Q("mm_png_decode", mmPng, Some(mmPngSql)),
+    Q("mm_wav_decode", mmWav, Some(mmWavSql)),
     Q("llm_fingerprints", fingerprints, None),
     Q("llm_fingerprints_poly", fingerprintsPoly, Some(fingerprintsPolySql)),
     Q("j3_asof_join", asof, Some(asofSql))

@@ -60,6 +60,27 @@ class MultimodalSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("WAV encode→decode roundtrips real format and PCM through javax.sound") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((0L, "a"), (7L, "b"), (999L, "c")).toDF("doc_id", "text")
+    val out = Multimodal.decodeAudio(Multimodal.encodeWavBatches(df.select($"doc_id")))
+      .select("doc_id", "wav_sample_rate", "wav_channels", "wav_n_samples", "sample_sum")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    // closed-form expectations: n = 1+id%1000, Σ ((i·7+id)%65536 − 32768)
+    for (id <- Seq(0L, 7L, 999L)) {
+      val n = (1 + id % 1000).toInt
+      val amp = (0 until n).map(i => ((i * 7 + id) % 65536) - 32768).sum
+      assert(out(id) == ((8000, 1, n.toLong, amp)), s"id $id")
+    }
+    // a non-WAV payload degrades to null metadata, not a crash
+    val mixed = Seq((1L, "not a wav")).toDF("doc_id", "text")
+      .withColumn("media", encode(col("text"), "UTF-8"))
+    val row = Multimodal.decodeAudio(mixed).select("wav_sample_rate").collect()(0)
+    assert(row.isNullAt(0))
+  }
+
   test("stub features are unit-ranged, fixed-dim, and usable by Similarity") {
     val session = spark
     import session.implicits._
