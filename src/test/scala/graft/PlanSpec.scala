@@ -58,6 +58,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("struct<doc_id:bigint,text:string>"), "scan reads only id + text")
   }
 
+  test("lsh bucket frame caches scalars only — arrays never ride the self-join") {
+    val e = Tables.embeddings(spark, dir)
+    val df = graft.functions.Similarity.lshTopK(e, k = 1, bits = 8, tables = 2)
+    val cached = df.queryExecution.optimizedPlan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        m.output.map(_.name)
+    }
+    assert(cached.nonEmpty, "the bucketed frame must hit a cache boundary")
+    cached.foreach { cols =>
+      assert(cols.sorted == Seq("bucket", "table", "vec_id"),
+        s"bucket frame must be scalar-only, got $cols — columnar-encoding the " +
+          "embedding arrays costs more than the downstream join")
+    }
+  }
+
   test("w1 production path: one exchange, one window, codegen'd avg") {
     val p = plan(graft.calc.WindowCalcs.withVolumeSpikes(
       CandleAggregator.aggregate(Tables.ticks(spark, dir)), exact = false))
