@@ -202,6 +202,71 @@ object QueriesIngest {
        |      OR high < low OR open <= 0 OR close <= 0
        |      OR volume < 0 OR number_of_trades <= 0) AS n_violations""".stripMargin
 
+  // ---------------------------------------------------------------- S6/P5
+
+  /** S6/P5 — the pushdown scan filter in BOTH interval flavors over a
+    * deterministic 2-symbol subset, with the range end pinned to an actual
+    * tick timestamp so closed (stage 2, aggregator_candles.py:85) and
+    * half-open (stage 3, candle_to_calcs.py:599) genuinely differ on
+    * boundary rows: n_boundary = n_closed − n_half_open ≥ 1 by
+    * construction.
+    */
+  private def s6p5(s: SparkSession, dir: String): DataFrame = {
+    val t = ticks(s, dir)
+    val syms = t.select(col("symbol")).distinct()
+      .orderBy("symbol").limit(2).collect().map(_.getString(0)).toSeq
+    val sub = t.filter(col("symbol").isin(syms: _*))
+    val row = sub.agg(
+      min(col("timestamp")),
+      max(when(col("seq") % 2 === 0, col("timestamp")))).collect()(0)
+    val (start, end) = (row.getTimestamp(0), row.getTimestamp(1))
+    val closed = graft.operators.CandleAggregator.rangeFilter(t, syms, start, end)
+    val halfOpen = graft.operators.CandleAggregator.rangeFilter(
+      t, syms, start, end, endExclusive = true)
+    closed.agg(count(lit(1)).as("n_closed"), sum(col("seq")).as("sum_seq_closed"))
+      .crossJoin(halfOpen.agg(count(lit(1)).as("n_half_open")))
+      .withColumn("n_boundary", col("n_closed") - col("n_half_open"))
+  }
+
+  private val s6p5Sql =
+    s"""$withTicks,
+       |syms AS (SELECT DISTINCT symbol FROM ticks ORDER BY symbol LIMIT 2),
+       |sub AS (SELECT * FROM ticks WHERE symbol IN (SELECT symbol FROM syms)),
+       |rng AS (SELECT min(tstamp) AS lo,
+       |               max(CASE WHEN seq % 2 = 0 THEN tstamp END) AS hi FROM sub)
+       |SELECT COUNT(*) AS n_closed,
+       |  CAST(SUM(seq) AS BIGINT) AS sum_seq_closed,
+       |  COUNT(*) FILTER (WHERE tstamp < hi) AS n_half_open,
+       |  COUNT(*) FILTER (WHERE tstamp = hi) AS n_boundary
+       |FROM sub, rng WHERE tstamp BETWEEN lo AND hi""".stripMargin
+
+  // ---------------------------------------------------------------- A4
+
+  private val a4Path = "/root/repo/target/graft/a4_table"
+
+  /** A4 — the truncate/replace lifecycle verified by read-back: a full
+    * write followed by [[Sinks.replace]] with a one-symbol subset; the
+    * final table must reflect ONLY the replacement (append or partial
+    * truncate would change every audited value).
+    */
+  private def a4Replace(s: SparkSession, dir: String): DataFrame = {
+    val t = ticks(s, dir)
+    Sinks.replace(t, a4Path)
+    val firstSym = t.select(col("symbol")).distinct()
+      .orderBy("symbol").limit(1).collect()(0).getString(0)
+    Sinks.replace(t.filter(col("symbol") === firstSym), a4Path)
+    s.read.parquet(a4Path).agg(
+      count(lit(1)).as("n_rows"), sum(col("seq")).as("sum_seq"),
+      countDistinct(col("symbol")).as("n_symbols"))
+  }
+
+  private val a4Sql =
+    s"""$withTicks,
+       |fs AS (SELECT symbol FROM ticks GROUP BY symbol ORDER BY symbol LIMIT 1)
+       |SELECT COUNT(*) AS n_rows, CAST(SUM(seq) AS BIGINT) AS sum_seq,
+       |  COUNT(DISTINCT symbol) AS n_symbols
+       |FROM ticks WHERE symbol IN (SELECT symbol FROM fs)""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
@@ -209,6 +274,8 @@ object QueriesIngest {
     Q("s5_csv_ingest", s5, Some(s5Sql)),
     Q("a3_sink_roundtrip", a3, Some(a3Sql)),
     Q("s4_columnar_roundtrip", s4, Some(s4Sql)),
-    Q("p4_invariant_check", p4, Some(p4Sql))
+    Q("p4_invariant_check", p4, Some(p4Sql)),
+    Q("s6_p5_range_scan", s6p5, Some(s6p5Sql)),
+    Q("a4_replace_lifecycle", a4Replace, Some(a4Sql))
   )
 }
