@@ -124,19 +124,27 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](iM)
         val isPng = bytes != null && bytes.length > 8 &&
           (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
-        if (isPng) {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
-            y += 1
-          }
-          // Seq[Any]: a plain Seq(Int, Int, Long) would widen the Ints to
-          // Long and break the INT columns' external-type check
-          Row.fromSeq(r.toSeq ++ Seq[Any](img.getWidth, img.getHeight, sum))
-        } else Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null))
+        // the sniff admits truncated/corrupt payloads too: ImageIO returns
+        // null (or throws) on an unreadable stream, and that must degrade to
+        // the null-metadata row, not kill the task
+        val decoded =
+          if (!isPng) None
+          else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: java.io.IOException => None }
+        decoded match {
+          case Some(img) =>
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+              y += 1
+            }
+            // Seq[Any]: a plain Seq(Int, Int, Long) would widen the Ints to
+            // Long and break the INT columns' external-type check
+            Row.fromSeq(r.toSeq ++ Seq[Any](img.getWidth, img.getHeight, sum))
+          case None => Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null))
+        }
       }
     }(Encoders.row(outSchema))
   }
@@ -199,21 +207,30 @@ object Multimodal {
         val isWav = bytes != null && bytes.length > 12 &&
           bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
           bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
-        if (isWav) {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val fmt = ais.getFormat
-          val nFrames = ais.getFrameLength
-          val data = ais.readAllBytes()
-          var sum = 0L
-          var i = 0
-          while (i < data.length - 1) {
-            sum += ((data(i) & 0xff) | (data(i + 1).toInt << 8)).toShort
-            i += 2
+        // a RIFF-sniffed but malformed payload throws from the chunk parse;
+        // degrade to the null-metadata row instead of failing the task
+        val decoded =
+          if (!isWav) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            Some((ais.getFormat, ais.getFrameLength, ais.readAllBytes()))
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
           }
-          Row.fromSeq(r.toSeq ++ Seq[Any](
-            fmt.getSampleRate.toInt, fmt.getChannels, nFrames, sum))
-        } else Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null, null))
+        decoded match {
+          case Some((fmt, nFrames, data)) =>
+            var sum = 0L
+            var i = 0
+            while (i < data.length - 1) {
+              sum += ((data(i) & 0xff) | (data(i + 1).toInt << 8)).toShort
+              i += 2
+            }
+            Row.fromSeq(r.toSeq ++ Seq[Any](
+              fmt.getSampleRate.toInt, fmt.getChannels, nFrames, sum))
+          case None => Row.fromSeq(r.toSeq ++ Seq[Any](null, null, null, null))
+        }
       }
     }(Encoders.row(outSchema))
   }

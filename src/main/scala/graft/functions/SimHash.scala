@@ -38,14 +38,6 @@ object SimHash {
   /** Hamming distance between two 64-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Near-duplicate pairs with Hamming distance ≤ maxDist, via band
-    * bucketing. The band count is derived from maxDist so the pigeonhole
-    * guarantee always holds: with B bands, two sketches at distance ≤ B-1
-    * must agree on at least one whole band. B = next power of two
-    * ≥ maxDist+1 (so 64/B stays integral): maxDist ≤ 3 → 4×16-bit bands,
-    * ≤ 7 → 8×8-bit, ≤ 15 → 16×4-bit. Narrower bands mean coarser buckets
-    * (2^width values) and a bigger candidate join — the recall/cost dial.
-    */
   /** (id, sh) sketch frame for a document set — exposed so callers can
     * union sketch frames from differently-derived inputs (e.g. injected
     * perturbations) WITHOUT stacking the sketch expression on top of a
@@ -57,11 +49,22 @@ object SimHash {
     docs.select(col(idCol).as("id"),
       simhash64(split(TextOps.normalized(col(textCol)), " ")).as("sh"))
 
+  /** Near-duplicate pairs with Hamming distance ≤ maxDist over the
+    * documents' sketches (see [[nearDupPairsFromSketches]] for the banding
+    * contract).
+    */
   def nearDupPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    maxDist: Int = 3): DataFrame =
     nearDupPairsFromSketches(sketches(docs, textCol, idCol), maxDist)
 
-  /** Near-dup pairs from an already-built (id, sh) sketch frame. */
+  /** Near-dup pairs from an already-built (id, sh) sketch frame, via band
+    * bucketing. The band count is derived from maxDist so the pigeonhole
+    * guarantee always holds: with B bands, two sketches at distance ≤ B-1
+    * must agree on at least one whole band. B = next power of two
+    * ≥ maxDist+1 (so 64/B stays integral): maxDist ≤ 3 → 4×16-bit bands,
+    * ≤ 7 → 8×8-bit, ≤ 15 → 16×4-bit. Narrower bands mean coarser buckets
+    * (2^width values) and a bigger candidate join — the recall/cost dial.
+    */
   def nearDupPairsFromSketches(sh: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 31, s"maxDist $maxDist outside [0, 31]")
     val bands = Seq(1, 2, 4, 8, 16, 32).find(_ >= maxDist + 1).get

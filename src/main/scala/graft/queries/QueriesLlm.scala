@@ -167,6 +167,7 @@ object QueriesLlm {
     */
   private def simhashRecovery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    requireIdHeadroom(docs, "doc_id", 1000000L)
     // leading spaces + uppercase only: Spark's trim strips spaces, NOT tabs,
     // so a trailing "\t" would survive as a trailing token and shift the sketch
     val injected = docs.filter(col("doc_id") % 50 === 0)
@@ -217,12 +218,27 @@ object QueriesLlm {
     * (2/3)^8 per table) and NOT what buckets are for; no floor is claimed
     * on it. A spec pins near_recall ≥ 0.8 (LlmOpsSpec).
     */
+  /** Injected-copy id headroom guard: the fixed injection offsets must
+    * clear the real id range, or copies would collide with real ids and the
+    * construction-based oracles would corrupt SILENTLY (an injected-looking
+    * id that is actually a real row). These queries are harness-scale
+    * correctness checks; on a corpus that outgrows the offset this fails
+    * loudly instead.
+    */
+  private def requireIdHeadroom(df: DataFrame, idCol: String, offset: Long): Unit = {
+    val r = df.agg(max(col(idCol).cast("long"))).collect()(0)
+    val maxId = if (r.isNullAt(0)) -1L else r.getLong(0)
+    require(maxId < offset,
+      s"$idCol max $maxId >= injection offset $offset — raise the offset")
+  }
+
   /** Shared injected-near-neighbor construction: perturbed copies of every
     * 50th vector, and the LSH top-1 hits where the copy retrieved its
     * original. Used by both the honesty metrics ([[ann]]) and the oracled
     * floor row ([[annNear]]).
     */
   private def injectedNearHits(e: DataFrame): (DataFrame, DataFrame) = {
+    requireIdHeadroom(e, "vec_id", 100000L)
     val injected = e.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f) + lit(0.01f)).as("embedding"))
@@ -324,6 +340,7 @@ object QueriesLlm {
   private def embedNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    requireIdHeadroom(e, "vec_id", 100000L)
     val injected = e.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001) + lit(0.01)).as("embedding"))
@@ -340,6 +357,7 @@ object QueriesLlm {
   private def embedNearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    requireIdHeadroom(e, "vec_id", 100000L)
     val injected = e.filter(col("vec_id") % 50 === 0)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001) + lit(0.01)).as("embedding"))
@@ -478,7 +496,10 @@ object QueriesLlm {
     * and the distinct fingerprint set, then compares count + value
     * checksum row by row — the gram→window-min→distinct winnowing pipeline
     * itself is externally verified (the xxhash64 production variant shares
-    * every line but the hash).
+    * every line but the hash). Portability caveat: Spark `ascii()` and
+    * DuckDB `ord()` agree on ASCII only (ord is a Unicode code point) — the
+    * documents corpus is pure ASCII (verified, see [[mmFramesSql]]);
+    * non-ASCII data would hash-mismatch loudly rather than silently pass.
     */
   private def fingerprintsPoly(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

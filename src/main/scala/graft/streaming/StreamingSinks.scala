@@ -34,9 +34,12 @@ object StreamingSinks {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // ONLY a missing table may start fresh — any other read failure must
+        // fail the batch (the checkpoint retries it); swallowing it would
+        // overwrite the table with the batch alone and drop every earlier row
         val existing =
           try Some(spark.read.parquet(path))
-          catch { case _: Throwable => None }
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
         val merged = (existing match {
           case Some(old) => TickOps.mergeKeepNew(old, batch, keys)
           case None => batch
@@ -74,12 +77,15 @@ object StreamingSinks {
           // cast the read-back partition column to the batch's dtype:
           // directory values are type-INFERRED on read (a "2024-01-02"
           // string partition comes back DATE), which would poison the merge
+          // ONLY a missing table may start fresh (see upsertParquet): any
+          // other failure propagates so the touched partitions are not
+          // rewritten from the batch alone
           val existing =
             try Some(spark.read.parquet(path)
               .withColumn(partitionCol,
                 col(partitionCol).cast(batch.schema(partitionCol).dataType))
               .filter(col(partitionCol).isInCollection(parts)))
-            catch { case _: Throwable => None }
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
           val merged = (existing match {
             case Some(old) => TickOps.mergeKeepNew(old, batch, keys)
             case None => batch
