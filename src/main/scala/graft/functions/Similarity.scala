@@ -97,7 +97,10 @@ object Similarity {
     * only where exact scoring needs them. Default = JVM cache (harness
     * scale); `checkpointDir` = write-parquet + re-read, mirroring
     * [[MinHash.candidatePairs]] — the 100 TB path where even the scalar
-    * frame outgrows executor storage memory.
+    * frame outgrows executor storage memory. The cached frame lives until
+    * LRU eviction (the consumer's plan holds it; there is no safe point to
+    * unpersist inside a lazy operator) — long-lived sessions doing many LSH
+    * calls should prefer `checkpointDir`, which leaves nothing pinned.
     */
   private def bucketedFrame(vectors: DataFrame, bits: Int, tables: Int,
                             checkpointDir: Option[String]): DataFrame = {
@@ -165,5 +168,100 @@ object Similarity {
       .filter(round(cosine(col("ea"), col("eb")), 6) >= threshold)
       .select(col("id_b").as("__dup")).distinct()
     vectors.join(dups, vectors("vec_id") === dups("__dup"), "left_anti")
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Squared L2 between an embedding column and a centroid literal. */
+  private def l2sq(a: Column, c: Array[Double]): Column =
+    aggregate(zip_with(a, typedLit(c.toSeq),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Index of each vector's nearest centroid (ties → lowest index). */
+  private def nearestList(emb: Column, cents: Array[Array[Double]]): Column = {
+    val d = array(cents.map(c => l2sq(emb, c)): _*)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** Lloyd's k-means over the embedding column, pure DataFrame ops: assign
+    * by nearest-centroid expression (centroids inlined as literals), new
+    * centroids from per-dimension sums, k×dims doubles collected per
+    * iteration (the classic driver-side k-means loop — the collected state
+    * is the MODEL, not data). Init is deterministic farthest-point
+    * (maxmin): seed with the lowest-id vector, then repeatedly add the
+    * vector farthest from its nearest centroid (ties → lowest id) — k-1
+    * TakeOrdered jobs, spread-guaranteed (a lowest-k-ids init can seed one
+    * cluster k times and strand Lloyd there). Empty clusters keep their
+    * previous centroid. Floating sums across a shuffle make low-order
+    * centroid bits run-dependent — consumers must not hang exact equality
+    * on them (IVF recall is floor-checked, not pinned).
+    */
+  def kmeansCentroids(vectors: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
+    val dims = vectors.select(size(col("embedding"))).first().getInt(0)
+    val asDouble = transform(col("embedding"), x => x.cast("double"))
+    var cents = vectors.orderBy(col("vec_id")).limit(1)
+      .select(asDouble).collect().map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "kmeansCentroids: empty input frame")
+    while (cents.length < k) {
+      val dNearest = array_min(array(cents.map(c => l2sq(col("embedding"), c)): _*))
+      cents = cents :+ vectors
+        .select(col("vec_id"), asDouble.as("__e"), dNearest.as("__d"))
+        .orderBy(col("__d").desc, col("vec_id")).limit(1)
+        .collect()(0).getSeq[Double](1).toArray
+    }
+    for (_ <- 0 until iters) {
+      val sums = vectors
+        .withColumn("__list", nearestList(col("embedding"), cents))
+        .groupBy(col("__list"))
+        .agg(count(lit(1)).as("__n"),
+          array((0 until dims).map(i =>
+            sum(col("embedding")(i).cast("double"))): _*).as("__s"))
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Double](2))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        sums.get(i) match {
+          case Some((n, s)) => s.map(_ / n).toArray
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF-flat approximate top-k — the coarse-quantizer scale path beside
+    * [[lshTopK]]: vectors are assigned to `nlist` k-means lists; each query
+    * probes its `nprobe` nearest lists and exact cosine re-ranks only the
+    * candidates there (search cost ≈ nprobe/nlist of the corpus). The
+    * probe join carries scalars only — (id, list) on both sides —
+    * and embeddings re-attach by id for scoring, same discipline as the
+    * LSH paths.
+    */
+  def ivfTopK(vectors: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
+              iters: Int = 5): DataFrame = {
+    val cents = kmeansCentroids(vectors, nlist, iters)
+    val corpus = vectors
+      .select(col("vec_id").as("neighbor_id"),
+        nearestList(col("embedding"), cents).as("list"))
+    // nprobe nearest lists per query: sort (distance, index) structs — the
+    // struct order breaks ties on the lower index, deterministically
+    val d = array(cents.map(c => l2sq(col("embedding"), c)): _*)
+    val ranked = array_sort(transform(sequence(lit(0), lit(nlist - 1)),
+      i => struct(element_at(d, i + 1).as("d"), i.as("i"))))
+    val probes = vectors
+      .select(col("vec_id").as("query_id"),
+        explode(transform(slice(ranked, 1, nprobe), s => s.getField("i"))).as("list"))
+    val cand = probes.join(corpus, "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"))
+    val scored = cand
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 }

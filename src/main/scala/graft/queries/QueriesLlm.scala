@@ -293,6 +293,34 @@ object QueriesLlm {
       |  1.0::DOUBLE AS near_recall
       |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
 
+  /** IVF near-neighbor recall, floor-oracled: same injected-copy retrieval
+    * task as [[annNear]], through the coarse-quantizer path
+    * ([[Similarity.ivfTopK]], k-means lists + nprobe probing). The floor
+    * (≥ 0.9) rather than exact 1.0: k-means centroids carry run-dependent
+    * low-order float bits (shuffle-order sums), so a boundary vector's list
+    * can legitimately flip between runs — the floor is what the operator
+    * contracts, and the DuckDB oracle pins it as a hash-checked boolean.
+    */
+  private def ivfNear(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    requireIdHeadroom(e, "vec_id", 100000L)
+    val injected = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f) + lit(0.01f)).as("embedding"))
+    val base = e.select(col("vec_id"), col("embedding")).unionByName(injected)
+    val hits = Similarity.ivfTopK(base, k = 1, nlist = 16, nprobe = 4)
+      .filter(col("query_id") >= 100000 && col("neighbor_id") === col("query_id") - 100000)
+    injected.agg(count(lit(1)).as("n_near_queries")).crossJoin(
+        hits.agg(count(lit(1)).as("n_near_hits")))
+      .select(col("n_near_queries"),
+        (col("n_near_hits").cast("double") / col("n_near_queries") >= 0.9)
+          .as("passes_floor"))
+  }
+
+  private val ivfNearSql =
+    """SELECT COUNT(*) AS n_near_queries, true AS passes_floor
+      |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+
   /** Language ID + quality-score buckets per source. Quality is per-row
     * scalar double math (identical bits in any engine), bucketed to
     * integers so the oracle comparison is exact.
@@ -568,6 +596,7 @@ object QueriesLlm {
     Q("llm_cosine_topk", cosine, Some(cosineSql), headline = true),
     Q("llm_ann_recall", ann, None),
     Q("llm_ann_near_recall", annNear, Some(annNearSql)),
+    Q("llm_ivf_near_recall", ivfNear, Some(ivfNearSql)),
     Q("llm_quality_langid", quality, Some(qualitySql)),
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),

@@ -138,4 +138,22 @@ class LlmOpsSpec extends SparkSpec {
     // shared content → large fingerprint overlap despite the shift
     assert((a intersect b).size.toDouble / a.size > 0.5)
   }
+
+  test("IVF retrieves cluster-mates as nearest neighbors on separable clusters") {
+    // three tight clusters far apart: with nlist=3 and nprobe=1 every
+    // point's true nearest neighbor sits in its own (probed) list, so the
+    // coarse quantizer must not cost a single top-1 hit
+    val pts = for {
+      (center, ci) <- Seq(Array(10f, 0f, 0f), Array(0f, 10f, 0f), Array(0f, 0f, 10f)).zipWithIndex
+      j <- 0 until 4
+    } yield ((ci * 4 + j).toLong, center.map(_ + j * 0.01f))
+    val df = pts.toDF("vec_id", "embedding")
+    val top1 = Similarity.ivfTopK(df, k = 1, nlist = 3, nprobe = 1, iters = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(top1.size == pts.size)
+    pts.foreach { case (id, _) =>
+      assert(top1(id) / 4 == id / 4, s"vec $id retrieved ${top1(id)} from another cluster")
+    }
+  }
 }
