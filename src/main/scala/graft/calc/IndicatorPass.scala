@@ -164,6 +164,14 @@ object IndicatorPass {
     * exactly when candles are dense; across an empty gap wider than the
     * window a bucket starts cold (the reference would carry stale rows —
     * semantics across day-scale gaps are equally arbitrary either way).
+    * A gap that consumes only PART of the window leaves proportionally
+    * fewer warm-up rows and degrades the bound gracefully — measured
+    * (IndicatorBucketedSpec's randomized-layout property): ~550 remaining
+    * rows put the T3 cascade at ~1e-4 relative; raise `warmupRows` if
+    * gap-adjacent bucket boundaries need the full 5e-9 precision. A
+    * row-count-based overlap would hold precision across gaps but needs a
+    * per-symbol global row index — the single-partition-per-symbol
+    * sequencing this bucketing exists to avoid.
     */
   final case class BucketSpec(bucketSeconds: Long, warmupRows: Int = 960,
                               rowIntervalSeconds: Double = 1.0)
