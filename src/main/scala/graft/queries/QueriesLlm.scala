@@ -479,6 +479,77 @@ object QueriesLlm {
       |  CAST(SUM(h) AS BIGINT) AS sum_height, CAST(SUM(pixsum) AS BIGINT) AS sum_pix
       |FROM px GROUP BY source""".stripMargin
 
+  /** The training-corpus pipeline END-TO-END, hash-checked as one flow:
+    * quality gate (score ≥ 0.3) → language ID → exact content dedup →
+    * LSH-candidate + exact-Jaccard-verified fuzzy dedup → per-language
+    * corpus stats. Each stage is individually oracled elsewhere
+    * ([[quality]], [[dedup]], [[minhashVerified]], [[stats]]); this row
+    * proves they COMPOSE — the DuckDB oracle replays the whole funnel over
+    * the same corpus, so a stage-ordering or column-propagation bug that
+    * every per-stage check would miss goes red here.
+    */
+  private def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val kept = docs
+      .withColumn("pred_lang", TextOps.langId(col("text")))
+      .filter(TextOps.qualityScore(col("text")) >= 0.3)
+    val exact = TextOps.dedupExact(kept)
+    val fuzzy = MinHash.dedupFuzzyVerified(exact, MinHash.candidatePairs(exact))
+    fuzzy.groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("sum_tokens"))
+  }
+
+  private val corpusPipelineSql = {
+    val en = TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    val langCases = TextOps.stopwords.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"struct_pack(score := len(list_filter(toks, t -> t IN ($lst)))::DOUBLE / greatest(len(toks), 1), lang := '$lang')"
+    }.mkString(",\n      ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, text, norm, toks,
+       |    list_sort([
+       |      $langCases
+       |    ])[-1] AS best,
+       |    CASE WHEN len(list_filter(toks, t -> t SIMILAR TO '\\S+')) BETWEEN 5 AND 100000
+       |      THEN 1.0 ELSE 0.0 END *
+       |    (0.5 * (length(text) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')))::DOUBLE / greatest(length(text), 1) +
+       |     0.5 * least(len(list_filter(toks, t -> t IN ($en)))::DOUBLE / greatest(len(toks), 1) * 5, 1.0)) AS q
+       |  FROM base),
+       |kept AS (
+       |  SELECT doc_id, text, norm,
+       |    CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS pred_lang
+       |  FROM scored WHERE q >= 0.3),
+       |exact AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+       |    FROM kept) WHERE rn = 1),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(string_split(norm, ' ')) <= 3 THEN [norm]
+       |         ELSE list_transform(range(1, len(string_split(norm, ' ')) - 1),
+       |           i -> array_to_string(list_slice(string_split(norm, ' '), i, i + 2), ' '))
+       |    END) AS sh
+       |  FROM exact),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.sh, b.sh)) AS ni,
+       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS nu
+       |  FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+       |dup AS (SELECT DISTINCT id_b FROM p WHERE ni::DOUBLE / nu >= 0.8)
+       |SELECT pred_lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+       |    ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens
+       |FROM exact
+       |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.id_b = exact.doc_id)
+       |GROUP BY pred_lang""".stripMargin
+  }
+
   /** REAL WAV decode, oracle-checked end-to-end: each doc_id becomes a
     * genuine RIFF/WAVE payload (javax.sound.sampled encode) with
     * closed-form PCM samples; [[graft.functions.Multimodal.decodeAudio]]
@@ -598,6 +669,7 @@ object QueriesLlm {
     Q("llm_ann_near_recall", annNear, Some(annNearSql)),
     Q("llm_ivf_near_recall", ivfNear, Some(ivfNearSql)),
     Q("llm_quality_langid", quality, Some(qualitySql)),
+    Q("llm_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql)),
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),
     Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
