@@ -126,11 +126,13 @@ object Multimodal {
           (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
         // the sniff admits truncated/corrupt payloads too: ImageIO returns
         // null (or throws) on an unreadable stream, and that must degrade to
-        // the null-metadata row, not kill the task
+        // the null-metadata row, not kill the task — NonFatal, not just
+        // IOException: malformed headers can surface as runtime exceptions
+        // (IllegalArgument, NegativeArraySize, index-out-of-bounds)
         val decoded =
           if (!isPng) None
           else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
           case Some(img) =>
             var sum = 0L
@@ -208,7 +210,9 @@ object Multimodal {
           bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
           bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
         // a RIFF-sniffed but malformed payload throws from the chunk parse;
-        // degrade to the null-metadata row instead of failing the task
+        // degrade to the null-metadata row instead of failing the task —
+        // NonFatal, not an exception whitelist: decoder internals throw
+        // runtime exceptions on corrupt size/format fields too
         val decoded =
           if (!isWav) None
           else try {
@@ -216,8 +220,7 @@ object Multimodal {
               new java.io.ByteArrayInputStream(bytes))
             Some((ais.getFormat, ais.getFrameLength, ais.readAllBytes()))
           } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException => None
-            case _: java.io.IOException => None
+            case scala.util.control.NonFatal(_) => None
           }
         decoded match {
           case Some((fmt, nFrames, data)) =>

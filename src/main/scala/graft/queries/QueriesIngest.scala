@@ -242,14 +242,16 @@ object QueriesIngest {
 
   // ---------------------------------------------------------------- A4
 
-  private val a4Path = "/root/repo/target/graft/a4_table"
-
   /** A4 — the truncate/replace lifecycle verified by read-back: a full
     * write followed by [[Sinks.replace]] with a one-symbol subset; the
     * final table must reflect ONLY the replacement (append or partial
-    * truncate would change every audited value).
+    * truncate would change every audited value). The table lives in a
+    * fresh per-invocation temp dir — no repo-rooted path to break on a
+    * different checkout, no shared location for concurrent runs to race on.
     */
   private def a4Replace(s: SparkSession, dir: String): DataFrame = {
+    val a4Path = java.nio.file.Files
+      .createTempDirectory("graft_a4_").resolve("a4_table").toString
     val t = ticks(s, dir)
     Sinks.replace(t, a4Path)
     val firstSym = t.select(col("symbol")).distinct()

@@ -70,10 +70,14 @@ object RestIngest {
     Left(last)
   }
 
-  /** Fetch one (symbol, date): pages of `limit` rows advanced by skip until
-    * a short page; each page rate-limited and retried. A page that exhausts
-    * its retries records a failure and returns what was fetched so far —
-    * the crawl over other (symbol, date) cells continues.
+  /** Fetch one (symbol, date): pages of `limit` rows advanced by
+    * `skip += limit` until an EMPTY page — the reference's exact loop
+    * (fetch_historical_trades_nvda.py:345-353), which costs one extra
+    * trailing call but never drops rows should the API return a
+    * short-but-nonempty page (server-side truncation, live appends). Each
+    * page is rate-limited and retried. A page that exhausts its retries
+    * records a failure and returns what was fetched so far — the crawl over
+    * other (symbol, date) cells continues.
     */
   def fetchDay(symbol: String, date: String,
                fetchPage: (String, Int, Int) => Seq[RawTick],
@@ -88,8 +92,8 @@ object RestIngest {
       withRetry(sleep = retrySleep)(() => fetchPage(symbol, skip, limit)) match {
         case Right(page) =>
           out ++= page
-          skip += page.size
-          done = page.size < limit
+          skip += limit
+          done = page.isEmpty
         case Left(err) =>
           return (out.toSeq, Some(FetchFailure(symbol, date, err)))
       }

@@ -14,7 +14,7 @@ class RestIngestSpec extends SparkSpec {
 
   private def tick(i: Int): RawTick = RawTick("NVDA", 1700000000000L + i, 100.0 + i, 1.0)
 
-  test("fetchDay paginates by skip until a short page and concatenates in order") {
+  test("fetchDay paginates by skip until an empty page and concatenates in order") {
     val total = 2 * 24000 + 137
     val calls = ArrayBuffer.empty[Int]
     val fetch = (_: String, skip: Int, limit: Int) => {
@@ -23,7 +23,9 @@ class RestIngestSpec extends SparkSpec {
     }
     val (rows, failure) = fetchDay("NVDA", "2024-01-02", fetch, new RateLimiter())
     assert(failure.isEmpty)
-    assert(calls.toSeq == Seq(0, 24000, 48000))
+    // the reference loop: the short page at 48000 does NOT terminate; the
+    // empty page at 72000 does (fetch_historical_trades_nvda.py:345-353)
+    assert(calls.toSeq == Seq(0, 24000, 48000, 72000))
     assert(rows.size == total)
     assert(rows.map(_.epochMs) == (0 until total).map(i => 1700000000000L + i))
   }
