@@ -22,6 +22,7 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      .withExtensions(graft.functions.VectorExprs.register)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -214,7 +214,13 @@ object MinHash {
       case Some(dir) =>
         sigRaw.write.mode("overwrite").parquet(dir)
         docs.sparkSession.read.parquet(dir)
-      case None => sigRaw.cache()
+      case None =>
+        // eager, not lazy: three subtrees of one downstream action consume
+        // this frame (band explode + both re-attach sides); a lazy cache
+        // lets them race and re-run the text kernel concurrently
+        val cached = sigRaw.cache()
+        cached.count()
+        cached
     }
     val banded = sigd.select(col("id"), explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
     // per-side key rename: a self-join on the same lineage would otherwise

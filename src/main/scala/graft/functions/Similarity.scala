@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two float arrays, in double, sequential order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ over two float/double arrays, in double, sequential order —
+    * the codegen'd native expression ([[DotProduct]]); value-identical to
+    * the higher-order form `aggregate(zip_with(..x·y..), 0.0, _+_)` it
+    * replaced (widen-to-double, left-to-right, null on mismatch), pinned by
+    * VectorExprsSpec.
+    */
+  def dot(a: Column, b: Column): Column = VectorExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -112,7 +115,14 @@ object Similarity {
       case Some(dir) =>
         raw.write.mode("overwrite").parquet(dir)
         vectors.sparkSession.read.parquet(dir)
-      case None => raw.cache()
+      case None =>
+        // materialize EAGERLY: the frame feeds both sides of a self-join in
+        // ONE downstream action, and a lazy cache lets the two sides race to
+        // compute it concurrently (observed as "Block already exists"
+        // recompute warnings and ~2× the bucketing cost at bench scale)
+        val cached = raw.cache()
+        cached.count()
+        cached
     }
   }
 

@@ -64,7 +64,10 @@ object QueriesLlm {
     */
   private def minhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // eager cache: four crossJoined aggregate subtrees consume `pairs` in
+    // the single downstream action; lazy, they race to compute it
     val pairs = MinHash.candidatePairs(docs).cache()
+    pairs.count()
     val survivors = MinHash.dedupFuzzyFromPairs(docs, pairs)
     // LSH-then-verify: true n-gram Jaccard on the candidates only
     val verified = MinHash.withExactJaccard(pairs, docs)

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The native [[DotProduct]] expression: bit-equivalence with the
+  * higher-order form it replaced (the DuckDB oracles hang on that), the
+  * zip_with-mirroring null semantics, and the codegen contract — the whole
+  * point of a native expression over a kernel is that it fuses into the
+  * surrounding whole-stage-codegen span.
+  */
+class VectorExprsSpec extends SparkSpec {
+
+  /** The exact higher-order form DotProduct replaced in Similarity.dot. */
+  private def hoDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  test("bit-identical to the higher-order fold on float and double arrays") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(64) { i =>
+      (i.toLong, Array.fill(48)(rnd.nextFloat() * 2 - 1), Array.fill(48)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "fa", "da")
+      .withColumn("fb", reverse(col("fa")))
+      .withColumn("db", reverse(col("da")))
+    val out = df.select(
+      VectorExprs.dotProduct(col("fa"), col("fb")).as("nf"),
+      hoDot(col("fa"), col("fb")).as("hf"),
+      VectorExprs.dotProduct(col("da"), col("db")).as("nd"),
+      hoDot(col("da"), col("db")).as("hd"),
+      // mixed element types widen like the cast chain did
+      VectorExprs.dotProduct(col("fa"), col("db")).as("nm"),
+      hoDot(col("fa"), col("db")).as("hm")).collect()
+    out.foreach { r =>
+      // == not approx: the contract is identical double bits, not closeness
+      assert(r.getDouble(0) == r.getDouble(1), "float path diverged")
+      assert(r.getDouble(2) == r.getDouble(3), "double path diverged")
+      assert(r.getDouble(4) == r.getDouble(5), "mixed path diverged")
+    }
+  }
+
+  test("null semantics mirror zip_with: mismatch, null element, null array") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)), // length mismatch
+      (2L, Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)), // null element
+      (3L, null, Seq[java.lang.Double](3.0, 4.0)), // null array
+      (4L, Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        VectorExprs.dotProduct(col("a"), col("b")).as("n"),
+        hoDot(col("a"), col("b")).as("h"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null-ness diverged on id ${r.getLong(0)}")
+      if (!r.isNullAt(1)) assert(r.getDouble(1) == r.getDouble(2))
+    }
+    assert(got.take(3).forall(_.isNullAt(1)) && !got(3).isNullAt(1))
+  }
+
+  test("dot product runs inside WholeStageCodegen and is SQL-callable") {
+    val session = spark
+    import session.implicits._
+    // a range source (not a literal LocalRelation, which the optimizer would
+    // fold away entirely) so a genuine codegen stage surrounds the dot
+    val df = spark.range(8)
+      .select(col("id"), array(col("id").cast("double"), lit(2.0)).as("e"))
+    val projected = df.select(VectorExprs.dotProduct(col("e"), col("e")).as("d"))
+    val ep = projected.queryExecution.executedPlan.toString
+    // `*(n)` is the WholeStageCodegen stage marker in the plan string — the
+    // Project carrying graft_dot must sit inside a codegen span
+    assert(ep.linesIterator.exists(l => l.contains("graft_dot") && l.trim.startsWith("*(")),
+      s"dot must codegen, got:\n$ep")
+    assert(projected.orderBy("d").collect()(0).getDouble(0) == 4.0) // 0*0 + 2*2
+    // the registry route: usable from SQL text through the injected function
+    df.createOrReplaceTempView("ve_t")
+    val viaSql = spark.sql("SELECT graft_dot(e, e) AS d FROM ve_t WHERE id = 1")
+      .collect()(0).getDouble(0)
+    assert(viaSql == 5.0)
+  }
+}
