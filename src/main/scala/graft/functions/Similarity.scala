@@ -76,6 +76,11 @@ object Similarity {
 
   /** b-bit sign-random-projection bucket of an embedding; `seed` selects an
     * independent hash table's hyperplane family.
+    *
+    * This is the executable SPEC of the bucketing — the production path is
+    * the native [[SignProjectionBuckets]] expression (all tables in one
+    * compiled pass, hyperplane matrix cached per executor), pinned
+    * bit-identical to this form by VectorExprsSpec.
     */
   def lshBucket(embedding: Column, bits: Int = 12, seed: Int = 0): Column = {
     val masks = array((0 until bits).map(j => lit(1L << j)): _*)
@@ -107,10 +112,11 @@ object Similarity {
     */
   private def bucketedFrame(vectors: DataFrame, bits: Int, tables: Int,
                             checkpointDir: Option[String]): DataFrame = {
+    // one native pass computes every table's bucket (posexplode position =
+    // table index, matching the former lit(t) struct layout exactly)
     val raw = vectors.select(col("vec_id"),
-      explode(array((0 until tables).map(t => struct(lit(t).as("table"),
-        lshBucket(col("embedding"), bits, seed = t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table"), col("tb.bucket"))
+        VectorExprs.signBuckets(col("embedding"), bits, tables).as("bks"))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("table", "bucket")))
     checkpointDir match {
       case Some(dir) =>
         raw.write.mode("overwrite").parquet(dir)

@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 
@@ -30,11 +30,12 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 object VectorExprs {
 
   val DotName = "graft_dot"
+  val SignBucketsName = "graft_sign_buckets"
 
   /** Register the native functions on a session builder via the public
     * extensions API — every [[graft.core.GraftSession]] gets them.
     */
-  def register(ext: SparkSessionExtensions): Unit =
+  def register(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier(DotName),
       new ExpressionInfo(classOf[DotProduct].getName, DotName),
@@ -42,12 +43,36 @@ object VectorExprs {
         require(children.length == 2, s"$DotName expects exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier(SignBucketsName),
+      new ExpressionInfo(classOf[SignProjectionBuckets].getName, SignBucketsName),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, s"$SignBucketsName expects (embedding, bits, tables)")
+        def intArg(e: Expression, name: String): Int = {
+          require(e.foldable, s"$SignBucketsName: $name must be a literal")
+          e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"$SignBucketsName: $name must be an int literal, got $other")
+          }
+        }
+        SignProjectionBuckets(children.head,
+          intArg(children(1), "bits"), intArg(children(2), "tables"))
+      }))
+  }
 
   /** Column-API face of [[DotProduct]] (resolved through the registry, so
     * the expression is usable from SQL text as well).
     */
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(DotName, a, b)
+
+  /** Column-API face of [[SignProjectionBuckets]]: all `tables` LSH buckets
+    * of an embedding in one native pass.
+    */
+  def signBuckets(embedding: Column, bits: Int, tables: Int): Column =
+    org.apache.spark.sql.functions.call_function(SignBucketsName, embedding,
+      org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(tables))
 }
 
 /** Σ aᵢ·bᵢ over two float/double arrays in double precision, sequential
@@ -120,4 +145,137 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** All `tables` sign-random-projection LSH buckets of an embedding, as one
+  * native pass: element `t` of the result is the b-bit bucket whose bit `j`
+  * is the sign of the dot product with deterministic pseudo-random
+  * hyperplane `p = t·bits + j` (components derived per (plane, dim) from
+  * xxhash64, exactly like [[Similarity.lshBucket]] — the two are pinned
+  * bit-identical by VectorExprsSpec, so every bucket-dependent oracle keeps
+  * its meaning).
+  *
+  * Why native: the higher-order form nests aggregate∘zip_with∘aggregate and
+  * evaluates interpreted — tables × bits × dims lambda invocations with an
+  * xxhash64 expression eval per element, PER ROW. Here the hyperplane matrix
+  * is derived once per executor and cached (the hashes depend only on
+  * (plane, dim), never on data), and each row costs tables × bits × dims
+  * primitive multiply-adds in compiled loops. `doGenCode` emits a call into
+  * the cached helper, so surrounding expressions stay inside the
+  * whole-stage-codegen span.
+  *
+  * Null semantics mirror the higher-order form: null array → null; a null
+  * ELEMENT nulls every projection it touches, which leaves those sign bits
+  * unset (`when(proj >= 0, m).otherwise(0)` on a null proj takes the
+  * otherwise branch).
+  */
+case class SignProjectionBuckets(child: Expression, bits: Int, tables: Int)
+  extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  require(tables >= 1, s"tables must be >= 1, got $tables")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = VectorExprs.SignBucketsName
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float|double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val helper = {
+    val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    new SignProjectionHelper(bits, tables, isFloat)
+  }
+
+  override def nullSafeEval(a: Any): Any = helper.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val h = ctx.addReferenceObj("signProj", helper, classOf[SignProjectionHelper].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $h.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignProjectionBuckets =
+    copy(child = newChild)
+}
+
+/** The compiled core of [[SignProjectionBuckets]], shared between the
+  * interpreted and codegen paths. Thread-safe lazy hyperplane cache: the
+  * matrix depends only on (plane, dim) and is rebuilt solely when a wider
+  * embedding appears (never in practice — corpora are fixed-dim).
+  */
+final class SignProjectionHelper(bits: Int, tables: Int, floatElems: Boolean)
+  extends Serializable {
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  @transient @volatile private var planes: Array[Double] = _
+  @transient private var dims: Int = -1
+
+  /** Exactly Spark's `xxhash64(p, d)` over two int columns (seed 42,
+    * chained), reduced the way [[Similarity.planeComponent]] reduces it.
+    */
+  private def component(p: Int, d: Int): Double = {
+    val h = XXH64.hashInt(d, XXH64.hashInt(p, 42L))
+    val m = ((h % 2000001L) + 2000001L) % 2000001L
+    (m - 1000000L).toDouble / 1000000.0
+  }
+
+  private def ensure(n: Int): Array[Double] = {
+    var pl = planes
+    if (pl == null || n > dims) synchronized {
+      pl = planes
+      if (pl == null || n > dims) {
+        val np = tables * bits
+        pl = new Array[Double](np * n)
+        var p = 0
+        while (p < np) {
+          var d = 0
+          while (d < n) { pl(p * n + d) = component(p, d); d += 1 }
+          p += 1
+        }
+        dims = n
+        planes = pl
+      }
+    }
+    pl
+  }
+
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val pl = ensure(n)
+    // derive the layout width from the matrix itself (>= n): `dims` could
+    // be concurrently widened by another thread after `ensure` returns
+    val stride = pl.length / (tables * bits)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val p = t * bits + j
+        var s = 0.0
+        var anyNull = false
+        var d = 0
+        while (d < n && !anyNull) {
+          if (arr.isNullAt(d)) anyNull = true
+          else {
+            val x = if (floatElems) arr.getFloat(d).toDouble else arr.getDouble(d)
+            s += x * pl(p * stride + d)
+          }
+          d += 1
+        }
+        if (!anyNull && s >= 0) bucket |= 1L << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
 }

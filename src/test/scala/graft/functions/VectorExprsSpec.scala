@@ -63,6 +63,49 @@ class VectorExprsSpec extends SparkSpec {
     assert(got.take(3).forall(_.isNullAt(1)) && !got(3).isNullAt(1))
   }
 
+  test("sign buckets are bit-identical to the lshBucket expression spec") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(11)
+    val floats = Seq.tabulate(40)(i => (i.toLong, Array.fill(24)(rnd.nextFloat() * 2 - 1)))
+    val doubles = Seq.tabulate(40)(i => (i.toLong, Array.fill(24)(rnd.nextDouble() * 2 - 1)))
+    val bits = 8
+    val tables = 3
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = df.select(col("id"),
+          VectorExprs.signBuckets(col("embedding"), bits, tables).as("native"),
+          array((0 until tables).map(t =>
+            Similarity.lshBucket(col("embedding"), bits, seed = t)): _*).as("spec"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"bucket divergence for id ${r.getLong(0)}")
+      }
+    }
+    check(floats.toDF("id", "embedding"))
+    check(doubles.toDF("id", "embedding"))
+  }
+
+  test("sign buckets null semantics: null array -> null; null element drops its bits") {
+    val session = spark
+    import session.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Double](0.5, -0.25, 1.0)),
+      (2L, Seq[java.lang.Double](0.5, null, 1.0)),
+      (3L, null)
+    ).toDF("id", "embedding")
+    val got = df.select(col("id"),
+        VectorExprs.signBuckets(col("embedding"), 6, 2).as("native"),
+        array((0 until 2).map(t =>
+          Similarity.lshBucket(col("embedding"), 6, seed = t)): _*).as("spec"))
+      .orderBy("id").collect()
+    // row 2: every projection touches the null element -> all signs unset
+    assert(got(1).getSeq[Long](1) == Seq(0L, 0L))
+    assert(got(1).getSeq[Long](1) == got(1).getSeq[Long](2))
+    assert(got(0).getSeq[Long](1) == got(0).getSeq[Long](2))
+    assert(got(2).isNullAt(1))
+  }
+
   test("dot product runs inside WholeStageCodegen and is SQL-callable") {
     val session = spark
     import session.implicits._
