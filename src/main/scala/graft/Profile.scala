@@ -64,7 +64,7 @@ object Profile {
     // the actual registry queries, materialized like Bench does, 2 reps
     def benchLike(name: String): Unit = {
       val fn = graft.queries.Registry.queries(name)
-      (1 to 2).foreach { rep =>
+      (1 to 4).foreach { rep =>
         spark.catalog.clearCache()
         time(s"QUERY $name rep$rep") {
           val df = fn(spark, dir)

@@ -19,6 +19,10 @@ object SimHash {
 
   /** 64-bit SimHash of the token array: per bit, sum ±1 over token hashes;
     * sign becomes the bit.
+    *
+    * This is the executable SPEC — the production path is the native
+    * [[SimHash64]] expression (one compiled pass per document), pinned
+    * bit-identical to this form by VectorExprsSpec.
     */
   def simhash64(tokens: Column): Column = {
     // counters: per bit j, Σ tokens (bit j set ? +1 : -1)
@@ -47,7 +51,7 @@ object SimHash {
     */
   def sketches(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol).as("id"),
-      simhash64(split(TextOps.normalized(col(textCol)), " ")).as("sh"))
+      VectorExprs.simHash64(split(TextOps.normalized(col(textCol)), " ")).as("sh"))
 
   /** Near-duplicate pairs with Hamming distance ≤ maxDist over the
     * documents' sketches (see [[nearDupPairsFromSketches]] for the banding

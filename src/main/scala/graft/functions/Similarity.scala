@@ -188,11 +188,13 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Squared L2 between an embedding column and a centroid literal. */
+  /** Squared L2 between an embedding column and a centroid literal — the
+    * native [[L2SqDistance]] expression (the IVF coarse quantizer computes
+    * nlist of these per row; interpreted, that was nlist × dims lambda
+    * evals each). Value-identical to the higher-order form it replaced.
+    */
   private def l2sq(a: Column, c: Array[Double]): Column =
-    aggregate(zip_with(a, typedLit(c.toSeq),
-        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-      lit(0.0), (acc, v) => acc + v)
+    VectorExprs.l2Sq(a, typedLit(c.toSeq))
 
   /** Index of each vector's nearest centroid (ties → lowest index). */
   private def nearestList(emb: Column, cents: Array[Array[Double]]): Column = {

@@ -30,7 +30,9 @@ import org.apache.spark.sql.{Column, SparkSessionExtensions}
 object VectorExprs {
 
   val DotName = "graft_dot"
+  val L2Name = "graft_l2sq"
   val SignBucketsName = "graft_sign_buckets"
+  val SimHashName = "graft_simhash64"
 
   /** Register the native functions on a session builder via the public
     * extensions API — every [[graft.core.GraftSession]] gets them.
@@ -42,6 +44,20 @@ object VectorExprs {
       (children: Seq[Expression]) => {
         require(children.length == 2, s"$DotName expects exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier(L2Name),
+      new ExpressionInfo(classOf[L2SqDistance].getName, L2Name),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, s"$L2Name expects exactly 2 arguments")
+        L2SqDistance(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier(SimHashName),
+      new ExpressionInfo(classOf[SimHash64].getName, SimHashName),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"$SimHashName expects exactly 1 argument")
+        SimHash64(children.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier(SignBucketsName),
@@ -66,6 +82,14 @@ object VectorExprs {
     */
   def dotProduct(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function(DotName, a, b)
+
+  /** Column-API face of [[L2SqDistance]]. */
+  def l2Sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function(L2Name, a, b)
+
+  /** Column-API face of [[SimHash64]]. */
+  def simHash64(tokens: Column): Column =
+    org.apache.spark.sql.functions.call_function(SimHashName, tokens)
 
   /** Column-API face of [[SignProjectionBuckets]]: all `tables` LSH buckets
     * of an embedding in one native pass.
@@ -145,6 +169,148 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Σ (aᵢ−bᵢ)² over two float/double arrays in double precision, sequential
+  * order — the squared-L2 companion to [[DotProduct]], same codegen shape,
+  * same null semantics, value-identical to the higher-order form
+  * `aggregate(zip_with(a, b, (x, y) => (x−y)·(x−y)), 0.0, _ + _)` it
+  * replaces in the IVF coarse quantizer (centroid literals ride as the
+  * right child).
+  */
+case class L2SqDistance(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = VectorExprs.L2Name
+
+  private def elem(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<float|double>, array<float|double>), got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val xf = elem(left) == FloatType
+    val yf = elem(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      def read(arr: String, idx: String, side: Expression): String =
+        if (elem(side) == FloatType) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = ${read(a, i, left)} - ${read(b, i, right)};
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2SqDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of a token array, one native pass — value-identical to
+  * [[SimHash.simhash64]]'s higher-order form (per token, ±1 per bit of
+  * `xxhash64(token)`; positive counter ⇒ bit set), which evaluated
+  * interpreted at tokens × 64 lambda invocations per document. Null
+  * semantics mirror that form: null array → null; a null TOKEN hashes like
+  * Spark's `xxhash64(NULL)` (the unchanged seed, 42), contributing that bit
+  * pattern's ±1s, exactly as the expression did.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = VectorExprs.SimHashName
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val kernel = new SimHashKernel
+
+  override def nullSafeEval(a: Any): Any = kernel.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("simhashKernel", kernel, classOf[SimHashKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $k.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Compiled core of [[SimHash64]], shared by eval and codegen. */
+final class SimHashKernel extends Serializable {
+
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      // Spark's xxhash64 of a NULL value leaves the seed untouched — a null
+      // token therefore "hashes" to 42, same as the expression form
+      val h =
+        if (arr.isNullAt(i)) 42L
+        else XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if ((h & (1L << j)) != 0) counters(j) += 1 else counters(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sketch = 0L
+    var j = 0
+    while (j < 64) {
+      if (counters(j) > 0) sketch |= 1L << j
+      j += 1
+    }
+    sketch
+  }
 }
 
 /** All `tables` sign-random-projection LSH buckets of an embedding, as one

@@ -106,6 +106,49 @@ class VectorExprsSpec extends SparkSpec {
     assert(got(2).isNullAt(1))
   }
 
+  test("l2sq is bit-identical to the higher-order squared-distance fold") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(13)
+    val df = Seq.tabulate(48)(i => (i.toLong, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "a").withColumn("b", reverse(col("a")))
+    val ho = aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    df.select(VectorExprs.l2Sq(col("a"), col("b")).as("n"), ho.as("h")).collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("simhash64 native is bit-identical to the expression spec, incl null tokens") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(17)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val docs = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(40))(words(rnd.nextInt(words.length))))
+    }
+    val withEdge = docs ++ Seq(
+      (100L, Seq.empty[String]), // empty token array
+      (101L, null) // null array
+    )
+    val df = withEdge.toDF("id", "toks")
+    val got = df.select(col("id"),
+        VectorExprs.simHash64(col("toks")).as("native"),
+        SimHash.simhash64(col("toks")).as("spec"))
+      .collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"null-ness diverged on id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) == r.getLong(2), s"sketch diverged on id ${r.getLong(0)}")
+    }
+    // a null TOKEN hashes like xxhash64(NULL) = the seed — both forms agree
+    val withNullTok = spark.range(1)
+      .select(array(lit("alpha"), lit(null).cast("string"), lit("beta")).as("toks"))
+    val r = withNullTok.select(VectorExprs.simHash64(col("toks")).as("n"),
+      SimHash.simhash64(col("toks")).as("s")).collect()(0)
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("dot product runs inside WholeStageCodegen and is SQL-callable") {
     val session = spark
     import session.implicits._
