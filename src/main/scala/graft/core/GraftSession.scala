@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed tables (Sinks.writeBucketed) are catalog-backed; keep their
+      // files out of the checkout, and per-process so a stale location from
+      // a previous run can never collide with this session's catalog
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {
@@ -35,6 +39,9 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  private lazy val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
 
   private def defaultMaster: String =
     s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"

@@ -42,4 +42,23 @@ object Sinks {
     */
   def replace(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Bucketed parquet table — the co-located-join write path for 100 TB:
+    * rows are hash-distributed into `numBuckets` files per key ON WRITE, so
+    * two tables bucketed the same way (same keys, same count) join with
+    * ZERO exchanges — the shuffle is paid once at ingest instead of per
+    * query — and an equality filter on the bucket key prunes to 1/numBuckets
+    * of the files before the scan (both pinned in PlanSpec). `sortCols`
+    * additionally pre-sorts within buckets, letting sort-merge joins skip
+    * their sort. Catalog-backed (`saveAsTable`) because bucket metadata
+    * lives in the table catalog, not in the parquet footers.
+    */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int, keys: Seq[String],
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }

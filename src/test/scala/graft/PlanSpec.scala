@@ -82,4 +82,56 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("decimal(18,4)) ") || !p.contains("avg(cast"),
       "production path must not carry the oracle's decimal window sums")
   }
+
+  test("bucketed tables: co-located join with ZERO exchanges; bucket pruning on key filter") {
+    val t = Tables.ticks(spark, dir).select(col("symbol"), col("price"), col("seq"))
+    val dim = t.groupBy(col("symbol")).agg(avg(col("price")).as("avg_price"))
+    graft.sources.Sinks.writeBucketed(t, "ps_facts", 4, Seq("symbol"))
+    graft.sources.Sinks.writeBucketed(dim, "ps_dim", 4, Seq("symbol"))
+    // pin the join strategy: broadcast would hide the point (no shuffle to
+    // eliminate), AQE re-wraps the plan string
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"),
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" ->
+        spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // keep the bucketed layout active for the filter-only pruning scan
+      // below (the auto rule turns bucketed reads off when no join/agg
+      // exploits the distribution — but pruning exploits it)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val joined = spark.table("ps_facts").join(spark.table("ps_dim"), "symbol")
+      val ep = joined.queryExecution.executedPlan.toString
+      assert(ep.contains("SortMergeJoin"), s"expected a sort-merge join, got:\n$ep")
+      assert(!ep.contains("Exchange"),
+        s"identically-bucketed sides must join WITHOUT a shuffle, got:\n$ep")
+      assert(ep.contains("Bucketed: true"), "scans must report bucketed reads")
+      // equality filter on the bucket key scans 1 of 4 buckets
+      val sym = t.select(col("symbol")).orderBy("symbol").limit(1).collect()(0).getString(0)
+      val pruned = spark.table("ps_facts").filter(col("symbol") === sym)
+      val pp = pruned.queryExecution.executedPlan.toString
+      assert(pp.contains("SelectedBucketsCount: 1 out of 4"),
+        s"bucket-key equality must prune to one bucket, got:\n$pp")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("partitionBy write + key filter: pruning happens at partition level") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+    val t = Tables.ticks(spark, dir).select(col("symbol"), col("price"), col("seq"))
+    graft.sources.Sinks.append(t, tmp, partitionBy = Seq("symbol"))
+    val sym = t.select(col("symbol")).orderBy("symbol").limit(1).collect()(0).getString(0)
+    val back = spark.read.parquet(tmp).filter(col("symbol") === sym)
+    val ep = back.queryExecution.executedPlan.toString
+    // the FileScan renders as one line holding both filter segments — slice
+    // each segment's [...] out before asserting where the key landed
+    def segment(name: String): String =
+      ep.split(s"$name: \\[").drop(1).headOption.map(_.takeWhile(_ != ']')).getOrElse("")
+    assert(segment("PartitionFilters").contains("symbol"),
+      s"symbol filter must prune partition DIRECTORIES, not rows; got:\n$ep")
+    // and it must NOT degrade to a parquet row-group filter on the key
+    assert(!segment("PushedFilters").contains("symbol"),
+      s"a partition column never reaches PushedFilters; got:\n$ep")
+  }
 }
