@@ -234,8 +234,33 @@ object QueriesRelational {
       |  SELECT * FROM events WHERE event_type = 'error'
       |) GROUP BY event_type""".stripMargin
 
+  /** J4 — the salted skew join on the driver scoreboard: ticks (symbol is
+    * the classic low-cardinality hot key) join a tiny per-symbol dimension
+    * through [[graft.operators.SkewJoin.saltedInner]]; the DuckDB oracle
+    * replays the PLAIN join, so hash-green proves salting changed the
+    * distribution and nothing else. Payload is exact-integer arithmetic
+    * (seq offsets) — no float boundary to flake on.
+    */
+  private def j4(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.ticks(s, dir)
+    val dim = t.groupBy(col("symbol")).agg(min(col("seq")).as("sym_min"))
+    graft.operators.SkewJoin.saltedInner(t, dim, "symbol", salts = 8, saltBy = Seq("seq"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("seq")).as("sum_seq"),
+        sum(col("seq") - col("sym_min")).as("sum_rel_seq"))
+  }
+
+  private val j4Sql =
+    s"""${QueriesDomain.withTicks},
+       |d AS (SELECT symbol, MIN(seq) AS sym_min FROM ticks GROUP BY symbol)
+       |SELECT t.symbol, COUNT(*) AS n_rows, CAST(SUM(t.seq) AS BIGINT) AS sum_seq,
+       |  CAST(SUM(t.seq - d.sym_min) AS BIGINT) AS sum_rel_seq
+       |FROM ticks t JOIN d ON t.symbol = d.symbol
+       |GROUP BY t.symbol""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true, benchRun = Some(q01Bench)),
+    Q("j4_salted_join", j4, Some(j4Sql)),
     Q("q02_revenue_by_nation", q02, Some(q02Sql), headline = true, benchRun = Some(q02x(exact = false))),
     Q("q03_top_orders", q03, Some(q03Sql)),
     Q("q04_segment_with_orders", q04, Some(q04Sql)),

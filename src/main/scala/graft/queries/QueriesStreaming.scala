@@ -118,7 +118,70 @@ object QueriesStreaming {
        |  CAST(0 AS BIGINT) AS h_only_batch, CAST(0 AS BIGINT) AS h_only_stream
        |FROM candles""".stripMargin
 
+  /** The LLM-corpus ingest funnel, batch ≡ stream: quality gate + langId +
+    * exact dedup run BOTH as the batch pipeline and as the streaming one
+    * (micro-batched documents through streaming dropDuplicates state), and
+    * the surviving NORMALIZED-CONTENT sets are compared exactly. Content
+    * sets, not doc_ids: within one micro-batch the first-seen
+    * representative of a duplicate group is partition-order dependent
+    * (batch keeps lowest id) — the retained content is what the dedup
+    * contract promises, and it must match row-for-row. The oracle replays
+    * the funnel's survivor count by construction and pins both except-counts
+    * to zero.
+    */
+  private def streamLlmDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.core.Tables.documents(spark, dir)
+    val kept = docs
+      .withColumn("pred_lang", graft.functions.TextOps.langId(col("text")))
+      .filter(graft.functions.TextOps.qualityScore(col("text")) >= 0.3)
+    val batchNorms = graft.functions.TextOps.dedupExact(kept)
+      .select(graft.functions.TextOps.normalized(col("text")).as("norm"))
+
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val name = s"graft_stream_dedup_${System.nanoTime}"
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.dedupExactStream(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      slices(rows, 15).foreach { sl => in.addData(sl); q.processAllAvailable() }
+    } finally q.stop()
+    val streamNorms = spark.table(name)
+      .select(graft.functions.TextOps.normalized(col("text")).as("norm"))
+
+    val (onlyBatch, onlyStream) = diffCounts(batchNorms, streamNorms)
+    Seq((batchNorms.count(), streamNorms.count(), onlyBatch, onlyStream))
+      .toDF("n_batch", "n_stream", "only_batch", "only_stream")
+  }
+
+  /** DuckDB replays quality gate + exact dedup and asserts zero divergence
+    * (same scoring/dedup SQL the per-stage LLM oracles use).
+    */
+  private val streamLlmDedupSql = {
+    val en = graft.functions.TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, norm,
+       |    CASE WHEN len(list_filter(toks, t -> t SIMILAR TO '\\S+')) BETWEEN 5 AND 100000
+       |      THEN 1.0 ELSE 0.0 END *
+       |    (0.5 * (length(text) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')))::DOUBLE / greatest(length(text), 1) +
+       |     0.5 * least(len(list_filter(toks, t -> t IN ($en)))::DOUBLE / greatest(len(toks), 1) * 5, 1.0)) AS q
+       |  FROM base)
+       |SELECT COUNT(DISTINCT norm) AS n_batch, COUNT(DISTINCT norm) AS n_stream,
+       |  CAST(0 AS BIGINT) AS only_batch, CAST(0 AS BIGINT) AS only_stream
+       |FROM scored WHERE q >= 0.3""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
-    Q("stream_equiv", streamEquiv, Some(streamEquivSql))
+    Q("stream_equiv", streamEquiv, Some(streamEquivSql)),
+    Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql))
   )
 }

@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextOps
+
+/** §2.9 over the LLM-corpus surface: the training-data ingest funnel
+  * (quality gate → language ID → exact content dedup) as a Structured
+  * Streaming pipeline — a crawl arrives continuously; the corpus must stay
+  * deduplicated without re-running batch jobs over the whole history.
+  *
+  * The dedup state is Spark's streaming `dropDuplicates` keyed on the
+  * normalized content: one state row per distinct normalized text, exact
+  * streaming parity with the batch `TextOps.dedupExact` SURVIVOR SET (which
+  * doc_id represents a duplicate group is first-seen in the stream vs
+  * lowest-id in batch — the retained CONTENT is identical, which is what a
+  * corpus cares about; `stream_llm_dedup` pins exactly that equivalence).
+  * Unbounded corpora bound the state with
+  * `withWatermark + dropDuplicatesWithinWatermark` on an arrival-time
+  * column, trading cross-epoch dedup for bounded state — same dial as the
+  * tick pipeline's G5.
+  */
+object StreamingCorpus {
+
+  /** Quality gate + language ID + streaming exact dedup on normalized
+    * content. Emits the surviving rows with their predicted language.
+    */
+  def dedupExactStream(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("pred_lang", TextOps.langId(col(textCol)))
+      .filter(TextOps.qualityScore(col(textCol)) >= 0.3)
+      .withColumn("__norm", TextOps.normalized(col(textCol)))
+      .dropDuplicates("__norm")
+      .drop("__norm")
+}
