@@ -61,7 +61,7 @@ object Profile {
 
     spark.catalog.clearCache()
 
-    // the actual registry queries, materialized like Bench does, 2 reps
+    // the actual registry queries, materialized like Bench does, 4 reps
     def benchLike(name: String): Unit = {
       val fn = graft.queries.Registry.queries(name)
       (1 to 4).foreach { rep =>

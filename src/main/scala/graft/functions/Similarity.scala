@@ -126,9 +126,13 @@ object Similarity {
   private def bucketedFrame(vectors: DataFrame, bits: Int, tables: Int,
                             checkpointDir: Option[String]): DataFrame = {
     // one native pass computes every table's bucket (posexplode position =
-    // table index, matching the former lit(t) struct layout exactly)
+    // table index, matching the former lit(t) struct layout exactly). A
+    // NULL embedding gets bucket 0 in every table — the expression-spec
+    // semantics (null proj -> no sign bits) — because posexplode of the
+    // native NULL result would silently drop the id from every bucket table
     val raw = vectors.select(col("vec_id"),
-        VectorExprs.signBuckets(col("embedding"), bits, tables).as("bks"))
+        coalesce(VectorExprs.signBuckets(col("embedding"), bits, tables),
+          array_repeat(lit(0L), tables)).as("bks"))
       .select(col("vec_id"), posexplode(col("bks")).as(Seq("table", "bucket")))
     checkpointDir match {
       case Some(dir) =>

@@ -99,16 +99,26 @@ object VectorExprs {
       org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(tables))
 }
 
-/** Σ aᵢ·bᵢ over two float/double arrays in double precision, sequential
-  * order, as a whole-stage-codegen-capable expression. NULL on null input,
-  * length mismatch, or any null element (see [[VectorExprs]] for the
-  * equivalence contract with the higher-order form).
+/** Shared scaffolding for the element-wise array folds ([[DotProduct]],
+  * [[L2SqDistance]]): two float/double arrays reduce LEFT-TO-RIGHT into a
+  * double, NULL on null input, length mismatch, or any null element (the
+  * zip_with-mirroring contract — see [[VectorExprs]]). Subclasses supply
+  * only the per-element combine step, once for eval and once as a Java
+  * snippet, so the null/mismatch semantics can never drift between the
+  * operators.
   */
-case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+abstract class BinaryArrayFold extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
-  override def prettyName: String = VectorExprs.DotName
+
+  /** acc-update for one element pair (eval path). */
+  protected def foldStep(acc: Double, x: Double, y: Double): Double
+
+  /** Java statements updating `acc` from element expressions `x`, `y`
+    * (codegen path — MUST mirror [[foldStep]]).
+    */
+  protected def foldStepJava(ctx: CodegenContext, acc: String, x: String, y: String): String
 
   private def elem(e: Expression): DataType = e.dataType match {
     case ArrayType(et, _) => et
@@ -139,7 +149,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      s += xv * yv
+      s = foldStep(s, xv, yv)
       i += 1
     }
     s
@@ -160,89 +170,42 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $s += ${read(a, i, left)} * ${read(b, i, right)};
+         |    ${foldStepJava(ctx, s, read(a, i, left), read(b, i, right))}
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
        """.stripMargin
     })
+}
+
+/** Σ aᵢ·bᵢ — see [[BinaryArrayFold]] for the shared fold/null contract. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryArrayFold {
+  override def prettyName: String = VectorExprs.DotName
+
+  override protected def foldStep(acc: Double, x: Double, y: Double): Double = acc + x * y
+
+  override protected def foldStepJava(ctx: CodegenContext, acc: String, x: String, y: String): String =
+    s"$acc += $x * $y;"
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
 }
 
-/** Σ (aᵢ−bᵢ)² over two float/double arrays in double precision, sequential
-  * order — the squared-L2 companion to [[DotProduct]], same codegen shape,
-  * same null semantics, value-identical to the higher-order form
-  * `aggregate(zip_with(a, b, (x, y) => (x−y)·(x−y)), 0.0, _ + _)` it
-  * replaces in the IVF coarse quantizer (centroid literals ride as the
-  * right child).
+/** Σ (aᵢ−bᵢ)² — the IVF coarse quantizer's distance (centroid literals ride
+  * as the right child); see [[BinaryArrayFold]] for the shared contract.
   */
-case class L2SqDistance(left: Expression, right: Expression) extends BinaryExpression {
-
-  override def dataType: DataType = DoubleType
-  override def nullable: Boolean = true
+case class L2SqDistance(left: Expression, right: Expression) extends BinaryArrayFold {
   override def prettyName: String = VectorExprs.L2Name
 
-  private def elem(e: Expression): DataType = e.dataType match {
-    case ArrayType(et, _) => et
-    case _ => NullType
+  override protected def foldStep(acc: Double, x: Double, y: Double): Double = {
+    val d = x - y
+    acc + d * d
   }
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(e: Expression): Boolean = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (array<float|double>, array<float|double>), got " +
-        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  override protected def foldStepJava(ctx: CodegenContext, acc: String, x: String, y: String): String = {
+    val d = ctx.freshName("d")
+    s"double $d = $x - $y; $acc += $d * $d;"
   }
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    val xf = elem(left) == FloatType
-    val yf = elem(right) == FloatType
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-      val d = xv - yv
-      s += d * d
-      i += 1
-    }
-    s
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val s = ctx.freshName("s")
-      val d = ctx.freshName("d")
-      def read(arr: String, idx: String, side: Expression): String =
-        if (elem(side) == FloatType) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
-      s"""
-         |final int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double $d = ${read(a, i, left)} - ${read(b, i, right)};
-         |    $s += $d * $d;
-         |  }
-         |  if (!${ev.isNull}) ${ev.value} = $s;
-         |}
-       """.stripMargin
-    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): L2SqDistance =
     copy(left = newLeft, right = newRight)

@@ -46,6 +46,8 @@ object SkewJoin {
   def saltedInner(big: DataFrame, small: DataFrame, key: String, salts: Int = 16,
                   saltBy: Seq[String] = Nil): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedInner reserves the __salt column name; rename it on the inputs")
     val saltedBig = big.withColumn("__salt", saltOf(big, key, salts, saltBy))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -242,16 +242,20 @@ object QueriesIngest {
 
   // ---------------------------------------------------------------- A4
 
+  /** One temp table location per PROCESS, reused (overwrite mode) across
+    * invocations: per-invocation dirs would leak a full ticks copy every
+    * bench rep, and a repo-rooted path broke relocated checkouts and raced
+    * concurrent runs.
+    */
+  private lazy val a4Path: String = java.nio.file.Files
+    .createTempDirectory("graft_a4_").resolve("a4_table").toString
+
   /** A4 — the truncate/replace lifecycle verified by read-back: a full
     * write followed by [[Sinks.replace]] with a one-symbol subset; the
     * final table must reflect ONLY the replacement (append or partial
-    * truncate would change every audited value). The table lives in a
-    * fresh per-invocation temp dir — no repo-rooted path to break on a
-    * different checkout, no shared location for concurrent runs to race on.
+    * truncate would change every audited value).
     */
   private def a4Replace(s: SparkSession, dir: String): DataFrame = {
-    val a4Path = java.nio.file.Files
-      .createTempDirectory("graft_a4_").resolve("a4_table").toString
     val t = ticks(s, dir)
     Sinks.replace(t, a4Path)
     val firstSym = t.select(col("symbol")).distinct()

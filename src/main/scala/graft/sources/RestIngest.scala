@@ -70,14 +70,17 @@ object RestIngest {
     Left(last)
   }
 
-  /** Fetch one (symbol, date): pages of `limit` rows advanced by
-    * `skip += limit` until an EMPTY page — the reference's exact loop
-    * (fetch_historical_trades_nvda.py:345-353), which costs one extra
-    * trailing call but never drops rows should the API return a
-    * short-but-nonempty page (server-side truncation, live appends). Each
-    * page is rate-limited and retried. A page that exhausts its retries
-    * records a failure and returns what was fetched so far — the crawl over
-    * other (symbol, date) cells continues.
+  /** Fetch one (symbol, date): pages advanced by `skip += page.size` until
+    * an EMPTY page. Termination matches the reference's loop
+    * (fetch_historical_trades_nvda.py:345-353 — stop on empty, not on
+    * short); advancing by the RECEIVED size rather than the reference's
+    * fixed BATCH_SIZE is a deliberate strict improvement: when every page
+    * is full the call pattern is identical, and a short-but-nonempty page
+    * (server-side truncation, live appends) resumes at the true offset
+    * instead of skipping the unfetched remainder. Each page is rate-limited
+    * and retried. A page that exhausts its retries records a failure and
+    * returns what was fetched so far — the crawl over other (symbol, date)
+    * cells continues.
     */
   def fetchDay(symbol: String, date: String,
                fetchPage: (String, Int, Int) => Seq[RawTick],
@@ -92,7 +95,7 @@ object RestIngest {
       withRetry(sleep = retrySleep)(() => fetchPage(symbol, skip, limit)) match {
         case Right(page) =>
           out ++= page
-          skip += limit
+          skip += page.size
           done = page.isEmpty
         case Left(err) =>
           return (out.toSeq, Some(FetchFailure(symbol, date, err)))

@@ -23,11 +23,27 @@ class RestIngestSpec extends SparkSpec {
     }
     val (rows, failure) = fetchDay("NVDA", "2024-01-02", fetch, new RateLimiter())
     assert(failure.isEmpty)
-    // the reference loop: the short page at 48000 does NOT terminate; the
-    // empty page at 72000 does (fetch_historical_trades_nvda.py:345-353)
-    assert(calls.toSeq == Seq(0, 24000, 48000, 72000))
+    // reference termination (empty page, not short page) with received-size
+    // advance: the short page at 48000 (137 rows) resumes at 48137, and the
+    // empty page there ends the loop
+    assert(calls.toSeq == Seq(0, 24000, 48000, 48137))
     assert(rows.size == total)
     assert(rows.map(_.epochMs) == (0 until total).map(i => 1700000000000L + i))
+  }
+
+  test("a short-but-nonempty page resumes at the true offset — no silent gap") {
+    val calls = ArrayBuffer.empty[Int]
+    // server truncates the first response to 10k rows of a 30k-row day
+    val total = 30000
+    val fetch = (_: String, skip: Int, limit: Int) => {
+      calls += skip
+      val cap = if (skip == 0) 10000 else limit
+      (skip until math.min(skip + math.min(cap, limit), total)).map(tick)
+    }
+    val (rows, failure) = fetchDay("NVDA", "2024-01-02", fetch, new RateLimiter())
+    assert(failure.isEmpty)
+    assert(rows.size == total, "every row must be fetched despite the truncated page")
+    assert(rows.map(_.epochMs).distinct.size == total, "and none duplicated")
   }
 
   test("rate limiter sleeps exactly until the oldest call leaves the window") {
