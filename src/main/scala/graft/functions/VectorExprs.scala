@@ -77,26 +77,31 @@ object VectorExprs {
       }))
   }
 
-  /** Column-API face of [[DotProduct]] (resolved through the registry, so
-    * the expression is usable from SQL text as well).
-    */
-  def dotProduct(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.call_function(DotName, a, b)
+  // The Column faces build their expressions DIRECTLY (via the classic-mode
+  // bridge), so they work on ANY SparkSession — the registry injection above
+  // exists solely so the same expressions also resolve from SQL text
+  // ("SELECT graft_dot(a, b)") on GraftSession-built sessions.
+
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+
+  private def toCol(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  /** Column-API face of [[DotProduct]]. */
+  def dotProduct(a: Column, b: Column): Column = toCol(DotProduct(expr(a), expr(b)))
 
   /** Column-API face of [[L2SqDistance]]. */
-  def l2Sq(a: Column, b: Column): Column =
-    org.apache.spark.sql.functions.call_function(L2Name, a, b)
+  def l2Sq(a: Column, b: Column): Column = toCol(L2SqDistance(expr(a), expr(b)))
 
   /** Column-API face of [[SimHash64]]. */
-  def simHash64(tokens: Column): Column =
-    org.apache.spark.sql.functions.call_function(SimHashName, tokens)
+  def simHash64(tokens: Column): Column = toCol(SimHash64(expr(tokens)))
 
   /** Column-API face of [[SignProjectionBuckets]]: all `tables` LSH buckets
     * of an embedding in one native pass.
     */
   def signBuckets(embedding: Column, bits: Int, tables: Int): Column =
-    org.apache.spark.sql.functions.call_function(SignBucketsName, embedding,
-      org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(tables))
+    toCol(SignProjectionBuckets(expr(embedding), bits, tables))
 }
 
 /** Shared scaffolding for the element-wise array folds ([[DotProduct]],
