@@ -26,7 +26,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // 5 reps: this box carries background load (observed load-avg > 5 while
+    // idle-benching), and median-of-3 still let one bad rep show through —
+    // cross-run spread on the heaviest query was 2.2-6.7 s on identical code
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = GraftSession.get()
     // Untimed warmup: the first query of a cold JVM otherwise absorbs ~5 s
     // of classloading/codegen that belongs to no query (it landed on

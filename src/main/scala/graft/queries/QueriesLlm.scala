@@ -64,18 +64,19 @@ object QueriesLlm {
     */
   private def minhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // eager cache: four crossJoined aggregate subtrees consume `pairs` in
+    // eager cache: the crossJoined aggregate subtrees consume `pairs` in
     // the single downstream action; lazy, they race to compute it
     val pairs = MinHash.candidatePairs(docs).cache()
     pairs.count()
     val survivors = MinHash.dedupFuzzyFromPairs(docs, pairs)
-    // LSH-then-verify: true n-gram Jaccard on the candidates only
+    // LSH-then-verify: true n-gram Jaccard on the candidates only. The
+    // verified frame carries est_jaccard too, so the candidate/dup counts
+    // ride the SAME aggregation — one subtree (and its stages) fewer
     val verified = MinHash.withExactJaccard(pairs, docs)
     docs.agg(count(lit(1)).as("n_docs")).crossJoin(
       survivors.agg(count(lit(1)).as("n_survivors"))).crossJoin(
-      pairs.agg(count(lit(1)).as("n_candidate_pairs"),
-        sum(when(col("est_jaccard") >= 0.8, 1L).otherwise(0L)).as("n_dup_pairs"))).crossJoin(
-      verified.agg(
+      verified.agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("est_jaccard") >= 0.8, 1L).otherwise(0L)).as("n_dup_pairs"),
         sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_true_dup_pairs")))
   }
 
