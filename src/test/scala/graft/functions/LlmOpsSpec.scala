@@ -130,6 +130,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(base.count() > lsh.size)
   }
 
+  test("a null embedding survives LSH dedup and matches the spec path (bucket 0, cos null)") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("embedding"))
+      .limit(50)
+    val withNull = e.unionByName(
+      e.sparkSession.range(1).select(lit(99999L).as("vec_id"),
+        lit(null).cast("array<double>").as("embedding")))
+    // the null row buckets as 0 in every table (expression-spec semantics,
+    // restored by bucketedFrame's coalesce) — it must appear in the output
+    // as a survivor (null cosine never crosses the threshold), not vanish
+    val lsh = Similarity.dedupByCosineLsh(withNull, threshold = 0.99, bits = 8, tables = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh.contains(99999L), "null-embedding row must survive, not be dropped from bucketing")
+    assert(lsh.size == 51, "no real row may be lost to the null row's presence")
+  }
+
   test("winnowing fingerprints are content-stable and position-robust") {
     val fp = (t: String) => Seq((1L, t)).toDF("doc_id", "text")
       .select(TextOps.winnowFingerprints($"text").as("fp")).collect().head.getSeq[Long](0).toSet
