@@ -182,9 +182,13 @@ object Similarity {
     * distinct), then exact cosine verifies only the candidates (embeddings
     * re-attach via two hash joins, mirroring
     * [[MinHash.dedupFuzzyFromPairs]]). Reproduces the all-pairs answer
-    * whenever every true near-dup pair shares ≥1 bucket — at cosine ≥ 0.99
-    * the per-table collision probability is (1 − θ/π)^bits ≈ 0.96 for 8
-    * bits, so 4 tables give ≈ 1 − (1−0.96)⁴ ≈ 1-in-10⁶ miss odds per pair.
+    * whenever every true near-dup pair shares ≥1 bucket. Size `tables` to
+    * the tightest pair you must recall: per table the collision
+    * probability is (1 − θ/π)^bits — e.g. θ = acos(0.99) gives 0.955⁸ ≈
+    * 0.69, so 4 tables still miss ~0.9% of threshold-grazing pairs while
+    * 8 tables miss ~9e-6. Callers with a known pair geometry should do
+    * this arithmetic (the registry's injected-copy query runs 8 tables
+    * after a 4-table miss materialized on the sf0.1 corpus).
     */
   def dedupByCosineLsh(vectors: DataFrame, threshold: Double, bits: Int = 8,
                        tables: Int = 4, checkpointDir: Option[String] = None): DataFrame = {

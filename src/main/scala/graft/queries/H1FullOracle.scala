@@ -12,10 +12,12 @@ package graft.queries
   */
 object H1FullOracle {
 
-  /** Oldest-first add order of Ta.Ring.seqMean — see h1DerivedSql. */
+  /** Oldest-first add order of Ta.Ring.seqMean — see h1DerivedSql. IEEE
+    * division (QueriesH.ieeeAtrNorm) for zero-close candles.
+    */
   private val rollChain: String =
-    ((13 to 1 by -1).map(k => s"lag(atr / close, $k) OVER w") :+ "(atr / close)")
-      .mkString(" + ")
+    ((13 to 1 by -1).map(k => s"lag(${QueriesH.ieeeAtrNorm}, $k) OVER w")
+      :+ s"(${QueriesH.ieeeAtrNorm})").mkString(" + ")
 
   val sql: String =
     s"""${QueriesH.recPreamble}
@@ -44,10 +46,10 @@ object H1FullOracle {
        |    (high + low + close) / 3.0 AS typical_price,
        |    di_pos - di_neg AS di_diff,
        |    CASE WHEN close > psar THEN 1 ELSE 0 END AS psar_trend,
-       |    atr / close AS atr_norm,
+       |    ${QueriesH.ieeeAtrNorm} AS atr_norm,
        |    COALESCE(atr - lag(atr) OVER w, 0.0) AS atr_change,
        |    COALESCE(t3 - lag(t3, 60) OVER w, 0.0) AS t3_slope,
-       |    lag(atr / close, 13) OVER w AS an13,
+       |    lag(${QueriesH.ieeeAtrNorm}, 13) OVER w AS an13,
        |    $rollChain AS roll_sum
        |  FROM filled WINDOW w AS (PARTITION BY symbol ORDER BY rn)),
        |e AS (

@@ -48,13 +48,25 @@ object QueriesH {
       col("t3_slope"), col("is_uptrend"), col("is_downtrend"), col("is_no_trend"))
   }
 
+  /** atr/close with JVM IEEE-754 division semantics spelled out: DuckDB's
+    * `/` yields NULL on a zero divisor where the Spark kernel (and the
+    * reference's numpy) yield ±inf / nan — and zero-close candles DO occur
+    * (6 zero-price events at sf0.1; none at sf0.01, which is why the
+    * divergence hid until the sf0.1 sweep). Shared by every oracle that
+    * derives atr_norm.
+    */
+  private[queries] val ieeeAtrNorm: String =
+    "(CASE WHEN close = 0 THEN (CASE WHEN atr > 0 THEN 'infinity'::DOUBLE " +
+      "WHEN atr < 0 THEN '-infinity'::DOUBLE ELSE 'nan'::DOUBLE END) " +
+      "ELSE atr / close END)"
+
   /** Explicit oldest-first lag chain: SQL's left-assoc `+` replays the exact
     * add order of [[graft.calc.ta.Ta.Ring.seqMean]], so the rolling-14 mean
     * matches bit-for-bit (a windowed SUM would not — DuckDB's segment-tree
     * accumulation order differs in final ulps).
     */
   private val rollChain: String =
-    ((13 to 1 by -1).map(k => s"lag(atr / close, $k) OVER w") :+ "(atr / close)")
+    ((13 to 1 by -1).map(k => s"lag($ieeeAtrNorm, $k) OVER w") :+ s"($ieeeAtrNorm)")
       .mkString(" + ")
 
   private val h1DerivedSql =
@@ -64,10 +76,10 @@ object QueriesH {
        |    (high + low + close) / 3.0 AS typical_price,
        |    di_pos - di_neg AS di_diff,
        |    CASE WHEN close > psar THEN 1 ELSE 0 END AS psar_trend,
-       |    atr / close AS atr_norm,
+       |    $ieeeAtrNorm AS atr_norm,
        |    COALESCE(atr - lag(atr) OVER w, 0.0) AS atr_change,
        |    COALESCE(t3 - lag(t3, 60) OVER w, 0.0) AS t3_slope,
-       |    lag(atr / close, 13) OVER w AS an13,
+       |    lag($ieeeAtrNorm, 13) OVER w AS an13,
        |    $rollChain AS roll_sum
        |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY ts)),
        |e AS (

@@ -68,24 +68,35 @@ object QueriesIngest {
     bad.unionByName(ok)
   }
 
+  /** The oracle replays the FULL divert rule, not just the timestamp leg:
+    * format/parse failures divert first (raw string surfaces in min/max),
+    * then the P1 numeric legs in [[graft.operators.TickOps.validate]]'s
+    * exact precedence (null_field → nonpositive_price → negative_volume),
+    * whose diverted rows carry the PARSED-reformatted timestamp like the
+    * Spark side. The numeric legs stayed invisible until sf0.1, whose 6
+    * zero-price events produce a real nonpositive_price group.
+    */
   private val s5Sql =
     s"""WITH raw AS (
        |  SELECT * FROM read_csv('$s5CsvPath/*.csv', header = true,
        |    columns = {'symbol': 'VARCHAR', 'timestamp': 'VARCHAR',
        |               'price': 'DOUBLE', 'volume': 'DOUBLE'})),
        |lab AS (
-       |  SELECT *,
+       |  SELECT *, try_strptime(left(timestamp, 26), '$fmt') AS pts,
        |    CASE WHEN NOT regexp_matches(timestamp,
-       |      '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6} UTC$$')
-       |      THEN 'bad_timestamp_format' ELSE 'valid' END AS reject_reason
+       |        '^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{6} UTC$$')
+       |        OR try_strptime(left(timestamp, 26), '$fmt') IS NULL
+       |      THEN 'bad_timestamp_format'
+       |      WHEN price IS NULL OR volume IS NULL THEN 'null_field'
+       |      WHEN price <= 0 THEN 'nonpositive_price'
+       |      WHEN volume < 0 THEN 'negative_volume'
+       |      ELSE 'valid' END AS reject_reason
        |  FROM raw)
        |SELECT reject_reason, COUNT(*) AS n,
-       |  CASE WHEN reject_reason = 'valid'
-       |    THEN strftime(MIN(try_strptime(left(timestamp, 26), '$fmt')), '$fmt')
-       |    ELSE MIN(timestamp) END AS min_ts,
-       |  CASE WHEN reject_reason = 'valid'
-       |    THEN strftime(MAX(try_strptime(left(timestamp, 26), '$fmt')), '$fmt')
-       |    ELSE MAX(timestamp) END AS max_ts
+       |  CASE WHEN reject_reason = 'bad_timestamp_format'
+       |    THEN MIN(timestamp) ELSE strftime(MIN(pts), '$fmt') END AS min_ts,
+       |  CASE WHEN reject_reason = 'bad_timestamp_format'
+       |    THEN MAX(timestamp) ELSE strftime(MAX(pts), '$fmt') END AS max_ts
        |FROM lab GROUP BY reject_reason""".stripMargin
 
   // ---------------------------------------------------------------- A3

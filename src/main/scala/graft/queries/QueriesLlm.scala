@@ -240,6 +240,14 @@ object QueriesLlm {
     * 50th vector, and the LSH top-1 hits where the copy retrieved its
     * original. Used by both the honesty metrics ([[ann]]) and the oracled
     * floor row ([[annNear]]).
+    *
+    * 8 tables, not 4: the corpus embeddings are UNIT-NORM, so the +0.01
+    * uniform offset lands the copies at cosine ≈ 0.9968 (θ ≈ 0.080 rad) —
+    * not the ≈0.9999 a norm-proportional perturbation would give. Per
+    * 8-bit table the collision probability is (1 − θ/π)^8 ≈ 0.81, so 4
+    * tables left a ~1.2e-3 per-pair miss that MATERIALIZED on the fixed
+    * sf0.1 corpus (39/40 hits); 8 tables push it to (0.19)^8 ≈ 1.5e-6,
+    * verified all-hit on every test SF.
     */
   private def injectedNearHits(e: DataFrame): (DataFrame, DataFrame) = {
     requireIdHeadroom(e, "vec_id", 100000L)
@@ -247,7 +255,7 @@ object QueriesLlm {
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001f) + lit(0.01f)).as("embedding"))
     val base = e.select(col("vec_id"), col("embedding")).unionByName(injected)
-    val nearHits = Similarity.lshTopK(base, k = 1, bits = 8, tables = 4)
+    val nearHits = Similarity.lshTopK(base, k = 1, bits = 8, tables = 8)
       .filter(col("query_id") >= 100000 && col("neighbor_id") === col("query_id") - 100000)
     (injected, nearHits)
   }
@@ -277,12 +285,14 @@ object QueriesLlm {
 
   /** ANN near-neighbor recall as a HASH-CHECKED row: the DuckDB oracle
     * computes the injected-query count by construction and asserts recall
-    * 1.0 — with 4 independent 8-bit tables the per-query miss probability
-    * at cosine ≈ 0.9999 is ~1.6e-6 and the hyperplanes are deterministic,
-    * so on this corpus every copy retrieves its original (verified at all
-    * test SFs). Any bucketing/seeding/top-k regression drops a hit and the
-    * row goes red — the driver-visible rot alarm the rows-only metric
-    * couldn't give.
+    * 1.0 — with 8 independent 8-bit tables the per-query miss probability
+    * at the injected pairs' cosine ≈ 0.9968 is ~1.5e-6 (see
+    * [[injectedNearHits]] for the unit-norm arithmetic) and the
+    * hyperplanes are deterministic, so on these corpora every copy
+    * retrieves its original (verified empirically at sf0.001/0.01/0.1).
+    * Any bucketing/seeding/top-k regression drops a hit and the row goes
+    * red — the driver-visible rot alarm the rows-only metric couldn't
+    * give.
     */
   private def annNear(s: SparkSession, dir: String): DataFrame = {
     val (injected, nearHits) = injectedNearHits(Tables.embeddings(s, dir))
@@ -394,7 +404,10 @@ object QueriesLlm {
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * lit(1.001) + lit(0.01)).as("embedding"))
     val base = e.unionByName(injected)
-    Similarity.dedupByCosineLsh(base, threshold = 0.99, bits = 8, tables = 4)
+    // 8 tables for the same unit-norm-offset reason as injectedNearHits:
+    // the injected pairs sit at cosine ≈ 0.9968, and 4 tables missed one
+    // pair on the sf0.1 corpus (2001 survivors vs the oracle's 2000)
+    Similarity.dedupByCosineLsh(base, threshold = 0.99, bits = 8, tables = 8)
       .agg(count(lit(1)).as("n_survivors"), sum(col("vec_id")).as("sum_vec_id"))
   }
 

@@ -106,7 +106,7 @@ class LlmOpsSpec extends SparkSpec {
         transform($"embedding", x => x * lit(1.001f) + lit(0.01f)).as("embedding"))
     val base = e.select($"vec_id", $"embedding").unionByName(injected)
     val nQueries = injected.count()
-    val nHits = Similarity.lshTopK(base, k = 1, bits = 8, tables = 4)
+    val nHits = Similarity.lshTopK(base, k = 1, bits = 8, tables = 8)
       .filter($"query_id" >= 100000 && $"neighbor_id" === $"query_id" - 100000)
       .count()
     assert(nQueries > 0)
@@ -123,7 +123,7 @@ class LlmOpsSpec extends SparkSpec {
     val base = e.unionByName(injected)
     val exact = Similarity.dedupByCosine(base, threshold = 0.99)
       .select("vec_id").as[Long].collect().sorted.toSeq
-    val lsh = Similarity.dedupByCosineLsh(base, threshold = 0.99, bits = 8, tables = 4)
+    val lsh = Similarity.dedupByCosineLsh(base, threshold = 0.99, bits = 8, tables = 8)
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(exact == lsh)
     // and the injection actually exercised the dedup: every +100000 id dropped
@@ -140,7 +140,7 @@ class LlmOpsSpec extends SparkSpec {
     // the null row buckets as 0 in every table (expression-spec semantics,
     // restored by bucketedFrame's coalesce) — it must appear in the output
     // as a survivor (null cosine never crosses the threshold), not vanish
-    val lsh = Similarity.dedupByCosineLsh(withNull, threshold = 0.99, bits = 8, tables = 4)
+    val lsh = Similarity.dedupByCosineLsh(withNull, threshold = 0.99, bits = 8, tables = 8)
       .select("vec_id").as[Long].collect().toSet
     assert(lsh.contains(99999L), "null-embedding row must survive, not be dropped from bucketing")
     assert(lsh.size == 51, "no real row may be lost to the null row's presence")
