@@ -198,6 +198,12 @@ object MinHash {
     * (fraction of agreeing signature positions). One shuffle on the band
     * bucket + one on the scalar pair key for distinct; signatures join back
     * after the distinct.
+    *
+    * NOT lazy: constructing the result materializes the signature frame
+    * eagerly (cache + count, or a parquet checkpoint when `checkpointDir`
+    * is set) so the band explode and both re-attach sides can't race to
+    * compute the same cache block; the cache stays pinned until LRU
+    * eviction.
     */
   def candidatePairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                      numPerms: Int = 128, numBands: Int = 16, rowsPerBand: Int = 8,

@@ -154,6 +154,13 @@ object Similarity {
     * candidates after embeddings re-attach via two hash joins. Recall
     * improves with fewer bits (bigger buckets) or multiple tables (union
     * over `tables` seeds).
+    *
+    * NOT lazy: building the returned DataFrame runs the bucketing job
+    * eagerly (cache + count, or a parquet checkpoint when `checkpointDir`
+    * is set) to stop the self-join's two sides racing to materialize the
+    * same cache block. Callers constructing plans without executing them
+    * still pay the bucketing cost, and the cache stays pinned until LRU
+    * eviction.
     */
   def lshTopK(vectors: DataFrame, k: Int = 5, bits: Int = 12, tables: Int = 2,
               checkpointDir: Option[String] = None): DataFrame = {
@@ -189,6 +196,9 @@ object Similarity {
     * 8 tables miss ~9e-6. Callers with a known pair geometry should do
     * this arithmetic (the registry's injected-copy query runs 8 tables
     * after a 4-table miss materialized on the sf0.1 corpus).
+    *
+    * NOT lazy: constructing the result runs the bucketing job eagerly (see
+    * [[lshTopK]] — same cache-race rationale, same pinned-cache tradeoff).
     */
   def dedupByCosineLsh(vectors: DataFrame, threshold: Double, bits: Int = 8,
                        tables: Int = 4, checkpointDir: Option[String] = None): DataFrame = {

@@ -404,7 +404,11 @@ final class SignProjectionHelper(bits: Int, tables: Int, floatElems: Boolean)
           }
           d += 1
         }
-        if (!anyNull && s >= 0) bucket |= 1L << j
+        // !(s < 0) rather than s >= 0: Spark SQL's GreaterThanOrEqual orders
+        // NaN above every double, so the Column spec `when(proj >= 0, m)` sets
+        // the bit for a NaN projection; Java's `NaN >= 0` is false. `!(s < 0)`
+        // is bit-identical to Spark for NaN, -0.0, and +/-Inf alike.
+        if (!anyNull && !(s < 0)) bucket |= 1L << j
         j += 1
       }
       out(t) = bucket

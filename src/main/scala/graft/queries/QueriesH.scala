@@ -52,12 +52,16 @@ object QueriesH {
     * `/` yields NULL on a zero divisor where the Spark kernel (and the
     * reference's numpy) yield ±inf / nan — and zero-close candles DO occur
     * (6 zero-price events at sf0.1; none at sf0.01, which is why the
-    * divergence hid until the sf0.1 sweep). Shared by every oracle that
-    * derives atr_norm.
+    * divergence hid until the sf0.1 sweep). The full IEEE surface is spelled
+    * out: NULL atr stays NULL (JVM null/0 is null, not nan), and `signbit`
+    * distinguishes -0.0 so atr/-0.0 flips the infinity sign exactly as the
+    * JVM does. Shared by every oracle that derives atr_norm.
     */
   private[queries] val ieeeAtrNorm: String =
-    "(CASE WHEN close = 0 THEN (CASE WHEN atr > 0 THEN 'infinity'::DOUBLE " +
-      "WHEN atr < 0 THEN '-infinity'::DOUBLE ELSE 'nan'::DOUBLE END) " +
+    "(CASE WHEN close = 0 THEN (CASE WHEN atr IS NULL THEN NULL " +
+      "WHEN atr > 0 THEN (CASE WHEN signbit(close) THEN '-infinity'::DOUBLE ELSE 'infinity'::DOUBLE END) " +
+      "WHEN atr < 0 THEN (CASE WHEN signbit(close) THEN 'infinity'::DOUBLE ELSE '-infinity'::DOUBLE END) " +
+      "ELSE 'nan'::DOUBLE END) " +
       "ELSE atr / close END)"
 
   /** Explicit oldest-first lag chain: SQL's left-assoc `+` replays the exact

@@ -140,15 +140,25 @@ object QueriesStreaming {
     val batchNorms = graft.functions.TextOps.dedupExact(kept)
       .select(graft.functions.TextOps.normalized(col("text")).as("norm"))
 
-    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .collect().sortBy(_._1).toSeq
+    // Feed the stream through toLocalIterator in bounded slices: driver
+    // memory holds one partition + one 100-doc micro-batch at a time, not
+    // the whole corpus (a full collect() scales linearly with SF and would
+    // eventually OOM the driver). 100 keeps multiple micro-batches even at
+    // the 500-doc gate SF, so cross-batch dedup state stays exercised.
+    // orderBy keeps the feed deterministic; batch boundaries don't matter
+    // because the equivalence below compares normalized-content SETS, which
+    // are boundary-independent.
     val name = s"graft_stream_dedup_${System.nanoTime}"
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingCorpus.dedupExactStream(
         in.toDF().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
-      slices(rows, 15).foreach { sl => in.addData(sl); q.processAllAvailable() }
+      import scala.jdk.CollectionConverters._
+      docs.select(col("doc_id"), col("text")).orderBy("doc_id")
+        .as[(Long, String)].toLocalIterator().asScala
+        .grouped(100)
+        .foreach { sl => in.addData(sl.toSeq); q.processAllAvailable() }
     } finally q.stop()
     val streamNorms = spark.table(name)
       .select(graft.functions.TextOps.normalized(col("text")).as("norm"))

@@ -106,6 +106,33 @@ class VectorExprsSpec extends SparkSpec {
     assert(got(2).isNullAt(1))
   }
 
+  test("sign buckets NaN/Inf semantics match the Column spec (NaN sets the bit)") {
+    val session = spark
+    import session.implicits._
+    // Spark SQL's `>=` orders NaN above every double, so a NaN projection
+    // sets its bit in the Column spec; the native kernel must agree.
+    // Row 1: a NaN component -> every projection is NaN.
+    // Row 2: +Inf and -Inf components -> projections are +/-Inf or NaN
+    //        (Inf - Inf) depending on the random plane signs.
+    // Row 3: -0.0 components -> projection is -0.0 or +0.0; `>= 0` holds.
+    val df = Seq(
+      (1L, Seq(0.5, Double.NaN, 1.0)),
+      (2L, Seq(Double.PositiveInfinity, Double.NegativeInfinity, 0.25)),
+      (3L, Seq(-0.0, -0.0, -0.0))
+    ).toDF("id", "embedding")
+    val got = df.select(col("id"),
+        VectorExprs.signBuckets(col("embedding"), 6, 3).as("native"),
+        array((0 until 3).map(t =>
+          Similarity.lshBucket(col("embedding"), 6, seed = t)): _*).as("spec"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"NaN/Inf bucket divergence for id ${r.getLong(0)}")
+    }
+    // all-NaN projections -> every bit set, matching Spark's NaN >= 0 = true
+    assert(got(0).getSeq[Long](1).forall(_ == (1L << 6) - 1))
+  }
+
   test("l2sq is bit-identical to the higher-order squared-distance fold") {
     val session = spark
     import session.implicits._
