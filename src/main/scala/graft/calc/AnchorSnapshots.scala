@@ -156,4 +156,43 @@ object AnchorSnapshots {
     "daily_4am", "daily_930", "daily_4pm", "daily_high", "daily_low",
     "micro_peak", "micro_valley", "minor_peak", "minor_valley",
     "major_peak", "major_valley")
+
+  /** M4 extension — [[anchoredVwapPoints]] with the `anchored_vwap` column
+    * actually computed: Σ close·volume / Σ volume over [anchor row ..
+    * chunk's last row] inclusive. The reference allocates the column but
+    * never fills it (candle_to_calcs.py:245-246); SURVEY M4 flags the real
+    * computation as the natural extension.
+    *
+    * Because every snapshot is its chunk's LAST row, the anchored range is
+    * exactly a per-(symbol, chunk) SUFFIX — one bounded window computes
+    * suffix sums for every candle, and each anchor attaches its own row's
+    * values by (symbol, anchor_timestamp) equality. No range join, no
+    * re-scan per anchor; partitions stay chunk-bounded at any scale.
+    * Arithmetic is exact-decimal (close carries ≤2 decimals, volume ≤4) so
+    * the result is accumulation-order-independent and the DuckDB oracle
+    * hash-compares bit-for-bit; the single double division happens last.
+    */
+  def anchoredVwapReal(candles: DataFrame, timeframe: String = "1s",
+                       chunkDays: Int = 30, bufferSize: Int = 10000,
+                       chunkOriginUs: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val chunkUs = chunkDays * 86400L * 1000000L
+    val pD = col("close").cast(DecimalType(18, 2))
+    val vD = col("volume").cast(DecimalType(18, 4))
+    val w = Window.partitionBy("symbol", "__chunk").orderBy("timestamp")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tails = candles
+      .withColumn("__chunk",
+        expr(s"(unix_micros(timestamp) - ${chunkOriginUs}L) div ${chunkUs}L"))
+      .withColumn("tail_pv", sum(pD * vD).over(w))
+      .withColumn("tail_v", sum(vD).over(w))
+      .select(col("symbol").as("vsym"), col("timestamp").as("vts"),
+        col("tail_pv"), col("tail_v"))
+    anchoredVwapPoints(candles, timeframe, chunkDays, bufferSize, chunkOriginUs)
+      .drop("anchored_vwap")
+      .join(tails, col("symbol") === col("vsym") && col("anchor_timestamp") === col("vts"))
+      .withColumn("anchored_vwap",
+        when(col("tail_v") > 0, col("tail_pv").cast("double") / col("tail_v").cast("double")))
+      .drop("vsym", "vts", "tail_pv", "tail_v")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.calc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,6 +80,15 @@ object WindowCalcs {
         val ex2 = sum(cD * cD).over(frame).cast("double") / count(col("close")).over(frame)
         (m, sqrt(greatest(ex2 - m * m, lit(0.0))))
       } else (avg(col("close")).over(frame), stddev_pop(col("close")).over(frame))
+    bollingerTail(df, filled, meanE, devE, nbDev)
+  }
+
+  /** The shared Bollinger column chain from (filled, mean, σ) — used by the
+    * global-window path above and the bucketed path below so their derived
+    * semantics cannot drift.
+    */
+  private def bollingerTail(df: DataFrame, filled: Column, meanE: Column,
+                            devE: Column, nbDev: Double): DataFrame = {
     val mid = when(filled, meanE).otherwise(col("close"))
     val dev = when(filled, devE).otherwise(lit(0.0))
     val upper = mid + lit(nbDev) * dev
@@ -93,6 +102,119 @@ object WindowCalcs {
           (col("close") - col("bb_lower")) / (col("bb_upper") - col("bb_lower"))))
       .withColumn("bb_breakout",
         (col("close") > col("bb_upper") || col("close") < col("bb_lower")).cast("int"))
+  }
+
+  // ------------------------------------------------- bucketed rolling frames
+
+  /** Exact bucketed ROW-based rolling sums — the few-symbol-skew scale path
+    * for the fixed-width W frames (W1's rolling-60, W4's rolling-20).
+    *
+    * Unlike the H-pass's warm-up-overlap (whose exponential kernels force an
+    * approximation bound), fixed-width rolling DECIMAL sums admit an EXACT
+    * bucketed form via global prefix sums:
+    *
+    *   1. bucket rows by (symbol, time bucket); in-bucket running decimal
+    *      sums + row numbers — bounded window partitions;
+    *   2. per-(symbol, bucket) totals roll up on the tiny grain table
+    *      (symbols × buckets rows) and broadcast back: global row index
+    *      `__g` and global prefix sums;
+    *   3. rolling_sum over the last `window` rows = S(g) − S(g−window),
+    *      attached by an equality self-join on (symbol, g−window) — scalar
+    *      shuffle, no range explosion; rows with g ≤ window subtract 0.
+    *
+    *   Decimal arithmetic is exact, so S(g) − S(g−window) equals the direct
+    *   frame sum BIT-FOR-BIT (WindowCalcsSpec pins equivalence against the
+    *   global-window exact path). Parallelism is symbols × buckets
+    *   everywhere: no task ever sees a symbol's full history, so one hot
+    *   symbol cannot serialize the stage.
+    *
+    * Emits `__g` (global per-symbol row index, 1-based) and `__rs_<name>`
+    * (rolling decimal sum) for each (name, expr, window) in `sums`.
+    */
+  private def withBucketedRollingSums(df: DataFrame, bucketSeconds: Long,
+                                      sums: Seq[(String, Column, Int)]): DataFrame = {
+    val bUs = bucketSeconds * 1000000L
+    val base = df.withColumn("__bkt", expr(s"unix_micros(timestamp) div ${bUs}L"))
+    val wInOrd = Window.partitionBy("symbol", "__bkt").orderBy("timestamp")
+    val wIn = wInOrd.rowsBetween(Window.unboundedPreceding, 0)
+    val withCum = sums.foldLeft(base.withColumn("__crn", row_number().over(wInOrd))) {
+      case (d, (n, e, _)) => d.withColumn(s"__cum_$n", sum(e).over(wIn))
+    }
+    val aggs = count(lit(1)).as("__cnt") +:
+      sums.map { case (n, e, _) => sum(e).as(s"__tot_$n") }
+    val grain = base.groupBy(col("symbol").as("gs"), col("__bkt").as("gb"))
+      .agg(aggs.head, aggs.tail: _*)
+    val wCum = Window.partitionBy("gs").orderBy("gb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = grain.select(
+      col("gs") +: col("gb") +:
+        coalesce(sum(col("__cnt")).over(wCum), lit(0L)).as("__prior_cnt") +:
+        sums.map { case (n, _, _) => sum(col(s"__tot_$n")).over(wCum).as(s"__prior_$n") }: _*)
+    val prefixed = sums.foldLeft(
+      withCum.join(broadcast(prior), col("symbol") === col("gs") && col("__bkt") === col("gb"))
+        .withColumn("__g", col("__crn") + col("__prior_cnt"))) {
+      case (d, (n, _, _)) =>
+        d.withColumn(s"__S_$n",
+          col(s"__cum_$n") + coalesce(col(s"__prior_$n"), lit(0)))
+          .drop(s"__cum_$n", s"__prior_$n")
+    }.drop("gs", "gb", "__prior_cnt")
+
+    // one lagged frame per distinct window width; scalar equality joins
+    val widths = sums.map(_._3).distinct
+    widths.foldLeft(prefixed) { (d, wdt) =>
+      val names = sums.filter(_._3 == wdt).map(_._1)
+      val lagged = prefixed.select(
+        col("symbol").as(s"__ls_$wdt") +: (col("__g") + wdt).as(s"__lg_$wdt") +:
+          names.map(n => col(s"__S_$n").as(s"__L_$n")): _*)
+      val joined = d.join(lagged,
+        col("symbol") === col(s"__ls_$wdt") && col("__g") === col(s"__lg_$wdt"), "left")
+        .drop(s"__ls_$wdt", s"__lg_$wdt")
+      names.foldLeft(joined) { (dd, n) =>
+        dd.withColumn(s"__rs_$n", col(s"__S_$n") - coalesce(col(s"__L_$n"), lit(0)))
+          .drop(s"__L_$n", s"__S_$n")
+      }
+    }.drop("__bkt", "__crn")
+  }
+
+  /** W1 via [[withBucketedRollingSums]], symbols × buckets parallelism.
+    * `exact = true`: decimal sums, bit-identical to
+    * `withVolumeSpikes(df, exact = true)` (same decimal sum, same
+    * double-cast division) — the oracle path. `exact = false`: double
+    * prefix sums (codegen'd, no decimal cost) — the production/bench path;
+    * S(g) − S(g−w) in doubles differs from the direct frame sum in last
+    * ulps, same class of divergence as the plain `exact = false` variant.
+    */
+  def withVolumeSpikesBucketed(df: DataFrame, window: Int = 60, mult: Double = 1.5,
+                               bucketSeconds: Long = 86400L,
+                               exact: Boolean = true): DataFrame = {
+    val vol = if (exact) col("volume").cast("decimal(18,4)") else col("volume")
+    withBucketedRollingSums(df, bucketSeconds, Seq(("vol", vol, window)))
+      .withColumn("rolling_avg_volume",
+        col("__rs_vol").cast("double") / least(col("__g"), lit(window.toLong)))
+      .withColumn("is_volume_spike",
+        (col("volume") > col("rolling_avg_volume") * lit(mult)).cast("int"))
+      .drop("__g", "__rs_vol")
+  }
+
+  /** W4 via [[withBucketedRollingSums]], symbols × buckets parallelism.
+    * `exact = true`: mean and E[x²] from exact decimal rolling sums —
+    * bit-identical to `withBollinger(df, exact = true)`. `exact = false`:
+    * double prefix sums, the production/bench path (E[x²]−m² in doubles is
+    * the same moment arithmetic the exact path uses, minus the decimal
+    * exactness).
+    */
+  def withBollingerBucketed(df: DataFrame, period: Int = 20, nbDev: Double = 2.0,
+                            bucketSeconds: Long = 86400L,
+                            exact: Boolean = true): DataFrame = {
+    val c = if (exact) col("close").cast("decimal(18,2)") else col("close")
+    val pre = withBucketedRollingSums(df, bucketSeconds,
+      Seq(("c", c, period), ("c2", c * c, period)))
+    val cnt = least(col("__g"), lit(period.toLong))
+    val filled = col("__g") >= period
+    val m = col("__rs_c").cast("double") / cnt
+    val ex2 = col("__rs_c2").cast("double") / cnt
+    bollingerTail(pre, filled, m, sqrt(greatest(ex2 - m * m, lit(0.0))), nbDev)
+      .drop("__g", "__rs_c", "__rs_c2")
   }
 
   /** W12 — per NY-local-day running high/low with new-extreme flags

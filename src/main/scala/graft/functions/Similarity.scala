@@ -243,26 +243,56 @@ object Similarity {
     * centroids from per-dimension sums, k×dims doubles collected per
     * iteration (the classic driver-side k-means loop — the collected state
     * is the MODEL, not data). Init is deterministic farthest-point
-    * (maxmin): seed with the lowest-id vector, then repeatedly add the
-    * vector farthest from its nearest centroid (ties → lowest id) — k-1
-    * TakeOrdered jobs, spread-guaranteed (a lowest-k-ids init can seed one
-    * cluster k times and strand Lloyd there). Empty clusters keep their
-    * previous centroid. Floating sums across a shuffle make low-order
-    * centroid bits run-dependent — consumers must not hang exact equality
-    * on them (IVF recall is floor-checked, not pinned).
+    * (maxmin) over a deterministic SAMPLE: the `initSample` lowest
+    * xxhash64(vec_id) rows — ONE TakeOrdered pass over the corpus,
+    * O(initSample) driver memory — then driver-side maxmin within the
+    * sample (seed = lowest-id sampled vector; ties → lowest id). The
+    * former k−1 full-corpus TakeOrdered jobs made init cost O(k × corpus);
+    * at 100 TB that is k−1 full scans for a model of k×dims doubles. The
+    * trade: init spread is now sample-relative, so an outlier outside the
+    * sample can't seed a centroid — Lloyd (still full-corpus) recovers the
+    * assignment; determinism is preserved because the sample membership is
+    * a pure function of vec_id. Empty clusters keep their previous
+    * centroid. Floating sums across a shuffle make low-order centroid bits
+    * run-dependent — consumers must not hang exact equality on them (IVF
+    * recall is floor-checked, not pinned).
     */
-  def kmeansCentroids(vectors: DataFrame, k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
+  def kmeansCentroids(vectors: DataFrame, k: Int = 16, iters: Int = 5,
+                      initSample: Int = 4096): Array[Array[Double]] = {
     val dims = vectors.select(size(col("embedding"))).first().getInt(0)
     val asDouble = transform(col("embedding"), x => x.cast("double"))
-    var cents = vectors.orderBy(col("vec_id")).limit(1)
-      .select(asDouble).collect().map(_.getSeq[Double](0).toArray)
-    require(cents.nonEmpty, "kmeansCentroids: empty input frame")
+    val sample = vectors
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), asDouble.as("__e"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(math.max(initSample, k))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(sample.nonEmpty, "kmeansCentroids: empty input frame")
+    def l2sqLocal(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val seedIdx = sample.indices.minBy(i => sample(i)._1)
+    var cents = Array(sample(seedIdx)._2)
+    // distance-to-nearest-chosen per sampled vector, updated incrementally
+    val dNear = sample.map(p => l2sqLocal(p._2, cents(0)))
     while (cents.length < k) {
-      val dNearest = array_min(array(cents.map(c => l2sq(col("embedding"), c)): _*))
-      cents = cents :+ vectors
-        .select(col("vec_id"), asDouble.as("__e"), dNearest.as("__d"))
-        .orderBy(col("__d").desc, col("vec_id")).limit(1)
-        .collect()(0).getSeq[Double](1).toArray
+      var best = 0
+      var i = 1
+      while (i < sample.length) {
+        if (dNear(i) > dNear(best) ||
+          (dNear(i) == dNear(best) && sample(i)._1 < sample(best)._1)) best = i
+        i += 1
+      }
+      val next = sample(best)._2
+      cents = cents :+ next
+      i = 0
+      while (i < sample.length) {
+        val d = l2sqLocal(sample(i)._2, next)
+        if (d < dNear(i)) dNear(i) = d
+        i += 1
+      }
     }
     for (_ <- 0 until iters) {
       val sums = vectors

@@ -376,7 +376,15 @@ object QueriesDomain {
       .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
         col("volume"), col("rolling_avg_volume"), col("is_volume_spike"))
 
-  private def w1(s: SparkSession, dir: String): DataFrame = w1x(exact = true)(s, dir)
+  /** The oracle row runs the BUCKETED scale path: bit-identical to the
+    * exact global-window form (WindowCalcsSpec pins it), so a hash-green
+    * row is a driver-visible proof that the symbols × buckets plan computes
+    * the same rolling-60 frame as the per-symbol window.
+    */
+  private def w1(s: SparkSession, dir: String): DataFrame =
+    WindowCalcs.withVolumeSpikesBucketed(candles(s, dir))
+      .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
+        col("volume"), col("rolling_avg_volume"), col("is_volume_spike"))
 
   private val w1Sql =
     s"""$withCandles, w AS (
@@ -436,6 +444,17 @@ object QueriesDomain {
         col("bb_width"), col("bb_pos"), col("bb_breakout"))
 
   private def w4(s: SparkSession, dir: String): DataFrame = w4x(exact = true)(s, dir)
+
+  /** Bucketed W4 (same projection as [[w4x]]) — the few-symbol-skew bench
+    * path: double prefix sums, symbols × buckets parallelism. The decimal
+    * `exact = true` twin is bit-identical to w4's global form per
+    * WindowCalcsSpec.
+    */
+  private def w4b(s: SparkSession, dir: String): DataFrame =
+    WindowCalcs.withBollingerBucketed(candles(s, dir), exact = false)
+      .select(col("symbol"), tsMicros(col("timestamp")).as("ts"), col("close"),
+        col("bb_mid"), col("bb_upper"), col("bb_lower"),
+        col("bb_width"), col("bb_pos"), col("bb_breakout"))
 
   private val w4Sql =
     s"""$withCandles, b AS (
@@ -796,11 +815,11 @@ object QueriesDomain {
     * (snapshot time, documented type priority) — the complete
     * anchored_vwap_points output replayed in SQL.
     */
-  private val w14fullSql =
-    s"""WITH RECURSIVE $ticksCte, $candlesCte,
-       |$w14CommonCtes,
-       |$w14DailyAnchorCtes,
-       |b AS MATERIALIZED (
+  /** Anchor-union + last-row join + type-priority CTEs shared by the full
+    * W14 oracle and the anchored-VWAP extension oracle.
+    */
+  private val w14JoinedCtes =
+    s"""b AS MATERIALIZED (
        |  SELECT symbol, chunk, tstamp, high, low, crn - 1 AS pos FROM r2),
        |${peaksCtes(Seq("symbol", "chunk"))},
        |pk AS (
@@ -820,7 +839,13 @@ object QueriesDomain {
        |      WHEN 'minor_peak' THEN 7 WHEN 'minor_valley' THEN 8
        |      WHEN 'major_peak' THEN 9 WHEN 'major_valley' THEN 10 ELSE -1 END AS prio
        |  FROM (SELECT * FROM trig UNION ALL SELECT * FROM ext UNION ALL SELECT * FROM pk) a
-       |  JOIN last_rows l ON a.symbol = l.lsym AND a.chunk = l.lchunk)
+       |  JOIN last_rows l ON a.symbol = l.lsym AND a.chunk = l.lchunk)""".stripMargin
+
+  private val w14fullSql =
+    s"""WITH RECURSIVE $ticksCte, $candlesCte,
+       |$w14CommonCtes,
+       |$w14DailyAnchorCtes,
+       |$w14JoinedCtes
        |SELECT symbol, timeframe, anchor_type,
        |  strftime(ats, '$fmt') AS anchor_timestamp, anchor_idx, price_at_anchor,
        |  strftime(snap_ts, '$fmt') AS current_snapshot_timestamp, current_idx,
@@ -828,6 +853,39 @@ object QueriesDomain {
        |FROM joined
        |QUALIFY row_number() OVER (PARTITION BY symbol, timeframe, ats
        |  ORDER BY snap_ts DESC, prio DESC) = 1""".stripMargin
+
+  /** Anchored-VWAP extension (SURVEY M4): the deduped W14 snapshot rows
+    * with `anchored_vwap` actually computed — exact-decimal suffix sums per
+    * (symbol, chunk), divided once at the end; see
+    * [[graft.calc.AnchorSnapshots.anchoredVwapReal]].
+    */
+  private def avr(s: SparkSession, dir: String): DataFrame =
+    AnchorSnapshots.anchoredVwapReal(candles(s, dir))
+      .withColumn("anchor_timestamp", tsMicros(col("anchor_timestamp")))
+      .withColumn("current_snapshot_timestamp", tsMicros(col("current_snapshot_timestamp")))
+
+  private val avrSql =
+    s"""WITH RECURSIVE $ticksCte, $candlesCte,
+       |$w14CommonCtes,
+       |$w14DailyAnchorCtes,
+       |$w14JoinedCtes,
+       |dedup AS (
+       |  SELECT * FROM joined
+       |  QUALIFY row_number() OVER (PARTITION BY symbol, timeframe, ats
+       |    ORDER BY snap_ts DESC, prio DESC) = 1),
+       |tails AS (
+       |  SELECT symbol AS vsym, tstamp AS vts,
+       |    SUM(CAST(close AS DECIMAL(18,2)) * CAST(volume AS DECIMAL(18,4))) OVER wt AS tail_pv,
+       |    SUM(CAST(volume AS DECIMAL(18,4))) OVER wt AS tail_v
+       |  FROM candles
+       |  WINDOW wt AS (PARTITION BY symbol, epoch_us(tstamp) // 2592000000000
+       |    ORDER BY tstamp ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT d.symbol, d.timeframe, d.anchor_type,
+       |  strftime(d.ats, '$fmt') AS anchor_timestamp, d.anchor_idx, d.price_at_anchor,
+       |  strftime(d.snap_ts, '$fmt') AS current_snapshot_timestamp, d.current_idx,
+       |  CASE WHEN t.tail_v > 0 THEN CAST(t.tail_pv AS DOUBLE) / CAST(t.tail_v AS DOUBLE)
+       |    END AS anchored_vwap
+       |FROM dedup d JOIN tails t ON d.symbol = t.vsym AND d.ats = t.vts""".stripMargin
 
   /** W14 peak subset, oracle-checked: every (symbol, chunk)-local find_peaks
     * flag becomes an anchor crossed with the chunk's last row — the peak half
@@ -861,6 +919,49 @@ object QueriesDomain {
        |  strftime(l.snap_ts, '$fmt') AS snapshot_ts, l.current_idx
        |FROM anchors a JOIN last_rows l ON a.symbol = l.lsym AND a.chunk = l.lchunk""".stripMargin
 
+  /** Session-window extension (SURVEY §2.9 names it as cheap built-in
+    * surface): gap-based sessionization of the tick stream — a session
+    * closes after 5 minutes of per-symbol silence; the window is
+    * [first tick, last tick + gap). Spark's built-in `session_window`
+    * runs it as a single merging-sessions aggregation (one shuffle on
+    * symbol, sessions merged within partitions — no global window); the
+    * oracle replays it with the classic gaps-and-islands SQL. A tick at
+    * EXACTLY prev + gap still MERGES (Spark treats the session range as
+    * closed on touch: next.start <= session.end extends it; the oracle
+    * therefore breaks only on strictly-greater gaps) — pinned empirically
+    * by SessionWindowSpec. Volume sums are exact-decimal.
+    */
+  private def sessw(s: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.ticks(s, dir)
+      .groupBy(col("symbol"), session_window(col("timestamp"), "5 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_ticks"),
+        dsum(col("volume"), 4).as("total_volume"),
+        max(col("price")).as("max_price"))
+      .select(col("symbol"),
+        tsMicros(col("sw.start")).as("session_start"),
+        tsMicros(col("sw.end")).as("session_end"),
+        col("n_ticks"), col("total_volume"), col("max_price"))
+
+  private val sesswSql =
+    s"""$withTicks,
+       |m AS (
+       |  SELECT symbol, tstamp, price, volume,
+       |    CASE WHEN lag(tstamp) OVER w IS NULL
+       |         OR tstamp - lag(tstamp) OVER w > INTERVAL 5 MINUTE
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM ticks WINDOW w AS (PARTITION BY symbol ORDER BY tstamp)),
+       |g AS (
+       |  SELECT *, SUM(brk) OVER (PARTITION BY symbol ORDER BY tstamp
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM m)
+       |SELECT symbol,
+       |  strftime(MIN(tstamp), '$fmt') AS session_start,
+       |  strftime(MAX(tstamp) + INTERVAL 5 MINUTE, '$fmt') AS session_end,
+       |  COUNT(*) AS n_ticks,
+       |  CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS total_volume,
+       |  MAX(price) AS max_price
+       |FROM g GROUP BY symbol, grp""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
@@ -877,16 +978,22 @@ object QueriesDomain {
     Q("g6_distinct_symbols", g6, Some(g6Sql)),
     Q("f6_session_labels", f6, Some(f6Sql)),
     Q("f7_json_extract", f7, Some(f7Sql)),
-    Q("w1_volume_spikes", w1, Some(w1Sql), headline = true, benchRun = Some(w1x(exact = false))),
+    Q("w1_volume_spikes", w1, Some(w1Sql), headline = true,
+      benchRun = Some((s, dir) =>
+        WindowCalcs.withVolumeSpikesBucketed(candles(s, dir), exact = false)
+          .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
+            col("volume"), col("rolling_avg_volume"), col("is_volume_spike")))),
     Q("w2_lag_diff", w2, Some(w2Sql)),
     Q("w3_rolling_mean", w3, Some(w3Sql), benchRun = Some(w3x(exact = false))),
-    Q("w4_bollinger", w4, Some(w4Sql), headline = true, benchRun = Some(w4x(exact = false))),
+    Q("w4_bollinger", w4, Some(w4Sql), headline = true, benchRun = Some(w4b)),
     Q("w12_daily_extremes", w12, Some(w12Sql)),
     Q("w13_time_anchors", w13, Some(w13Sql)),
     Q("h1_indicator_pass", h1, Some(H1FullOracle.sql), headline = true),
     Q("h2_patterns", h2, Some(H2FullOracle.sql), headline = true, benchRun = Some(h2Bench)),
     Q("w11_peak_flags", w11, Some(w11Sql)),
     Q("w14_anchor_points", w14, Some(w14fullSql)),
+    Q("anchored_vwap_real", avr, Some(avrSql)),
+    Q("session_window_agg", sessw, Some(sesswSql)),
     Q("w14_daily_snapshots", w14d, Some(w14dSql)),
     Q("w14_peak_anchors", w14p, Some(w14pSql))
   )

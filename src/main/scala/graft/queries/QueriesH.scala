@@ -27,11 +27,14 @@ import graft.queries.QueriesDomain.{candles, fmt}
   */
 object QueriesH {
 
-  /** Fixed intermediate path (inside the repo tree; target/ is untracked) the
-    * h1_derived oracle SQL reads. Absolute because the driver's DuckDB may
-    * run with any CWD.
+  /** Intermediate path the h1_derived oracle SQL reads: one temp location
+    * per PROCESS, reused (overwrite mode) across invocations. Absolute
+    * because the driver's DuckDB may run with any CWD; the oracle string is
+    * built in this same process, so it sees the same tempdir. A repo-rooted
+    * literal broke relocated checkouts and raced concurrent Verify runs.
     */
-  private val h1BasePath = "/root/repo/target/graft/h1_base"
+  private lazy val h1BasePath: String = java.nio.file.Files
+    .createTempDirectory("graft_h1_").resolve("h1_base").toString
 
   // ---------------------------------------------------------------- h1_derived
 

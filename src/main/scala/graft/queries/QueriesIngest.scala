@@ -14,12 +14,19 @@ import graft.sources.{CsvTickSource, Sinks}
   */
 object QueriesIngest {
 
-  /** Staging paths (inside the repo tree; target/ is untracked). Absolute
-    * because the driver's DuckDB may run with any CWD.
+  /** Staging paths: one temp location per PROCESS, reused (overwrite mode)
+    * across invocations — per-invocation dirs would leak a ticks copy every
+    * bench rep, and a repo-rooted literal broke relocated checkouts and
+    * raced concurrent Verify runs (same policy as a4Path below). Absolute
+    * paths because the s5 oracle SQL embeds the CSV path and the driver's
+    * DuckDB may run with any CWD; the oracle string is built in this same
+    * process, so it sees the same tempdir.
     */
-  private val s5CsvPath = "/root/repo/target/graft/s5_ticks_csv"
-  private val a3ValidPath = "/root/repo/target/graft/a3_valid_ticks"
-  private val a3InvalidPath = "/root/repo/target/graft/a3_invalid_ticks"
+  private lazy val stageRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_ingest_")
+  private lazy val s5CsvPath = stageRoot.resolve("s5_ticks_csv").toString
+  private lazy val a3ValidPath = stageRoot.resolve("a3_valid_ticks").toString
+  private lazy val a3InvalidPath = stageRoot.resolve("a3_invalid_ticks").toString
 
   // ---------------------------------------------------------------- P6
 

@@ -258,9 +258,33 @@ object QueriesRelational {
        |FROM ticks t JOIN d ON t.symbol = d.symbol
        |GROUP BY t.symbol""".stripMargin
 
+  /** The skew-join bench pair: the SAME join + agg, salted vs plain, with
+    * the dimension side hinted shuffle_hash so neither path can hide the
+    * skew behind a broadcast (the 100 TB regime this operator exists for is
+    * "too big to broadcast"). Both rows share j4's oracle — the plain
+    * replay — so both are hash-green; the BENCH delta between them is the
+    * measured value of salting on a hot-keyed input (the sf1 generator
+    * gives 'click' ~50% of all rows; at the uniform driver SFs the delta
+    * reads ~0, which is itself the honest control).
+    */
+  private def j4Hot(salted: Boolean)(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.ticks(s, dir)
+    val dim = t.groupBy(col("symbol")).agg(min(col("seq")).as("sym_min"))
+      .hint("shuffle_hash")
+    val joined =
+      if (salted)
+        graft.operators.SkewJoin.saltedInner(t, dim, "symbol", salts = 32, saltBy = Seq("seq"))
+      else t.join(dim, Seq("symbol"))
+    joined.groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("seq")).as("sum_seq"),
+        sum(col("seq") - col("sym_min")).as("sum_rel_seq"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true, benchRun = Some(q01Bench)),
     Q("j4_salted_join", j4, Some(j4Sql)),
+    Q("j4_hot_salted", j4Hot(salted = true), Some(j4Sql), headline = true),
+    Q("j4_hot_plain", j4Hot(salted = false), Some(j4Sql), headline = true),
     Q("q02_revenue_by_nation", q02, Some(q02Sql), headline = true, benchRun = Some(q02x(exact = false))),
     Q("q03_top_orders", q03, Some(q03Sql)),
     Q("q04_segment_with_orders", q04, Some(q04Sql)),

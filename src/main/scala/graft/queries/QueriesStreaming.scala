@@ -24,20 +24,26 @@ import graft.streaming.{StreamingCandles, StreamingIndicators}
   *
   * The MemoryStream feed is driver-side BY NATURE: it is the in-process
   * harness source (production streams arrive via readStream file/Kafka
-  * sources, same operators). The collect() here feeds the harness; it is not
-  * part of the computation under test, which runs distributed like any other
-  * streaming query.
+  * sources, same operators). The sorted toLocalIterator feed here is the
+  * harness, not part of the computation under test, which runs distributed
+  * like any other streaming query; slices stay bounded at any SF.
   */
 object QueriesStreaming {
 
-  /** Ordered contiguous event-time slices — the reference's stream loop
-    * slices by wall minutes (candle_to_calcs.py:750-755); at sf scale that
-    * would mean thousands of micro-batches, so we keep the in-order
-    * micro-batch structure but bound the batch count.
+  /** Bounded-memory feed: stream a SORTED Dataset through toLocalIterator
+    * in ~`target` slices (capped at `cap` rows per slice so driver memory
+    * stays bounded at any SF — a full collect() scaled linearly and the
+    * 55 MB MemoryStream batches it produced at sf1 flooded the task
+    * scheduler). toLocalIterator on a sorted frame yields partitions in
+    * range order, so the event-time feed order is preserved.
     */
-  private def slices[T](rows: Seq[T], n: Int): Seq[Seq[T]] = {
-    val per = math.max(1, math.ceil(rows.length.toDouble / n).toInt)
-    rows.grouped(per).toSeq
+  private def feedSorted[T](sorted: org.apache.spark.sql.Dataset[T],
+                            target: Int = 20, cap: Int = 65536)(
+      add: Seq[T] => Unit): Unit = {
+    import scala.jdk.CollectionConverters._
+    val n = sorted.count()
+    val size = math.max(1L, math.min(cap.toLong, n / target + 1)).toInt
+    sorted.toLocalIterator().asScala.grouped(size).foreach(sl => add(sl.toSeq))
   }
 
   /** batch.except(stream) / stream.except(batch) over bit-exact rows.
@@ -59,19 +65,19 @@ object QueriesStreaming {
     val batchCandles = CandleAggregator.aggregate(ticks).cache()
 
     // ---- G1: windowed agg + watermark over micro-batched ticks
-    val tickRows = ticks
+    val tickFeed = ticks
       .select(col("symbol"), col("timestamp"), col("price"), col("volume"), col("seq"))
+      .orderBy(col("timestamp"), col("symbol"), col("seq"))
       .as[(String, Timestamp, Double, Double, Long)]
-      .collect().sortBy(t => (t._2.getTime, t._1, t._5)).toSeq
+    val lastTs = ticks.agg(max(col("timestamp"))).collect()(0).getTimestamp(0).getTime
     val g1Name = s"graft_stream_g1_${System.nanoTime}"
     val g1In = MemoryStream[(String, Timestamp, Double, Double, Long)]
     val g1Q = StreamingCandles.candles1s(
         g1In.toDF().toDF("symbol", "timestamp", "price", "volume", "seq"))
       .writeStream.format("memory").queryName(g1Name).outputMode("append").start()
     try {
-      slices(tickRows, 20).foreach { sl => g1In.addData(sl); g1Q.processAllAvailable() }
+      feedSorted(tickFeed) { sl => g1In.addData(sl); g1Q.processAllAvailable() }
       // sentinel far past the end pushes the watermark over every real window
-      val lastTs = tickRows.last._2.getTime
       g1In.addData(Seq(("\u0000SENTINEL", new Timestamp(lastTs + 3600L * 1000), 1.0, 1.0, -1L)))
       g1Q.processAllAvailable()
     } finally g1Q.stop()
@@ -79,17 +85,17 @@ object QueriesStreaming {
     val (g1OnlyBatch, g1OnlyStream) = diffCounts(batchCandles, streamG1)
 
     // ---- H: stateful kernel pass over micro-batched candles
-    val candleRows = batchCandles
+    val candleFeed = batchCandles
       .select(col("symbol"), col("timestamp"), col("open"), col("high"), col("low"), col("close"))
+      .orderBy(col("timestamp"), col("symbol"))
       .as[(String, Timestamp, Double, Double, Double, Double)]
-      .collect().sortBy(t => (t._2.getTime, t._1)).toSeq
     val hName = s"graft_stream_h_${System.nanoTime}"
     val hIn = MemoryStream[(String, Timestamp, Double, Double, Double, Double)]
     val hQ = StreamingIndicators.indicatorStream(
         hIn.toDF().toDF("symbol", "timestamp", "open", "high", "low", "close"))
       .writeStream.format("memory").queryName(hName).outputMode("append").start()
     try {
-      slices(candleRows, 20).foreach { sl => hIn.addData(sl); hQ.processAllAvailable() }
+      feedSorted(candleFeed) { sl => hIn.addData(sl); hQ.processAllAvailable() }
     } finally hQ.stop()
     val batchH = IndicatorPass.withIndicators(
       batchCandles.select(col("symbol"), col("timestamp"),
@@ -141,13 +147,16 @@ object QueriesStreaming {
       .select(graft.functions.TextOps.normalized(col("text")).as("norm"))
 
     // Feed the stream through toLocalIterator in bounded slices: driver
-    // memory holds one partition + one 100-doc micro-batch at a time, not
-    // the whole corpus (a full collect() scales linearly with SF and would
-    // eventually OOM the driver). 100 keeps multiple micro-batches even at
-    // the 500-doc gate SF, so cross-batch dedup state stays exercised.
-    // orderBy keeps the feed deterministic; batch boundaries don't matter
-    // because the equivalence below compares normalized-content SETS, which
-    // are boundary-independent.
+    // memory holds one partition + one micro-batch at a time, not the whole
+    // corpus (a full collect() scales linearly with SF and would eventually
+    // OOM the driver). Slice size adapts: ≥5 micro-batches at the 500-doc
+    // gate SF so cross-batch dedup state stays exercised, capped at 8192
+    // docs per batch so driver memory stays bounded and the batch COUNT
+    // stays sane at large corpora (500 round-trips at 100-doc slices made
+    // the sf1 sweep crawl). orderBy keeps the feed deterministic; batch
+    // boundaries don't matter because the equivalence below compares
+    // normalized-content SETS, which are boundary-independent.
+    val sliceSize = math.max(100L, math.min(8192L, docs.count() / 15)).toInt
     val name = s"graft_stream_dedup_${System.nanoTime}"
     val in = MemoryStream[(Long, String)]
     val q = graft.streaming.StreamingCorpus.dedupExactStream(
@@ -157,7 +166,7 @@ object QueriesStreaming {
       import scala.jdk.CollectionConverters._
       docs.select(col("doc_id"), col("text")).orderBy("doc_id")
         .as[(Long, String)].toLocalIterator().asScala
-        .grouped(100)
+        .grouped(sliceSize)
         .foreach { sl => in.addData(sl.toSeq); q.processAllAvailable() }
     } finally q.stop()
     val streamNorms = spark.table(name)
@@ -190,8 +199,80 @@ object QueriesStreaming {
        |FROM scored WHERE q >= 0.3""".stripMargin
   }
 
+  /** The bounded-state (watermarked) dedup dial on the scoreboard: feed the
+    * first 50 docs at T0, advance the watermark past T0+delay with a
+    * sentinel doc at T1, then re-feed the lowest-id batch-1 SURVIVOR's text
+    * at T1 — its state was evicted, so the duplicate is READMITTED. Emits
+    * (n_base = batch-1 survivors, n_emitted = n_base + sentinel +
+    * readmitted, n_readmitted = 1). The oracle replays n_base from the
+    * documents table (same gate + distinct-norm SQL as stream_llm_dedup)
+    * and pins the +2/+1 arithmetic — hash-green proves both the funnel
+    * arithmetic AND the eviction/readmission semantics, since an unexpired
+    * state row would make n_emitted one short.
+    */
+  private def streamLlmDedupWm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 11:00:00")
+    // outside the corpus vocabulary (TESTDATA words are spark-ish), passes
+    // the quality gate via its English stopwords
+    val sentinel = "the quick brown fox jumps over the lazy dog in the morning"
+
+    val name = s"graft_stream_dedup_wm_${System.nanoTime}"
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.StreamingCorpus.dedupExactStreamBounded(
+        in.toDF().toDF("doc_id", "text", "arrival_ts"), delay = "10 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val (nBase, nEmitted) = try {
+      in.addData(docs.map { case (id, t) => (id, t, t0) })
+      q.processAllAvailable()
+      val base = spark.table(name).select(col("doc_id"), col("text")).collect()
+      // batch 2: sentinel advances the watermark to T1 - delay > T0 + delay
+      in.addData(Seq((-1L, sentinel, t1)))
+      q.processAllAvailable()
+      // batch 3: duplicate of the lowest-id survivor, FRESH arrival time;
+      // its norm's state expired at T0 + delay < watermark -> readmitted
+      val dup = base.map(r => (r.getLong(0), r.getString(1))).minBy(_._1)
+      in.addData(Seq((dup._1 + 100000L, dup._2, t1)))
+      q.processAllAvailable()
+      (base.length.toLong, spark.table(name).count())
+    } finally q.stop()
+    Seq((nBase, nEmitted, nEmitted - nBase - 1))
+      .toDF("n_base", "n_emitted", "n_readmitted")
+  }
+
+  /** Replays n_base (distinct normalized contents among gated docs with
+    * doc_id < 50) and pins the sentinel/readmission arithmetic.
+    */
+  private val streamLlmDedupWmSql = {
+    val en = graft.functions.TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents WHERE doc_id < 50),
+       |scored AS (
+       |  SELECT doc_id, norm,
+       |    CASE WHEN len(list_filter(toks, t -> t SIMILAR TO '\\S+')) BETWEEN 5 AND 100000
+       |      THEN 1.0 ELSE 0.0 END *
+       |    (0.5 * (length(text) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')))::DOUBLE / greatest(length(text), 1) +
+       |     0.5 * least(len(list_filter(toks, t -> t IN ($en)))::DOUBLE / greatest(len(toks), 1) * 5, 1.0)) AS q
+       |  FROM base)
+       |SELECT COUNT(DISTINCT norm) AS n_base,
+       |  COUNT(DISTINCT norm) + 2 AS n_emitted,
+       |  CAST(1 AS BIGINT) AS n_readmitted
+       |FROM scored WHERE q >= 0.3""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("stream_equiv", streamEquiv, Some(streamEquivSql)),
-    Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql))
+    Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql)),
+    Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql))
   )
 }

@@ -33,4 +33,23 @@ object StreamingCorpus {
       .withColumn("__norm", TextOps.normalized(col(textCol)))
       .dropDuplicates("__norm")
       .drop("__norm")
+
+  /** The bounded-state dial: same funnel, but dedup state keyed on
+    * normalized content is EVICTED once the watermark on `arrivalCol`
+    * passes a row's arrival time + `delay`. State size is bounded by the
+    * distinct content arriving within one watermark window — the 100 TB
+    * unbounded-crawl configuration — at the cost of cross-epoch dedup: a
+    * duplicate arriving after its original's state expired is readmitted
+    * as new (`stream_llm_dedup_wm` pins exactly that readmission).
+    */
+  def dedupExactStreamBounded(docs: DataFrame, textCol: String = "text",
+                              arrivalCol: String = "arrival_ts",
+                              delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("pred_lang", TextOps.langId(col(textCol)))
+      .filter(TextOps.qualityScore(col(textCol)) >= 0.3)
+      .withColumn("__norm", TextOps.normalized(col(textCol)))
+      .withWatermark(arrivalCol, delay)
+      .dropDuplicatesWithinWatermark("__norm")
+      .drop("__norm")
 }

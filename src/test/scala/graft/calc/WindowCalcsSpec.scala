@@ -70,4 +70,68 @@ class WindowCalcsSpec extends SparkSpec {
     assert(filled.getAs[Double]("bb_width") > 0.0)
     assert(!filled.isNullAt(filled.fieldIndex("bb_pos")))
   }
+
+  /** Random multi-symbol, gap-riddled layout: rows land in many buckets,
+    * including buckets reached across gaps wider than the bucket and the
+    * rolling window — the cases where a time-overlap approximation would
+    * diverge and the prefix-sum form must not.
+    */
+  private def randomLayout(seed: Int, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    var t = 0L
+    val rows = Seq.tabulate(n) { i =>
+      // mostly 1-3 s steps, occasional gaps of minutes/hours
+      t += (rnd.nextInt(10) match {
+        case 0 => 3600L + rnd.nextInt(7200)
+        case 1 => 60L + rnd.nextInt(600)
+        case _ => 1L + rnd.nextInt(3)
+      })
+      val sym = if (rnd.nextInt(4) == 0) "B" else "A" // A is hot
+      (sym, new Timestamp(1705363200000L + t * 1000L),
+        10.0 + rnd.nextInt(500) / 100.0, 9.0, 10.0 + rnd.nextInt(300) / 100.0,
+        (1 + rnd.nextInt(5000)).toDouble)
+    }
+    rows.toDF("symbol", "timestamp", "high", "low", "close", "volume")
+  }
+
+  test("W1 bucketed ≡ W1 exact global window, bit-for-bit, across gaps") {
+    val df = randomLayout(7, 600)
+    val key = Seq($"symbol", $"timestamp")
+    val a = WindowCalcs.withVolumeSpikes(df, exact = true)
+      .select(key :+ $"rolling_avg_volume" :+ $"is_volume_spike": _*)
+      .orderBy(key: _*).collect()
+    // small bucket (300 s) so the 60-row frame routinely spans many buckets
+    val b = WindowCalcs.withVolumeSpikesBucketed(df, bucketSeconds = 300L)
+      .select(key :+ $"rolling_avg_volume" :+ $"is_volume_spike": _*)
+      .orderBy(key: _*).collect()
+    assert(a.length == b.length && a.length == 600)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"diverged at ${x.get(1)}") }
+  }
+
+  test("W4 bucketed ≡ W4 exact global window, bit-for-bit, across gaps") {
+    val df = randomLayout(11, 400)
+    val cols = Seq("bb_mid", "bb_upper", "bb_lower", "bb_width", "bb_pos", "bb_breakout")
+    val key = Seq($"symbol", $"timestamp")
+    val a = WindowCalcs.withBollinger(df, exact = true)
+      .select(key ++ cols.map(col => $"$col".alias(col)): _*).orderBy(key: _*).collect()
+    val b = WindowCalcs.withBollingerBucketed(df, bucketSeconds = 300L)
+      .select(key ++ cols.map(col => $"$col".alias(col)): _*).orderBy(key: _*).collect()
+    assert(a.length == b.length && a.length == 400)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"diverged at ${x.get(1)}") }
+  }
+
+  test("bucketed W1 plan parallelism exceeds the symbol count") {
+    val df = randomLayout(13, 500) // 2 symbols, ~40 day-buckets at 3600 s
+    val out = WindowCalcs.withVolumeSpikesBucketed(df, bucketSeconds = 3600L)
+    // every window exec in the plan partitions on (symbol, __bkt) or the
+    // tiny grain table — never on symbol alone, so one hot symbol cannot
+    // serialize the stage. A symbol-only window prints as
+    // windowspecdefinition(symbol#N, timestamp#M ASC ...): partition list
+    // = just symbol, then the order column.
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!"windowspecdefinition\\(symbol#\\d+, timestamp#".r.findFirstIn(plan).isDefined,
+      "found a window keyed on symbol alone:\n" + plan)
+    assert("windowspecdefinition\\(symbol#\\d+, __bkt#".r.findFirstIn(plan).isDefined,
+      "expected a (symbol, __bkt)-keyed window:\n" + plan)
+  }
 }
