@@ -45,8 +45,27 @@ def values_close(a, b):
 
 
 def main():
-    sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    # Optional filters for scale-stress sweeps: the WITH RECURSIVE oracles
+    # (per-symbol state-machine replays) run one DuckDB iteration per row and
+    # become intractable at sf1's 500k-row hot symbol, while the kernels they
+    # check are scale-invariant per-row recurrences already pinned at sf0.1.
+    #   --skip a,b,c       drop named queries
+    #   --skip-recursive   drop every WITH RECURSIVE oracle
+    #   --only a,b,c       keep only named queries
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    sf_dir, out_dir = Path(args[0]), Path(args[1])
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    for f in flags:
+        if f.startswith("--skip="):
+            drop = set(f.split("=", 1)[1].split(","))
+            oracle = {k: v for k, v in oracle.items() if k not in drop}
+        elif f == "--skip-recursive":
+            oracle = {k: v for k, v in oracle.items()
+                      if not (v and "RECURSIVE" in v)}
+        elif f.startswith("--only="):
+            keep = set(f.split("=", 1)[1].split(","))
+            oracle = {k: v for k, v in oracle.items() if k in keep}
     con = duckdb.connect()
     for p in sorted(sf_dir.glob("*.parquet")):
         con.execute(

@@ -179,13 +179,24 @@ object AnchorSnapshots {
     val chunkUs = chunkDays * 86400L * 1000000L
     val pD = col("close").cast(DecimalType(18, 2))
     val vD = col("volume").cast(DecimalType(18, 4))
-    val w = Window.partitionBy("symbol", "__chunk").orderBy("timestamp")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Suffix = partition total − strict prefix, NOT a currentRow..
+    // unboundedFollowing frame: Spark's UnboundedFollowing frame recomputes
+    // the aggregate from scratch for EVERY row — O(rows²) per partition,
+    // observed wedging the sf1 hot symbol's 500k-row chunk for 40+ minutes.
+    // The whole-partition frame is one aggregate per partition and the
+    // running prefix is incremental — both O(rows) — and decimal
+    // subtraction is exact, so the result is bit-identical.
+    val wAll = Window.partitionBy("symbol", "__chunk")
+    val wPre = Window.partitionBy("symbol", "__chunk").orderBy("timestamp")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val tails = candles
       .withColumn("__chunk",
         expr(s"(unix_micros(timestamp) - ${chunkOriginUs}L) div ${chunkUs}L"))
-      .withColumn("tail_pv", sum(pD * vD).over(w))
-      .withColumn("tail_v", sum(vD).over(w))
+      .withColumn("__pv", pD * vD)
+      .withColumn("tail_pv",
+        sum(col("__pv")).over(wAll) - coalesce(sum(col("__pv")).over(wPre), lit(0)))
+      .withColumn("tail_v",
+        sum(vD).over(wAll) - coalesce(sum(vD).over(wPre), lit(0)))
       .select(col("symbol").as("vsym"), col("timestamp").as("vts"),
         col("tail_pv"), col("tail_v"))
     anchoredVwapPoints(candles, timeframe, chunkDays, bufferSize, chunkOriginUs)
