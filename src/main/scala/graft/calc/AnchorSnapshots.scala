@@ -189,14 +189,20 @@ object AnchorSnapshots {
     val wAll = Window.partitionBy("symbol", "__chunk")
     val wPre = Window.partitionBy("symbol", "__chunk").orderBy("timestamp")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // The scale-2 recast is LOSSLESS (close has ≤2 decimals, volume is a
+    // whole number, so every product is a cent multiple) and keeps the
+    // scaled numerator under 2^53 so the final decimal→double casts are
+    // exact in both engines (see Det.centsDouble for the failure mode).
     val tails = candles
       .withColumn("__chunk",
         expr(s"(unix_micros(timestamp) - ${chunkOriginUs}L) div ${chunkUs}L"))
       .withColumn("__pv", pD * vD)
       .withColumn("tail_pv",
-        sum(col("__pv")).over(wAll) - coalesce(sum(col("__pv")).over(wPre), lit(0)))
+        (sum(col("__pv")).over(wAll) - coalesce(sum(col("__pv")).over(wPre), lit(0)))
+          .cast(DecimalType(38, 2)))
       .withColumn("tail_v",
-        sum(vD).over(wAll) - coalesce(sum(vD).over(wPre), lit(0)))
+        (sum(vD).over(wAll) - coalesce(sum(vD).over(wPre), lit(0)))
+          .cast(DecimalType(38, 2)))
       .select(col("symbol").as("vsym"), col("timestamp").as("vts"),
         col("tail_pv"), col("tail_v"))
     anchoredVwapPoints(candles, timeframe, chunkDays, bufferSize, chunkOriginUs)

@@ -45,6 +45,19 @@ object Det {
   def revTerm(price: Column, discount: Column): Column =
     dec(price, 12) * dec(lit(1.0) - discount, 4)
 
+  /** Deep-scale decimal aggregate → double via a cents rounding. A scale-6
+    * money sum above ~9e9 has a scaled numerator past 2^53; DuckDB casts
+    * decimal→double as numerator-to-double THEN divide-by-10^scale (two
+    * roundings) where Spark's BigDecimal cast rounds once — observed one
+    * ulp apart on q01's sum_charge at sf1. Rounding to scale 2 first keeps
+    * value×100 exactly representable up to ~9e13, making both engines'
+    * casts exact. Mirror in oracle SQL as
+    * `CAST(CAST(SUM(...) AS DECIMAL(38,2)) AS DOUBLE)` (DuckDB's
+    * scale-down rounds half-away-from-zero = Spark's HALF_UP for the
+    * positive money totals this is for).
+    */
+  def centsDouble(c: Column): Column = c.cast(DecimalType(38, 2)).cast("double")
+
   /** Microsecond-precision UTC string, matching DuckDB strftime '%f'. */
   def tsMicros(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 

@@ -875,8 +875,9 @@ object QueriesDomain {
        |    ORDER BY snap_ts DESC, prio DESC) = 1),
        |tails AS (
        |  SELECT symbol AS vsym, tstamp AS vts,
-       |    SUM(CAST(close AS DECIMAL(18,2)) * CAST(volume AS DECIMAL(18,4))) OVER wt AS tail_pv,
-       |    SUM(CAST(volume AS DECIMAL(18,4))) OVER wt AS tail_v
+       |    ROUND(SUM(CAST(close AS DECIMAL(18,2)) * CAST(volume AS DECIMAL(18,4))) OVER wt,
+       |      2) AS tail_pv,
+       |    ROUND(SUM(CAST(volume AS DECIMAL(18,4))) OVER wt, 2) AS tail_v
        |  FROM candles
        |  WINDOW wt AS (PARTITION BY symbol, epoch_us(tstamp) // 2592000000000
        |    ORDER BY tstamp ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))

@@ -25,9 +25,9 @@ object QueriesRelational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
-        sum(revTerm(col("l_extendedprice"), col("l_discount")) *
-          dec(lit(1.0) + col("l_tax"), 4)).cast("double").as("sum_charge"),
+        centsDouble(sum(revTerm(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
+        centsDouble(sum(revTerm(col("l_extendedprice"), col("l_discount")) *
+          dec(lit(1.0) + col("l_tax"), 4))).as("sum_charge"),
         (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
         count(lit(1)).as("count_order"))
@@ -55,8 +55,8 @@ object QueriesRelational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2)) * CAST(1.0 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  COUNT(*) AS count_order
@@ -72,7 +72,7 @@ object QueriesRelational {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val rev =
-      if (exact) sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double")
+      if (exact) centsDouble(sum(revTerm(col("l_extendedprice"), col("l_discount"))))
       else sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
@@ -85,7 +85,7 @@ object QueriesRelational {
 
   private val q02Sql =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1.0 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
