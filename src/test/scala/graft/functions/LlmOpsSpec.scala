@@ -155,6 +155,25 @@ class LlmOpsSpec extends SparkSpec {
     assert((a intersect b).size.toDouble / a.size > 0.5)
   }
 
+  test("k-means sample init is deterministic: identical centroids across invocations") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(41)
+    val df = Seq.tabulate(200)(i => (i.toLong, Array.fill(16)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    // init is a pure function of vec_id (hash-ordered sample + driver-side
+    // maxmin), so two calls must agree bit-for-bit BEFORE Lloyd iterations
+    // (whose shuffle-order float sums legitimately wobble low bits)
+    val a = Similarity.kmeansCentroids(df, k = 6, iters = 0)
+    val b = Similarity.kmeansCentroids(df, k = 6, iters = 0)
+    assert(a.length == 6 && b.length == 6)
+    a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    // and with a sample smaller than the corpus, still deterministic
+    val c = Similarity.kmeansCentroids(df, k = 6, iters = 0, initSample = 64)
+    val d = Similarity.kmeansCentroids(df, k = 6, iters = 0, initSample = 64)
+    c.zip(d).foreach { case (x, y) => assert(x.sameElements(y)) }
+  }
+
   test("IVF retrieves cluster-mates as nearest neighbors on separable clusters") {
     // three tight clusters far apart: with nlist=3 and nprobe=1 every
     // point's true nearest neighbor sits in its own (probed) list, so the
