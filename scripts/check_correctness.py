@@ -2,6 +2,7 @@
 """Local mirror of the driver's correctness gate.
 
 Usage: python3 scripts/check_correctness.py <sfDir> <verifyOutDir>
+           [--skip a,b] [--only a,b] [--skip-recursive] [--linear-replay]
 
 Loads <verifyOutDir>/oracle_sql.json, registers each <sfDir>/*.parquet as a
 DuckDB view named after the table, runs every oracle SQL, and compares the
@@ -9,13 +10,25 @@ result against the Spark-written parquet at <verifyOutDir>/<name>/ —
 columns sorted by name, rows sorted, values compared exactly (with a 1e-9
 relative fallback report for floats so near-misses are distinguishable from
 hard mismatches).
+
+Scale-stress options (the WITH RECURSIVE oracles replay per-symbol state
+machines one DuckDB iteration per row and are intractable at sf1's 500k-row
+hot symbol):
+  --skip-recursive   drop every WITH RECURSIVE oracle
+  --linear-replay    replace the recursive oracles with linear-time Python
+                     replays (scripts/linear_replay.py) computing the same
+                     IEEE double sequences — full coverage at any SF
 """
+import argparse
 import json
 import math
 import sys
 from pathlib import Path
 
 import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+import linear_replay  # noqa: E402
 
 
 def canon(rows, cols):
@@ -44,41 +57,53 @@ def values_close(a, b):
     return values_equal(a, b)
 
 
+def parse_args():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", type=Path)
+    ap.add_argument("out_dir", type=Path)
+    ap.add_argument("--skip", default="", help="comma-separated names to drop")
+    ap.add_argument("--only", default="", help="comma-separated names to keep")
+    ap.add_argument("--skip-recursive", action="store_true",
+                    help="drop every WITH RECURSIVE oracle")
+    ap.add_argument("--linear-replay", action="store_true",
+                    help="run recursive oracles as linear Python replays")
+    return ap.parse_args()
+
+
 def main():
-    # Optional filters for scale-stress sweeps: the WITH RECURSIVE oracles
-    # (per-symbol state-machine replays) run one DuckDB iteration per row and
-    # become intractable at sf1's 500k-row hot symbol, while the kernels they
-    # check are scale-invariant per-row recurrences already pinned at sf0.1.
-    #   --skip a,b,c       drop named queries
-    #   --skip-recursive   drop every WITH RECURSIVE oracle
-    #   --only a,b,c       keep only named queries
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = [a for a in sys.argv[1:] if a.startswith("--")]
-    sf_dir, out_dir = Path(args[0]), Path(args[1])
-    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
-    for f in flags:
-        if f.startswith("--skip="):
-            drop = set(f.split("=", 1)[1].split(","))
-            oracle = {k: v for k, v in oracle.items() if k not in drop}
-        elif f == "--skip-recursive":
-            oracle = {k: v for k, v in oracle.items()
-                      if not (v and "RECURSIVE" in v)}
-        elif f.startswith("--only="):
-            keep = set(f.split("=", 1)[1].split(","))
-            oracle = {k: v for k, v in oracle.items() if k in keep}
+    args = parse_args()
+    oracle = json.loads((args.out_dir / "oracle_sql.json").read_text())
+    if args.skip:
+        drop = set(args.skip.split(","))
+        oracle = {k: v for k, v in oracle.items() if k not in drop}
+    if args.skip_recursive:
+        oracle = {k: v for k, v in oracle.items()
+                  if not (v and "RECURSIVE" in v)}
+    if args.only:
+        keep = set(args.only.split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
     con = duckdb.connect()
-    for p in sorted(sf_dir.glob("*.parquet")):
+    for p in sorted(args.sf_dir.glob("*.parquet")):
         con.execute(
             f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')")
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        spark_path = out_dir / name
+        spark_path = args.out_dir / name
         status, detail = "PASS", ""
         try:
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
+            if args.linear_replay and "RECURSIVE" in sql \
+                    and linear_replay.is_h_query(name):
+                want_cols, want_rows = linear_replay.h_family(con, name)
+                detail = "(linear replay)"
+            elif args.linear_replay and "RECURSIVE" in sql \
+                    and linear_replay.is_peak_query(sql):
+                want_cols, want_rows = linear_replay.peak_hybrid(con, sql)
+                detail = "(thin-CTE replay)"
+            else:
+                want = con.execute(sql)
+                want_cols = [d[0] for d in want.description]
+                want_rows = want.fetchall()
             got = con.execute(
                 f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
             got_cols = [d[0] for d in got.description]

@@ -1,0 +1,511 @@
+#!/usr/bin/env python3
+"""Linear-time oracle replays for the WITH RECURSIVE state machines.
+
+DuckDB's recursive CTEs replay the H-family kernels one global iteration per
+row — O(maxRowsPerSymbol) joins — which is exact but intractable past ~100k
+rows per symbol (the sf1 hot symbol carries 500k). These replays compute the
+SAME IEEE-754 double sequences in plain Python loops (Python floats are
+doubles; operation order below mirrors graft.calc.ta.Ta statement-for-
+statement), so the sf1+ sweeps can hash-check the recursive rows instead of
+skipping them.
+
+Two entry points:
+  - h_family(con, name, fmt): full Python replay of the H-family queries
+    (h1_recurrences / h1_adx / h1_t3 / h1_sar / h1_indicator_pass /
+    h1_bucketed) from the events table registered on `con`.
+  - peak_hybrid(con, sql): runs the oracle SQL's non-recursive CTE prefix in
+    DuckDB, replaces ONLY the recursive `thin` CTE (scipy find_peaks'
+    distance thinning) with a Python greedy loop, and resumes the SQL.
+"""
+import math
+
+
+# --------------------------------------------------------------------- kernels
+# Ports of graft/calc/ta/Ta.scala. Keep statement order identical: these
+# must reproduce the JVM's doubles BIT-FOR-BIT.
+
+NAN = float("nan")
+
+
+def ieee_div(a, b):
+    """a / b with JVM double semantics (DuckDB/Python raise or NULL on /0)."""
+    if b != 0.0:
+        return a / b
+    # sign(inf) follows sign(a) XOR signbit(b); 0/0 and nan/0 -> nan
+    return a * math.copysign(math.inf, b)
+
+
+class Ema:
+    __slots__ = ("k", "seed_sum", "n", "e", "period")
+
+    def __init__(self, period):
+        self.period = period
+        self.k = 2.0 / (period + 1.0)
+        self.seed_sum = 0.0
+        self.n = 0
+        self.e = NAN
+
+    def update(self, x):
+        self.n += 1
+        if self.n < self.period:
+            self.seed_sum += x
+            return NAN
+        if self.n == self.period:
+            self.seed_sum += x
+            self.e = self.seed_sum / self.period
+            return self.e
+        self.e = ((x - self.e) * self.k) + self.e
+        return self.e
+
+
+class Macd:
+    __slots__ = ("fast_ema", "slow_ema", "sig_ema", "idx", "fast", "slow",
+                 "signal", "macd", "sig", "hist")
+
+    def __init__(self, fast=12, slow=26, signal=9):
+        self.fast_ema = Ema(fast)
+        self.slow_ema = Ema(slow)
+        self.sig_ema = Ema(signal)
+        self.idx = -1
+        self.fast, self.slow, self.signal = fast, slow, signal
+        self.macd = NAN
+        self.sig = NAN
+        self.hist = NAN
+
+    def update(self, x):
+        self.idx += 1
+        s = self.slow_ema.update(x)
+        f = self.fast_ema.update(x) if self.idx >= self.slow - self.fast else NAN
+        if self.idx >= self.slow - 1:
+            m = f - s
+            sg = self.sig_ema.update(m)
+            if self.idx >= self.slow + self.signal - 2:
+                self.macd, self.sig, self.hist = m, sg, m - sg
+
+
+def true_range(h, l, prev_close):
+    hl = h - l
+    hc = abs(h - prev_close)
+    lc = abs(l - prev_close)
+    return max(hl, hc, lc)
+
+
+class Atr:
+    __slots__ = ("prev_close", "seen", "tr_n", "sum", "atr", "period")
+
+    def __init__(self, period=14):
+        self.period = period
+        self.prev_close = NAN
+        self.seen = False
+        self.tr_n = 0
+        self.sum = 0.0
+        self.atr = NAN
+
+    def update(self, h, l, c):
+        if not self.seen:
+            self.prev_close = c
+            self.seen = True
+            return NAN
+        tr = true_range(h, l, self.prev_close)
+        self.prev_close = c
+        self.tr_n += 1
+        if self.tr_n < self.period:
+            self.sum += tr
+            return NAN
+        if self.tr_n == self.period:
+            self.sum += tr
+            self.atr = self.sum / self.period
+            return self.atr
+        self.atr = ((self.atr * (self.period - 1)) + tr) / self.period
+        return self.atr
+
+
+class Adx:
+    __slots__ = ("idx", "ph", "pl", "pc", "sm_plus", "sm_minus", "sm_tr",
+                 "dx_sum", "dx_n", "adx", "di_plus", "di_minus", "period")
+
+    def __init__(self, period=14):
+        self.period = period
+        self.idx = -1
+        self.ph = self.pl = self.pc = NAN
+        self.sm_plus = self.sm_minus = self.sm_tr = 0.0
+        self.dx_sum = 0.0
+        self.dx_n = 0
+        self.adx = NAN
+        self.di_plus = NAN
+        self.di_minus = NAN
+
+    def update(self, h, l, c):
+        self.idx += 1
+        if self.idx == 0:
+            self.ph, self.pl, self.pc = h, l, c
+            return
+        diff_p = h - self.ph
+        diff_m = self.pl - l
+        tr = true_range(h, l, self.pc)
+        self.ph, self.pl, self.pc = h, l, c
+        p = self.period
+        if self.idx < p:
+            if diff_m > 0 and diff_p < diff_m:
+                self.sm_minus += diff_m
+            elif diff_p > 0 and diff_p > diff_m:
+                self.sm_plus += diff_p
+            self.sm_tr += tr
+            return
+        self.sm_minus -= self.sm_minus / p
+        self.sm_plus -= self.sm_plus / p
+        if diff_m > 0 and diff_p < diff_m:
+            self.sm_minus += diff_m
+        elif diff_p > 0 and diff_p > diff_m:
+            self.sm_plus += diff_p
+        self.sm_tr = self.sm_tr - self.sm_tr / p + tr
+        if self.sm_tr != 0.0:
+            self.di_minus = 100.0 * (self.sm_minus / self.sm_tr)
+            self.di_plus = 100.0 * (self.sm_plus / self.sm_tr)
+            s = self.di_plus + self.di_minus
+            if self.dx_n < p:
+                if s != 0.0:
+                    self.dx_sum += 100.0 * (abs(self.di_plus - self.di_minus) / s)
+                self.dx_n += 1
+                if self.dx_n == p:
+                    self.adx = self.dx_sum / p
+            elif s != 0.0:
+                self.adx = ((self.adx * (p - 1))
+                            + 100.0 * (abs(self.di_plus - self.di_minus) / s)) / p
+        else:
+            self.di_minus = 0.0
+            self.di_plus = 0.0
+
+
+class Sar:
+    __slots__ = ("idx", "is_long", "af", "ep", "sar", "prev_high", "prev_low",
+                 "h0", "l0", "accel_init", "accel_max")
+
+    def __init__(self, accel_init=0.02, accel_max=0.2):
+        self.accel_init = accel_init
+        self.accel_max = accel_max
+        self.idx = -1
+        self.is_long = True
+        self.af = accel_init
+        self.ep = NAN
+        self.sar = NAN
+        self.prev_high = self.prev_low = NAN
+        self.h0 = self.l0 = NAN
+
+    def update(self, h, l):
+        self.idx += 1
+        if self.idx == 0:
+            self.h0, self.l0 = h, l
+            self.prev_high, self.prev_low = h, l
+            return NAN
+        if self.idx == 1:
+            diff_m = self.l0 - l
+            diff_p = h - self.h0
+            self.is_long = not (diff_m > 0 and diff_p < diff_m)
+            if self.is_long:
+                self.ep, self.sar = h, self.l0
+            else:
+                self.ep, self.sar = l, self.h0
+        p_h, p_l = self.prev_high, self.prev_low
+        self.prev_high, self.prev_low = h, l
+        if self.is_long:
+            if l <= self.sar:
+                self.is_long = False
+                self.sar = max(max(self.ep, p_h), h)
+                out = self.sar
+                self.af = self.accel_init
+                self.ep = l
+                self.sar = self.sar + self.af * (self.ep - self.sar)
+                self.sar = max(max(self.sar, p_h), h)
+            else:
+                out = self.sar
+                if h > self.ep:
+                    self.ep = h
+                    self.af = min(self.af + self.accel_init, self.accel_max)
+                self.sar = self.sar + self.af * (self.ep - self.sar)
+                self.sar = min(min(self.sar, p_l), l)
+        else:
+            if h >= self.sar:
+                self.is_long = True
+                self.sar = min(min(self.ep, p_l), l)
+                out = self.sar
+                self.af = self.accel_init
+                self.ep = h
+                self.sar = self.sar + self.af * (self.ep - self.sar)
+                self.sar = min(min(self.sar, p_l), l)
+            else:
+                out = self.sar
+                if l < self.ep:
+                    self.ep = l
+                    self.af = min(self.af + self.accel_init, self.accel_max)
+                self.sar = self.sar + self.af * (self.ep - self.sar)
+                self.sar = max(max(self.sar, p_h), h)
+        return out
+
+
+class T3:
+    __slots__ = ("k", "omk", "c1", "c2", "c3", "c4", "e1", "e2", "e3", "e4",
+                 "e5", "e6", "temp_sum", "phase", "n", "period")
+
+    def __init__(self, period=60, v=0.7):
+        self.period = period
+        self.k = 2.0 / (period + 1.0)
+        self.omk = 1.0 - self.k
+        self.c1 = -(v * v * v)
+        self.c2 = 3.0 * (v * v) + 3.0 * (v * v * v)
+        self.c3 = -6.0 * (v * v) - 3.0 * v - 3.0 * (v * v * v)
+        self.c4 = 1.0 + 3.0 * v + (v * v * v) + 3.0 * (v * v)
+        self.e1 = self.e2 = self.e3 = self.e4 = self.e5 = self.e6 = NAN
+        self.temp_sum = 0.0
+        self.phase = 0
+        self.n = 0
+
+    def update(self, x):
+        k, omk = self.k, self.omk
+        if self.phase == 0:
+            self.temp_sum += x
+            self.n += 1
+            if self.n == self.period:
+                self.e1 = self.temp_sum / self.period
+                self.phase = 1
+                self.temp_sum = self.e1
+                self.n = 0
+            return NAN
+        if self.phase < 6:
+            self.e1 = (k * x) + (omk * self.e1)
+            stage_out = self.e1
+            if self.phase >= 2:
+                self.e2 = (k * self.e1) + (omk * self.e2)
+                stage_out = self.e2
+            if self.phase >= 3:
+                self.e3 = (k * self.e2) + (omk * self.e3)
+                stage_out = self.e3
+            if self.phase >= 4:
+                self.e4 = (k * self.e3) + (omk * self.e4)
+                stage_out = self.e4
+            if self.phase >= 5:
+                self.e5 = (k * self.e4) + (omk * self.e5)
+                stage_out = self.e5
+            self.temp_sum += stage_out
+            self.n += 1
+            if self.n == self.period - 1:
+                seeded = self.temp_sum / self.period
+                if self.phase == 1:
+                    self.e2 = seeded
+                elif self.phase == 2:
+                    self.e3 = seeded
+                elif self.phase == 3:
+                    self.e4 = seeded
+                elif self.phase == 4:
+                    self.e5 = seeded
+                elif self.phase == 5:
+                    self.e6 = seeded
+                self.phase += 1
+                self.n = 0
+                self.temp_sum = seeded
+                if self.phase == 6:
+                    return (self.c1 * self.e6 + self.c2 * self.e5
+                            + self.c3 * self.e4 + self.c4 * self.e3)
+            return NAN
+        self.e1 = (k * x) + (omk * self.e1)
+        self.e2 = (k * self.e1) + (omk * self.e2)
+        self.e3 = (k * self.e2) + (omk * self.e3)
+        self.e4 = (k * self.e3) + (omk * self.e4)
+        self.e5 = (k * self.e4) + (omk * self.e5)
+        self.e6 = (k * self.e5) + (omk * self.e6)
+        return (self.c1 * self.e6 + self.c2 * self.e5
+                + self.c3 * self.e4 + self.c4 * self.e3)
+
+
+class Ring:
+    __slots__ = ("buf", "size", "n", "pos")
+
+    def __init__(self, size):
+        self.size = size
+        self.buf = [0.0] * size
+        self.n = 0
+        self.pos = 0
+
+    def push(self, x):
+        evicted = self.buf[self.pos] if self.n == self.size else NAN
+        if self.n < self.size:
+            self.n += 1
+        self.buf[self.pos] = x
+        self.pos = (self.pos + 1) % self.size
+        return evicted
+
+    def is_full(self):
+        return self.n == self.size
+
+    def seq_mean(self):
+        """Oldest-first left-assoc sum, = Ta.Ring.seqMean's add order."""
+        if self.n == 0:
+            return NAN
+        start = self.pos if self.n == self.size else 0
+        s = 0.0
+        for i in range(self.n):
+            s += self.buf[(start + i) % self.size]
+        return s / self.n
+
+
+# ------------------------------------------------------------ H-family replay
+
+FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+INDICATOR_COLS = [
+    "typical_price", "adx", "di_pos", "di_neg", "di_diff",
+    "macd", "macd_signal", "macd_diff", "psar", "psar_trend",
+    "psar_reversal", "atr", "atr_norm", "atr_change", "high_volatility",
+    "t3", "t3_slope", "is_uptrend", "is_downtrend", "is_no_trend"]
+
+H_QUERIES = {
+    "h1_recurrences": ["macd", "macd_signal", "macd_diff", "atr"],
+    "h1_adx": ["adx", "di_pos", "di_neg"],
+    "h1_t3": ["t3"],
+    "h1_sar": ["psar"],
+    "h1_indicator_pass": INDICATOR_COLS,
+    "h1_bucketed": INDICATOR_COLS,
+}
+
+
+def _z(x):
+    return 0.0 if x != x else x
+
+
+class SymbolState:
+    """graft.calc.IndicatorPass.SymbolState, indicator columns only."""
+    __slots__ = ("macd", "adx", "atr", "sar", "t3", "atr_ring", "t3_ring",
+                 "prev_atr", "prev_trend", "first", "thr")
+
+    def __init__(self, slope_threshold=0.2):
+        self.macd = Macd(12, 26, 9)
+        self.adx = Adx(14)
+        self.atr = Atr(14)
+        self.sar = Sar(0.02, 0.2)
+        self.t3 = T3(60, 0.7)
+        self.atr_ring = Ring(14)
+        self.t3_ring = Ring(60)
+        self.prev_atr = 0.0
+        self.prev_trend = 0
+        self.first = True
+        self.thr = slope_threshold
+
+    def next(self, h, l, c):
+        typical = (h + l + c) / 3.0
+
+        self.adx.update(h, l, c)
+        adx_v = _z(self.adx.adx)
+        di_pos = _z(self.adx.di_plus)
+        di_neg = _z(self.adx.di_minus)
+
+        self.macd.update(c)
+
+        psar_raw = self.sar.update(h, l)
+        psar = c if psar_raw != psar_raw else psar_raw
+        trend = 1 if c > psar else 0
+        reversal = 0.0 if self.first else abs(float(trend) - float(self.prev_trend))
+        self.prev_trend = trend
+
+        atr_f = _z(self.atr.update(h, l, c))
+        atr_norm = ieee_div(atr_f, c)
+        atr_change = 0.0 if self.first else atr_f - self.prev_atr
+        self.prev_atr = atr_f
+        self.atr_ring.push(atr_norm)
+        roll = self.atr_ring.seq_mean() if self.atr_ring.is_full() else 0.0
+        high_vol = 1 if atr_norm > roll else 0
+
+        t3_raw = self.t3.update(c)
+        t3_v = c if t3_raw != t3_raw else t3_raw
+        evicted = self.t3_ring.push(t3_v)
+        t3_slope = 0.0 if evicted != evicted else t3_v - evicted
+        is_up = 1 if t3_slope > self.thr else 0
+        is_down = 1 if t3_slope < -self.thr else 0
+        is_none = 1 if (is_up == 0 and is_down == 0) else 0
+
+        self.first = False
+        return (typical, adx_v, di_pos, di_neg, di_pos - di_neg,
+                _z(self.macd.macd), _z(self.macd.sig), _z(self.macd.hist),
+                psar, trend, reversal,
+                atr_f, atr_norm, atr_change, high_vol,
+                t3_v, t3_slope, is_up, is_down, is_none)
+
+
+def h_family(con, name):
+    """Returns (cols, rows) for an H-family query replayed linearly."""
+    want = H_QUERIES[name]
+    idx = [INDICATOR_COLS.index(c) for c in want]
+    data = con.execute(f"""
+        WITH ticks AS (
+          SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price
+          FROM events),
+        candles AS (
+          SELECT symbol, min(tstamp) AS tstamp, max(price) AS high,
+            min(price) AS low, arg_max(price, tstamp) AS close
+          FROM ticks GROUP BY symbol, date_trunc('second', tstamp))
+        SELECT symbol, strftime(tstamp, '{FMT}') AS ts, high, low, close
+        FROM candles ORDER BY symbol, tstamp""").fetchall()
+    rows = []
+    st = None
+    cur = None
+    for sym, ts, h, l, c in data:
+        if sym != cur:
+            cur = sym
+            st = SymbolState()
+        out = st.next(h, l, c)
+        rows.append((sym, ts) + tuple(out[i] for i in idx))
+    return ["symbol", "ts"] + want, rows
+
+
+# --------------------------------------------------------- peak-thinning hybrid
+
+def peak_hybrid(con, sql):
+    """Runs `sql` with the recursive find_peaks `thin` CTE replaced by a
+    Python greedy loop: candidates come from the SQL's own `grp` CTE
+    (priority-ordered maxima), survivors go back in as a registered
+    `fin_py` table. Returns (cols, rows).
+    """
+    i_thin = sql.index("thin AS (")
+    i_flagged = sql.index("flagged AS (")
+    prefix = sql[:i_thin]
+    cand_sql = prefix.rstrip().rstrip(",") + "\nSELECT * FROM grp"
+    cand = con.execute(cand_sql)
+    cand_cols = [d[0] for d in cand.description]
+    # grp emits (cname, dist, *keys, side, p, prio)
+    keys = cand_cols[2:-3]
+    cand_rows = cand.fetchall()
+    cand_rows.sort(key=lambda r: (r[0], r[2:-3], r[-3], r[-1]))
+
+    out = []
+    group = None
+    kept = set()
+    kept_list = []
+    for r in cand_rows:
+        g = (r[0],) + tuple(r[2:-3]) + (r[-3],)
+        if g != group:
+            group = g
+            kept = set()
+            kept_list = []
+        dist, p = r[1], r[-2]
+        if any((p + d) in kept for d in range(-dist + 1, dist)):
+            continue
+        kept.add(p)
+        kept_list.append(p)
+        out.append((r[0],) + tuple(r[2:-3]) + (r[-3], p))
+
+    import pandas as pd
+    fin_py = pd.DataFrame(out, columns=["cname"] + keys + ["side", "p"])
+    con.register("fin_py", fin_py)
+    key_sel = ", ".join(["cname"] + keys + ["side", "p"])
+    final_sql = (prefix + f"fin AS (SELECT {key_sel} FROM fin_py),\n"
+                 + sql[i_flagged:])
+    res = con.execute(final_sql)
+    cols = [d[0] for d in res.description]
+    return cols, res.fetchall()
+
+
+def is_h_query(name):
+    return name in H_QUERIES
+
+
+def is_peak_query(sql):
+    return "thin AS (" in sql and "flagged AS (" in sql

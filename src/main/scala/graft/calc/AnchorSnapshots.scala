@@ -44,6 +44,16 @@ object AnchorSnapshots {
   val Triggers: Seq[(String, Int, Int)] =
     Seq(("daily_4am", 4, 0), ("daily_930", 9, 30), ("daily_4pm", 16, 0))
 
+  /** Default chunking (matches the reference's 30-day accumulation window,
+    * aggregator_candles.py). Oracle SQL derives its `// divisor` from
+    * [[chunkUs]] so the Scala defaults and the replay can't drift.
+    */
+  val DefaultChunkDays: Int = 30
+
+  /** Chunk width in microseconds for a given day count. */
+  def chunkUs(chunkDays: Int = DefaultChunkDays): Long =
+    chunkDays * 86400L * 1000000L
+
   /** The snapshot rows BEFORE the keep-last dedup — the full anchor × last
     * row cross per (symbol, chunk). Exposed separately so the daily-anchor
     * subset can be oracle-checked without the peak flags (which can steal a
@@ -51,12 +61,12 @@ object AnchorSnapshots {
     * oracle-verified on its own.
     */
   def snapshots(candles: DataFrame, timeframe: String = "1s",
-                chunkDays: Int = 30, bufferSize: Int = 10000,
+                chunkDays: Int = DefaultChunkDays, bufferSize: Int = 10000,
                 chunkOriginUs: Long = 0L): DataFrame = {
-    val chunkUs = chunkDays * 86400L * 1000000L
+    val chunkWidthUs = chunkUs(chunkDays)
     val labeled = WindowCalcs.withDailyRunningExtremes(
       SessionLabels.withSessionLabels(candles))
-      .withColumn("chunk", expr(s"(unix_micros(timestamp) - ${chunkOriginUs}L) div ${chunkUs}L"))
+      .withColumn("chunk", expr(s"(unix_micros(timestamp) - ${chunkOriginUs}L) div ${chunkWidthUs}L"))
     val withPeaks = PeaksPass.withPeakFlags(labeled, Seq("chunk"))
 
     // cidx = position in the reference's buffer+chunk frame = in-chunk row
@@ -134,7 +144,7 @@ object AnchorSnapshots {
   }
 
   def anchoredVwapPoints(candles: DataFrame, timeframe: String = "1s",
-                         chunkDays: Int = 30, bufferSize: Int = 10000,
+                         chunkDays: Int = DefaultChunkDays, bufferSize: Int = 10000,
                          chunkOriginUs: Long = 0L): DataFrame = {
     val snaps = snapshots(candles, timeframe, chunkDays, bufferSize, chunkOriginUs)
     // Dedup ties: different anchor TYPES can share an anchor_timestamp (a
@@ -168,15 +178,23 @@ object AnchorSnapshots {
     * suffix sums for every candle, and each anchor attaches its own row's
     * values by (symbol, anchor_timestamp) equality. No range join, no
     * re-scan per anchor; partitions stay chunk-bounded at any scale.
-    * Arithmetic is exact-decimal (close carries ≤2 decimals, volume ≤4) so
-    * the result is accumulation-order-independent and the DuckDB oracle
-    * hash-compares bit-for-bit; the single double division happens last.
+    * Arithmetic is exact-decimal so the result is accumulation-order-
+    * independent and the DuckDB oracle hash-compares bit-for-bit; the
+    * single double division happens last.
+    *
+    * Exactness precondition (stated once, relied on below): close carries
+    * ≤2 decimals and volume is a WHOLE number — then every close·volume
+    * product is a cent multiple and the scale-2 recast of the sums is
+    * lossless. With genuinely fractional volume (the tick API caps it at 4
+    * decimals) the recast rounds half-away-from-zero; both engines round
+    * identically so oracle parity survives, but the value is then a
+    * cent-rounded VWAP numerator/denominator, not the exact one.
     */
   def anchoredVwapReal(candles: DataFrame, timeframe: String = "1s",
-                       chunkDays: Int = 30, bufferSize: Int = 10000,
+                       chunkDays: Int = DefaultChunkDays, bufferSize: Int = 10000,
                        chunkOriginUs: Long = 0L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val chunkUs = chunkDays * 86400L * 1000000L
+    val chunkWidthUs = chunkUs(chunkDays)
     val pD = col("close").cast(DecimalType(18, 2))
     val vD = col("volume").cast(DecimalType(18, 4))
     // Suffix = partition total − strict prefix, NOT a currentRow..
@@ -189,13 +207,13 @@ object AnchorSnapshots {
     val wAll = Window.partitionBy("symbol", "__chunk")
     val wPre = Window.partitionBy("symbol", "__chunk").orderBy("timestamp")
       .rowsBetween(Window.unboundedPreceding, -1)
-    // The scale-2 recast is LOSSLESS (close has ≤2 decimals, volume is a
-    // whole number, so every product is a cent multiple) and keeps the
-    // scaled numerator under 2^53 so the final decimal→double casts are
-    // exact in both engines (see Det.centsDouble for the failure mode).
+    // Scale-2 recast: lossless under the whole-number-volume precondition
+    // (scaladoc above) and keeps the scaled numerator under 2^53 so the
+    // final decimal→double casts are exact in both engines (see
+    // Det.centsDouble for the failure mode).
     val tails = candles
       .withColumn("__chunk",
-        expr(s"(unix_micros(timestamp) - ${chunkOriginUs}L) div ${chunkUs}L"))
+        expr(s"(unix_micros(timestamp) - ${chunkOriginUs}L) div ${chunkWidthUs}L"))
       .withColumn("__pv", pD * vD)
       .withColumn("tail_pv",
         (sum(col("__pv")).over(wAll) - coalesce(sum(col("__pv")).over(wPre), lit(0)))

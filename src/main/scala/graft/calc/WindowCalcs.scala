@@ -128,11 +128,26 @@ object WindowCalcs {
     *   everywhere: no task ever sees a symbol's full history, so one hot
     *   symbol cannot serialize the stage.
     *
-    * Emits `__g` (global per-symbol row index, 1-based) and `__rs_<name>`
-    * (rolling decimal sum) for each (name, expr, window) in `sums`.
+    * Emits `__g` (global per-symbol row index, 1-based), `__rs_<name>`
+    * (rolling decimal sum) and `__rc_<name>` (rolling NON-NULL count — the
+    * same `count(expr)` the global frame path divides by, so null inputs
+    * keep the two paths bit-identical) for each (name, expr, window) in
+    * `sums`.
     */
   private def withBucketedRollingSums(df: DataFrame, bucketSeconds: Long,
                                       sums: Seq[(String, Column, Int)]): DataFrame = {
+    // each requested sum also rolls its non-null count through the exact
+    // same prefix machinery (integer sums are exact in either mode)
+    val all = sums.flatMap { case (n, e, w) =>
+      Seq((n, e, w), (s"${n}__nn", when(e.isNotNull, 1L).otherwise(0L), w))
+    }
+    sums.foldLeft(withBucketedRollingSumsImpl(df, bucketSeconds, all)) {
+      case (d, (n, _, _)) => d.withColumnRenamed(s"__rs_${n}__nn", s"__rc_$n")
+    }
+  }
+
+  private def withBucketedRollingSumsImpl(df: DataFrame, bucketSeconds: Long,
+                                          sums: Seq[(String, Column, Int)]): DataFrame = {
     val bUs = bucketSeconds * 1000000L
     val base = df.withColumn("__bkt", expr(s"unix_micros(timestamp) div ${bUs}L"))
     val wInOrd = Window.partitionBy("symbol", "__bkt").orderBy("timestamp")
@@ -189,11 +204,14 @@ object WindowCalcs {
                                exact: Boolean = true): DataFrame = {
     val vol = if (exact) col("volume").cast("decimal(18,4)") else col("volume")
     withBucketedRollingSums(df, bucketSeconds, Seq(("vol", vol, window)))
+      // divide by the rolling NON-NULL count (= the global path's
+      // count(volume) over the frame); an all-null frame yields NULL, not
+      // the 0/0 NaN a row-index denominator would produce
       .withColumn("rolling_avg_volume",
-        col("__rs_vol").cast("double") / least(col("__g"), lit(window.toLong)))
+        when(col("__rc_vol") > 0, col("__rs_vol").cast("double") / col("__rc_vol")))
       .withColumn("is_volume_spike",
         (col("volume") > col("rolling_avg_volume") * lit(mult)).cast("int"))
-      .drop("__g", "__rs_vol")
+      .drop("__g", "__rs_vol", "__rc_vol")
   }
 
   /** W4 via [[withBucketedRollingSums]], symbols × buckets parallelism.
@@ -209,12 +227,15 @@ object WindowCalcs {
     val c = if (exact) col("close").cast("decimal(18,2)") else col("close")
     val pre = withBucketedRollingSums(df, bucketSeconds,
       Seq(("c", c, period), ("c2", c * c, period)))
-    val cnt = least(col("__g"), lit(period.toLong))
-    val filled = col("__g") >= period
+    // denominator/fill gate = the rolling non-null count, mirroring the
+    // global path's count(close) over the frame — null closes keep the two
+    // paths bit-identical instead of silently relying on dense input
+    val cnt = col("__rc_c")
+    val filled = cnt >= period
     val m = col("__rs_c").cast("double") / cnt
     val ex2 = col("__rs_c2").cast("double") / cnt
     bollingerTail(pre, filled, m, sqrt(greatest(ex2 - m * m, lit(0.0))), nbDev)
-      .drop("__g", "__rs_c", "__rs_c2")
+      .drop("__g", "__rs_c", "__rs_c2", "__rc_c", "__rc_c2")
   }
 
   /** W12 — per NY-local-day running high/low with new-extreme flags

@@ -574,16 +574,49 @@ object QueriesDomain {
       IndicatorPass.patternFields.map(f => col(f.name))): _*)
   }
 
-  /** Bench variant: the warm-up-overlap bucketed pass (1-day buckets) — the
-    * declared few-symbol scale path, parallelism symbols × days instead of
-    * symbols. Measurably faster than the 5-way funnel for the pattern-heavy
-    * kernel even at sf0.1; h1's lighter kernel doesn't amortize the overlap
-    * replay at this scale, so only h2 benches bucketed (both paths are
-    * exposed and equivalence-proven in IndicatorBucketedSpec).
+  /** Bench variant: the warm-up-overlap bucketed pass with the density-derived
+    * [[IndicatorPass.autoBucket]] spec — the declared few-symbol scale path,
+    * parallelism symbols × buckets instead of symbols. Measurably faster than
+    * the 5-way funnel for the pattern-heavy kernel even at sf0.1; h1's
+    * lighter kernel doesn't amortize the overlap replay at this scale, so
+    * only h2 benches bucketed. autoBucket (not a fixed 1-day bucket): on the
+    * sparse test candles (~130 s apart at sf0.1) a fixed spec's 960 s warm-up
+    * window covered ~7 rows — short of even the patterns' 10-row trailing
+    * averages — so the bench variant was NOT the same answer near bucket
+    * boundaries. The derived spec is bit-identical, proven by the
+    * h1_bucketed/h2_bucketed hash rows below.
     */
   private def h2Bench(s: SparkSession, dir: String): DataFrame = {
-    val out = IndicatorPass.withIndicators(candles(s, dir), patterns = true,
-      bucket = Some(IndicatorPass.BucketSpec(bucketSeconds = 86400)))
+    val c = candles(s, dir)
+    val out = IndicatorPass.withIndicators(c, patterns = true,
+      bucket = Some(IndicatorPass.autoBucket(c)))
+    out.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+      IndicatorPass.patternFields.map(f => col(f.name))): _*)
+  }
+
+  /** The bucketed (warm-up-overlap) H-family pass on the CORRECTNESS
+    * scoreboard: same fused single-shuffle engine as h1/h2, physical plan
+    * symbols × buckets (the reference's own few-symbol scale scheme,
+    * candle_to_calcs.py:647-691), checked hash-exact against the SAME
+    * full-replay oracles as the flat rows. Bit-identity holds by
+    * [[IndicatorPass.autoBucket]]'s two-regime argument: ≥2600 true warm-up
+    * rows lock every exponential kernel's state to the ulp, or the clamp
+    * degenerates to a full-history replay. Stats pre-pass + main pass = two
+    * candle scans — deliberate: at scale a cheap extra scan beats caching
+    * the whole candle frame.
+    */
+  private def h1Bucketed(s: SparkSession, dir: String): DataFrame = {
+    val c = candles(s, dir)
+    val out = IndicatorPass.withIndicators(c, patterns = true,
+      bucket = Some(IndicatorPass.autoBucket(c)))
+    out.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+      IndicatorPass.indicatorFields.map(f => col(f.name))): _*)
+  }
+
+  private def h2Bucketed(s: SparkSession, dir: String): DataFrame = {
+    val c = candles(s, dir)
+    val out = IndicatorPass.withIndicators(c, patterns = true,
+      bucket = Some(IndicatorPass.autoBucket(c)))
     out.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
       IndicatorPass.patternFields.map(f => col(f.name))): _*)
   }
@@ -744,7 +777,7 @@ object QueriesDomain {
        |    CAST(timezone('America/New_York', timezone('UTC', tstamp)) AS DATE) AS ld,
        |    hour(timezone('America/New_York', timezone('UTC', tstamp))) AS h,
        |    minute(timezone('America/New_York', timezone('UTC', tstamp))) AS mi,
-       |    epoch_us(tstamp) // 2592000000000 AS chunk
+       |    epoch_us(tstamp) // ${AnchorSnapshots.chunkUs()} AS chunk
        |  FROM candles),
        |cnts AS (SELECT symbol, chunk, COUNT(*) AS cnt FROM loc GROUP BY 1, 2),
        |pri AS (
@@ -879,7 +912,7 @@ object QueriesDomain {
        |      2) AS tail_pv,
        |    ROUND(SUM(CAST(volume AS DECIMAL(18,4))) OVER wt, 2) AS tail_v
        |  FROM candles
-       |  WINDOW wt AS (PARTITION BY symbol, epoch_us(tstamp) // 2592000000000
+       |  WINDOW wt AS (PARTITION BY symbol, epoch_us(tstamp) // ${AnchorSnapshots.chunkUs()}
        |    ORDER BY tstamp ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
        |SELECT d.symbol, d.timeframe, d.anchor_type,
        |  strftime(d.ats, '$fmt') AS anchor_timestamp, d.anchor_idx, d.price_at_anchor,
@@ -990,6 +1023,8 @@ object QueriesDomain {
     Q("w12_daily_extremes", w12, Some(w12Sql)),
     Q("w13_time_anchors", w13, Some(w13Sql)),
     Q("h1_indicator_pass", h1, Some(H1FullOracle.sql), headline = true),
+    Q("h1_bucketed", h1Bucketed, Some(H1FullOracle.sql), headline = true),
+    Q("h2_bucketed", h2Bucketed, Some(H2FullOracle.sql)),
     Q("h2_patterns", h2, Some(H2FullOracle.sql), headline = true, benchRun = Some(h2Bench)),
     Q("w11_peak_flags", w11, Some(w11Sql)),
     Q("w14_anchor_points", w14, Some(w14fullSql)),

@@ -27,14 +27,14 @@ import graft.queries.QueriesDomain.{candles, fmt}
   */
 object QueriesH {
 
-  /** Intermediate path the h1_derived oracle SQL reads: one temp location
-    * per PROCESS, reused (overwrite mode) across invocations. Absolute
-    * because the driver's DuckDB may run with any CWD; the oracle string is
-    * built in this same process, so it sees the same tempdir. A repo-rooted
-    * literal broke relocated checkouts and raced concurrent Verify runs.
+  /** Intermediate path the h1_derived oracle SQL reads: under the same
+    * STABLE staging root as the ingest queries (see
+    * [[QueriesIngest.stageRoot]]) so repeated processes overwrite one copy
+    * instead of leaking per-process tempdirs, and a persisted
+    * oracle_sql.json stays replayable after this process exits.
     */
-  private lazy val h1BasePath: String = java.nio.file.Files
-    .createTempDirectory("graft_h1_").resolve("h1_base").toString
+  private lazy val h1BasePath: String =
+    QueriesIngest.stageRoot.resolve("h1_base").toString
 
   // ---------------------------------------------------------------- h1_derived
 

@@ -14,16 +14,24 @@ import graft.sources.{CsvTickSource, Sinks}
   */
 object QueriesIngest {
 
-  /** Staging paths: one temp location per PROCESS, reused (overwrite mode)
-    * across invocations — per-invocation dirs would leak a ticks copy every
-    * bench rep, and a repo-rooted literal broke relocated checkouts and
-    * raced concurrent Verify runs (same policy as a4Path below). Absolute
-    * paths because the s5 oracle SQL embeds the CSV path and the driver's
-    * DuckDB may run with any CWD; the oracle string is built in this same
-    * process, so it sees the same tempdir.
+  /** Staging paths: a STABLE root — `$SPARK_GRAFT_STAGE_DIR` or
+    * `java.io.tmpdir/graft_stage` — reused (overwrite mode) across
+    * invocations AND processes. Stable beats per-process
+    * `createTempDirectory` on both counts that matter here: repeated
+    * sbt/bench processes overwrite one copy instead of each leaking a
+    * ticks CSV (tens of MB at sf1), and the absolute path embedded in
+    * oracle_sql.json stays replayable by a LATER check_correctness.py run
+    * (a dead per-process dir made persisted oracle JSON fail on a dangling
+    * path). Absolute because the driver's DuckDB may run with any CWD.
+    * Concurrent Verify runs on one machine would race the shared path —
+    * point SPARK_GRAFT_STAGE_DIR at distinct dirs for that.
     */
-  private lazy val stageRoot: java.nio.file.Path =
-    java.nio.file.Files.createTempDirectory("graft_ingest_")
+  private[queries] lazy val stageRoot: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft_stage"))
+    java.nio.file.Files.createDirectories(root)
+    root
+  }
   private lazy val s5CsvPath = stageRoot.resolve("s5_ticks_csv").toString
   private lazy val a3ValidPath = stageRoot.resolve("a3_valid_ticks").toString
   private lazy val a3InvalidPath = stageRoot.resolve("a3_invalid_ticks").toString
@@ -260,13 +268,12 @@ object QueriesIngest {
 
   // ---------------------------------------------------------------- A4
 
-  /** One temp table location per PROCESS, reused (overwrite mode) across
-    * invocations: per-invocation dirs would leak a full ticks copy every
-    * bench rep, and a repo-rooted path broke relocated checkouts and raced
-    * concurrent runs.
+  /** Under the same stable staging root as s5/a3 (see [[stageRoot]]):
+    * repeated processes overwrite one copy instead of leaking a full ticks
+    * copy each, and the path needs no oracle replayability caveats (a4's
+    * oracle doesn't read it — the query audits the read-back itself).
     */
-  private lazy val a4Path: String = java.nio.file.Files
-    .createTempDirectory("graft_a4_").resolve("a4_table").toString
+  private lazy val a4Path: String = stageRoot.resolve("a4_table").toString
 
   /** A4 — the truncate/replace lifecycle verified by read-back: a full
     * write followed by [[Sinks.replace]] with a one-symbol subset; the

@@ -238,6 +238,9 @@ object QueriesStreaming {
       q.processAllAvailable()
       // batch 3: duplicate of the lowest-id survivor, FRESH arrival time;
       // its norm's state expired at T0 + delay < watermark -> readmitted
+      require(base.nonEmpty, "stream_llm_dedup_wm: no doc_id<50 document " +
+        "passed the 0.3 quality gate at this SF/corpus — the readmission " +
+        "probe needs at least one batch-1 survivor")
       val dup = base.map(r => (r.getLong(0), r.getString(1))).minBy(_._1)
       in.addData(Seq((dup._1 + 100000L, dup._2, t1)))
       q.processAllAvailable()
