@@ -100,6 +100,12 @@ def main():
                     and linear_replay.is_peak_query(sql):
                 want_cols, want_rows = linear_replay.peak_hybrid(con, sql)
                 detail = "(thin-CTE replay)"
+            elif args.linear_replay and linear_replay.is_minhash_query(name):
+                # the SQL form is an n² all-pairs join (the sf0.1-and-below
+                # recall proof); this is the same join via exact prefix
+                # filtering — no recall compromise, tractable at sf1+
+                want_cols, want_rows = linear_replay.minhash_replay(con, name)
+                detail = "(prefix-filter replay)"
             else:
                 want = con.execute(sql)
                 want_cols = [d[0] for d in want.description]

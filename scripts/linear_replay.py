@@ -503,8 +503,97 @@ def peak_hybrid(con, sql):
     return cols, res.fetchall()
 
 
+# ------------------------------------------------- exact set-similarity join
+
+MINHASH_QUERIES = {"llm_jaccard_pairs", "llm_minhash_dedup_verified"}
+
+
+def _round6(x):
+    """Spark round(_, 6) = BigDecimal.valueOf(x).setScale(6, HALF_UP)."""
+    import decimal
+    return float(decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+
+
+def _shingle_docs(con):
+    """(doc_id, source, shingle-set) per document, mirroring the oracle SQL:
+    norm = regexp_replace(lower(trim(text)), '\\s+', ' ', 'g');
+    3-word shingles, whole norm when <= 3 tokens; distinct.
+    DuckDB trim() strips SPACES only — so does .strip(' ')."""
+    import re
+    out = []
+    for doc_id, source, text in con.execute(
+            "SELECT doc_id, source, text FROM documents ORDER BY doc_id").fetchall():
+        norm = re.sub(r"\s+", " ", text.strip(" ").lower())
+        toks = norm.split(" ")
+        if len(toks) <= 3:
+            sh = frozenset([norm])
+        else:
+            sh = frozenset(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+        out.append((doc_id, source, sh))
+    return out
+
+
+def _true_jaccard_pairs(docs, t=0.8):
+    """EXACT all-pairs-equivalent Jaccard join at threshold t via prefix
+    filtering (AllPairs): J(A,B) >= t implies |A∩B| >= t·max(|A|,|B|), so
+    the (|x| - ceil(t|x|) + 1)-prefixes under a global rarest-first shingle
+    order must intersect — indexing prefixes only is complete, no recall
+    loss, and linear-ish where the DuckDB n² replay was intractable.
+    Returns [(id_a, id_b, jaccard)] with id_a < id_b (docs are scanned in
+    doc_id order, so index hits are always the earlier doc).
+    """
+    from collections import defaultdict
+    df = defaultdict(int)
+    for _, _, sh in docs:
+        for x in sh:
+            df[x] += 1
+    prefixes = []
+    for _, _, sh in docs:
+        lst = sorted(sh, key=lambda x: (df[x], x))
+        p = len(lst) - math.ceil(t * len(lst)) + 1
+        prefixes.append(lst[:p])
+    index = defaultdict(list)
+    out = []
+    for i, (doc_id, _, sh) in enumerate(docs):
+        cands = set()
+        for x in prefixes[i]:
+            cands.update(index[x])
+            index[x].append(i)
+        for j in sorted(cands):
+            shj = docs[j][2]
+            ni = len(sh & shj)
+            nu = len(sh) + len(shj) - ni
+            if ni / nu >= t:
+                out.append((docs[j][0], doc_id, ni / nu))
+    return out
+
+
+def minhash_replay(con, name):
+    """llm_jaccard_pairs / llm_minhash_dedup_verified without the n² DuckDB
+    join. Same values as the SQL replays, any SF."""
+    docs = _shingle_docs(con)
+    pairs = _true_jaccard_pairs(docs)
+    if name == "llm_jaccard_pairs":
+        return (["id_a", "id_b", "jaccard"],
+                [(a, b, _round6(j)) for a, b, j in pairs])
+    dup = {b for _, b, _ in pairs}
+    by_source = {}
+    for doc_id, source, _ in docs:
+        if doc_id in dup:
+            continue
+        n, s = by_source.get(source, (0, 0))
+        by_source[source] = (n + 1, s + doc_id)
+    return (["source", "n_survivors", "sum_doc_id"],
+            [(src, n, s) for src, (n, s) in sorted(by_source.items())])
+
+
 def is_h_query(name):
     return name in H_QUERIES
+
+
+def is_minhash_query(name):
+    return name in MINHASH_QUERIES
 
 
 def is_peak_query(sql):

@@ -191,6 +191,45 @@ object WindowCalcs {
     }.drop("__bkt", "__crn")
   }
 
+  /** Cheap few-symbol-skew probe deciding global-window vs bucketed: max
+    * rows per symbol above `threshold` means some single window partition
+    * would serialize a long history on one task. One count aggregation over
+    * the symbol column only — pass `probe` = a cheaper upstream frame (e.g.
+    * raw ticks, a column-pruned parquet scan) when `df` is itself an
+    * aggregation that would otherwise materialize just to decide; tick
+    * counts upper-bound candle counts, which is all a threshold needs.
+    *
+    * Default threshold 150k: a ~150k-row serial window task costs ~0.1-0.3 s
+    * — the same order as the bucketed path's two extra exchanges — so below
+    * it the 1-exchange global plan wins (measured at sf0.1: 5 uniform
+    * symbols × 20k rows, bucketed ≈ 2× global), and above it the global
+    * plan degrades linearly with the hottest symbol while bucketed stays
+    * flat at symbols × buckets parallelism (sf1: 500k-row hot symbol).
+    */
+  def fewSymbolSkew(probe: DataFrame, threshold: Long = 150000L): Boolean = {
+    val m = probe.groupBy("symbol").count()
+      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
+    m > threshold
+  }
+
+  /** W1 with runtime path selection (see [[fewSymbolSkew]]). */
+  def withVolumeSpikesAuto(df: DataFrame, window: Int = 60, mult: Double = 1.5,
+                           bucketSeconds: Long = 86400L, exact: Boolean = false,
+                           probe: Option[DataFrame] = None,
+                           threshold: Long = 150000L): DataFrame =
+    if (fewSymbolSkew(probe.getOrElse(df), threshold))
+      withVolumeSpikesBucketed(df, window, mult, bucketSeconds, exact)
+    else withVolumeSpikes(df, window, mult, exact)
+
+  /** W4 with runtime path selection (see [[fewSymbolSkew]]). */
+  def withBollingerAuto(df: DataFrame, period: Int = 20, nbDev: Double = 2.0,
+                        bucketSeconds: Long = 86400L, exact: Boolean = false,
+                        probe: Option[DataFrame] = None,
+                        threshold: Long = 150000L): DataFrame =
+    if (fewSymbolSkew(probe.getOrElse(df), threshold))
+      withBollingerBucketed(df, period, nbDev, bucketSeconds, exact)
+    else withBollinger(df, period, nbDev, exact)
+
   /** W1 via [[withBucketedRollingSums]], symbols × buckets parallelism.
     * `exact = true`: decimal sums, bit-identical to
     * `withVolumeSpikes(df, exact = true)` (same decimal sum, same

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -224,18 +224,40 @@ object Similarity {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Squared L2 between an embedding column and a centroid literal — the
-    * native [[L2SqDistance]] expression (the IVF coarse quantizer computes
-    * nlist of these per row; interpreted, that was nlist × dims lambda
-    * evals each). Value-identical to the higher-order form it replaced.
+  /** The centroid MODEL as a tiny broadcast table (list id, centroid) —
+    * nlist × dims doubles, a few hundred KB at nlist=256/dims=128. All
+    * coarse-quantizer math joins against this instead of inlining nlist
+    * array literals into the expression tree: the literal form made the
+    * PLAN O(nlist × dims) (256 inline L2 blocks blow whole-stage codegen's
+    * method budget and analysis time grows with nlist), where the join
+    * form's plan is one broadcast join + one aggregation regardless of
+    * nlist — plan build time stays flat as the quantizer grows.
     */
-  private def l2sq(a: Column, c: Array[Double]): Column =
-    VectorExprs.l2Sq(a, typedLit(c.toSeq))
+  private def centroidTable(spark: SparkSession, cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("__list_id", "__cent")
+  }
 
-  /** Index of each vector's nearest centroid (ties → lowest index). */
-  private def nearestList(emb: Column, cents: Array[Array[Double]]): Column = {
-    val d = array(cents.map(c => l2sq(emb, c)): _*)
-    (array_position(d, array_min(d)) - 1).cast("int")
+  /** Each vector's nearest centroid (ties → lowest index, matching the
+    * former array_min/array_position form): broadcast-cross the centroid
+    * table, take min(struct(distance, index)) per vector — partial
+    * aggregation collapses the nlist-way expansion map-side, so the
+    * shuffle carries one row per vector. The embedding rides the struct as
+    * payload (index is unique per vector, so it never participates in the
+    * min comparison) for consumers that need it back without a re-join.
+    */
+  private def assignLists(vectors: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val centDf = centroidTable(vectors.sparkSession, cents)
+    vectors.select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull)
+      .join(broadcast(centDf))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(
+        VectorExprs.l2Sq(col("embedding"), col("__cent")).as("d"),
+        col("__list_id").as("i"),
+        col("embedding").as("e"))).as("m"))
+      .select(col("vec_id"), col("m.i").as("list"), col("m.e").as("embedding"))
   }
 
   /** Lloyd's k-means over the embedding column, pure DataFrame ops: assign
@@ -295,9 +317,11 @@ object Similarity {
       }
     }
     for (_ <- 0 until iters) {
-      val sums = vectors
-        .withColumn("__list", nearestList(col("embedding"), cents))
-        .groupBy(col("__list"))
+      // assignLists already drops null embeddings — under the literal form
+      // they landed in a null list whose null-summed centroid could poison
+      // the collect; with the join form they simply take no part in Lloyd
+      val sums = assignLists(vectors, cents)
+        .groupBy(col("list"))
         .agg(count(lit(1)).as("__n"),
           array((0 until dims).map(i =>
             sum(col("embedding")(i).cast("double"))): _*).as("__s"))
@@ -324,17 +348,23 @@ object Similarity {
   def ivfTopK(vectors: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 5): DataFrame = {
     val cents = kmeansCentroids(vectors, nlist, iters)
-    val corpus = vectors
-      .select(col("vec_id").as("neighbor_id"),
-        nearestList(col("embedding"), cents).as("list"))
-    // nprobe nearest lists per query: sort (distance, index) structs — the
-    // struct order breaks ties on the lower index, deterministically
-    val d = array(cents.map(c => l2sq(col("embedding"), c)): _*)
-    val ranked = array_sort(transform(sequence(lit(0), lit(nlist - 1)),
-      i => struct(element_at(d, i + 1).as("d"), i.as("i"))))
+    val corpus = assignLists(vectors, cents)
+      .select(col("vec_id").as("neighbor_id"), col("list"))
+    // nprobe nearest lists per query, via the same broadcast centroid
+    // table: collect_list + array_sort of (distance, index) structs —
+    // partial aggregation folds the nlist expansion map-side; ties break
+    // on the lower index, deterministically, like the assignment
+    val centDf = centroidTable(vectors.sparkSession, cents)
     val probes = vectors
-      .select(col("vec_id").as("query_id"),
-        explode(transform(slice(ranked, 1, nprobe), s => s.getField("i"))).as("list"))
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .join(broadcast(centDf))
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        VectorExprs.l2Sq(col("embedding"), col("__cent")).as("d"),
+        col("__list_id").as("i")))), 1, nprobe).as("__near"))
+      .select(col("query_id"),
+        explode(expr("transform(__near, s -> s.i)")).as("list"))
     val cand = probes.join(corpus, "list")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()

@@ -451,7 +451,8 @@ object QueriesDomain {
     * WindowCalcsSpec.
     */
   private def w4b(s: SparkSession, dir: String): DataFrame =
-    WindowCalcs.withBollingerBucketed(candles(s, dir), exact = false)
+    WindowCalcs.withBollingerAuto(candles(s, dir), exact = false,
+        probe = Some(ticks(s, dir)))
       .select(col("symbol"), tsMicros(col("timestamp")).as("ts"), col("close"),
         col("bb_mid"), col("bb_upper"), col("bb_lower"),
         col("bb_width"), col("bb_pos"), col("bb_breakout"))
@@ -771,7 +772,7 @@ object QueriesDomain {
     * buffer-rebased cidx arithmetic and each chunk's last row — used by both
     * the daily-anchor subset (w14dSql) and the peak-anchor subset (w14pSql).
     */
-  private val w14CommonCtes =
+  private[queries] val w14CommonCtes =
     s"""loc AS (
        |  SELECT symbol, tstamp, high, low, close,
        |    CAST(timezone('America/New_York', timezone('UTC', tstamp)) AS DATE) AS ld,
@@ -811,7 +812,7 @@ object QueriesDomain {
   /** The daily-trigger + running-extreme anchor CTEs (shared by the daily
     * subset and the full-table oracle).
     */
-  private val w14DailyAnchorCtes =
+  private[queries] val w14DailyAnchorCtes =
     s"""trig AS (
        |  SELECT symbol, chunk, anchor_type, tstamp, cidx, close AS price_at_anchor
        |  FROM (
@@ -1012,9 +1013,14 @@ object QueriesDomain {
     Q("g6_distinct_symbols", g6, Some(g6Sql)),
     Q("f6_session_labels", f6, Some(f6Sql)),
     Q("f7_json_extract", f7, Some(f7Sql)),
+    // bench = the auto path: the skew probe keeps the 1-exchange global
+    // plan at sf0.1's 5 uniform symbols and flips to the bucketed plan on
+    // the sf1 hot symbol; the CORRECTNESS run still pins the bucketed
+    // exact plan hash-green regardless of cardinality
     Q("w1_volume_spikes", w1, Some(w1Sql), headline = true,
       benchRun = Some((s, dir) =>
-        WindowCalcs.withVolumeSpikesBucketed(candles(s, dir), exact = false)
+        WindowCalcs.withVolumeSpikesAuto(candles(s, dir), exact = false,
+            probe = Some(ticks(s, dir)))
           .select(col("symbol"), tsMicros(col("timestamp")).as("ts"),
             col("volume"), col("rolling_avg_volume"), col("is_volume_spike")))),
     Q("w2_lag_diff", w2, Some(w2Sql)),

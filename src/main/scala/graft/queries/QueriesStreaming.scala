@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.calc.IndicatorPass
 import graft.operators.CandleAggregator
+import graft.queries.Det.tsMicros
 import graft.streaming.{StreamingCandles, StreamingIndicators}
 
 /** §2.9 on the scoreboard: the REAL Structured Streaming pipelines run over
@@ -273,9 +274,78 @@ object QueriesStreaming {
        |FROM scored WHERE q >= 0.3""".stripMargin
   }
 
+  /** M4 anchored VWAP, batch ≡ stream, hash-checked row-for-row: the
+    * time-trigger anchor subset of anchored_vwap_real computed by
+    * [[graft.streaming.StreamingAnchoredVwap]] — (Σpv, Σv) suffix state in
+    * the flatMapGroupsWithState pass, chunk-rollover emission — and
+    * compared against an independent DuckDB replay of the SAME rows
+    * (trigger anchors × chunk-last-row × exact-decimal suffix VWAP). The
+    * stream's emitted snapshot rows ARE the query result, so any state
+    * divergence — a wrong prefix snapshot, a missed day-flag, a rounding
+    * drift — turns the row red. Final-chunk flush via one far-future
+    * sentinel row per symbol (next chunk; contributes no output row).
+    */
+  private def streamAnchoredVwap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val candles = CandleAggregator.aggregate(graft.core.Tables.ticks(spark, dir))
+    val feed = candles
+      .select(col("symbol"), col("timestamp"), col("close"), col("volume"))
+      .orderBy(col("timestamp"), col("symbol"))
+      .as[(String, Timestamp, Double, Double)]
+    val sentinels = candles.groupBy(col("symbol"))
+      .agg(max(col("timestamp")).as("mx"))
+      .collect()
+      .map(r => (r.getString(0),
+        new Timestamp(r.getTimestamp(1).getTime + 31L * 86400 * 1000), 1.0, 1.0))
+      .toSeq
+
+    val name = s"graft_stream_avwap_${System.nanoTime}"
+    val in = MemoryStream[(String, Timestamp, Double, Double)]
+    val q = graft.streaming.StreamingAnchoredVwap.anchoredVwapStream(
+        in.toDF().toDF("symbol", "timestamp", "close", "volume"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      feedSorted(feed) { sl => in.addData(sl); q.processAllAvailable() }
+      in.addData(sentinels)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).select(
+      col("symbol"), col("timeframe"), col("anchor_type"),
+      tsMicros(col("anchor_timestamp")).as("anchor_timestamp"),
+      col("anchor_idx"), col("price_at_anchor"),
+      tsMicros(col("current_snapshot_timestamp")).as("current_snapshot_timestamp"),
+      col("current_idx"), col("anchored_vwap"))
+  }
+
+  private val streamAnchoredVwapSql =
+    s"""${QueriesDomain.withCandles},
+       |${QueriesDomain.w14CommonCtes},
+       |${QueriesDomain.w14DailyAnchorCtes},
+       |tails AS (
+       |  SELECT symbol AS vsym, tstamp AS vts,
+       |    ROUND(SUM(CAST(close AS DECIMAL(18,2)) * CAST(volume AS DECIMAL(18,4))) OVER wt,
+       |      2) AS tail_pv,
+       |    ROUND(SUM(CAST(volume AS DECIMAL(18,4))) OVER wt, 2) AS tail_v
+       |  FROM candles
+       |  WINDOW wt AS (PARTITION BY symbol, epoch_us(tstamp) // ${graft.calc.AnchorSnapshots.chunkUs()}
+       |    ORDER BY tstamp ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT t.symbol, '1s' AS timeframe, t.anchor_type,
+       |  strftime(t.tstamp, '${QueriesDomain.fmt}') AS anchor_timestamp,
+       |  t.cidx AS anchor_idx, t.price_at_anchor,
+       |  strftime(l.snap_ts, '${QueriesDomain.fmt}') AS current_snapshot_timestamp,
+       |  l.current_idx,
+       |  CASE WHEN ta.tail_v > 0 THEN CAST(ta.tail_pv AS DOUBLE) / CAST(ta.tail_v AS DOUBLE)
+       |    END AS anchored_vwap
+       |FROM trig t
+       |JOIN last_rows l ON t.symbol = l.lsym AND t.chunk = l.lchunk
+       |JOIN tails ta ON t.symbol = ta.vsym AND t.tstamp = ta.vts""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("stream_equiv", streamEquiv, Some(streamEquivSql)),
     Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql)),
-    Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql))
+    Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql)),
+    Q("stream_anchored_vwap", streamAnchoredVwap, Some(streamAnchoredVwapSql))
   )
 }

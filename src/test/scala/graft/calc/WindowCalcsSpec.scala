@@ -120,6 +120,48 @@ class WindowCalcsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"diverged at ${x.get(1)}") }
   }
 
+  test("W1/W4 bucketed ≡ global with NULL volume/close in the frames") {
+    // nulls exercise the rolling non-null count: the global path divides by
+    // count(col) over the frame, the bucketed path must divide by the same
+    // thing (not the row index) — and an all-null frame must yield NULL
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map { t =>
+      val vol: java.lang.Double =
+        if (t % 7 == 0 || t < 65) null else (1 + rnd.nextInt(100)).toDouble
+      val close: java.lang.Double =
+        if (t % 11 == 0) null else 10.0 + rnd.nextInt(300) / 100.0
+      ("A", new Timestamp(1705363200000L + t * 1000L),
+        11.0, 9.0, close, vol)
+    }
+    val df = rows.toDF("symbol", "timestamp", "high", "low", "close", "volume")
+    val key = Seq($"symbol", $"timestamp")
+    val a1 = WindowCalcs.withVolumeSpikes(df, exact = true)
+      .select(key :+ $"rolling_avg_volume" :+ $"is_volume_spike": _*)
+      .orderBy(key: _*).collect()
+    val b1 = WindowCalcs.withVolumeSpikesBucketed(df, bucketSeconds = 60L)
+      .select(key :+ $"rolling_avg_volume" :+ $"is_volume_spike": _*)
+      .orderBy(key: _*).collect()
+    a1.zip(b1).foreach { case (x, y) => assert(x == y, s"W1 diverged at ${x.get(1)}") }
+    val cols = Seq("bb_mid", "bb_upper", "bb_lower", "bb_width", "bb_pos", "bb_breakout")
+    val a2 = WindowCalcs.withBollinger(df, exact = true)
+      .select(key ++ cols.map(c => $"$c".alias(c)): _*).orderBy(key: _*).collect()
+    val b2 = WindowCalcs.withBollingerBucketed(df, bucketSeconds = 60L)
+      .select(key ++ cols.map(c => $"$c".alias(c)): _*).orderBy(key: _*).collect()
+    a2.zip(b2).foreach { case (x, y) => assert(x == y, s"W4 diverged at ${x.get(1)}") }
+  }
+
+  test("auto path: skew probe picks global for small symbols, bucketed for hot ones") {
+    val df = randomLayout(17, 400) // 2 symbols, ~200 rows each
+    val small = WindowCalcs.withVolumeSpikesAuto(df, threshold = 1000L)
+    assert(!small.queryExecution.optimizedPlan.toString.contains("__bkt"),
+      "small-cardinality input should keep the 1-exchange global plan")
+    val hot = WindowCalcs.withVolumeSpikesAuto(df, threshold = 100L)
+    assert(hot.queryExecution.optimizedPlan.toString.contains("__bkt"),
+      "a hot symbol above threshold should flip to the bucketed plan")
+    val hot4 = WindowCalcs.withBollingerAuto(df, threshold = 100L)
+    assert(hot4.queryExecution.optimizedPlan.toString.contains("__bkt"))
+  }
+
   test("bucketed W1 plan parallelism exceeds the symbol count") {
     val df = randomLayout(13, 500) // 2 symbols, ~40 day-buckets at 3600 s
     val out = WindowCalcs.withVolumeSpikesBucketed(df, bucketSeconds = 3600L)
