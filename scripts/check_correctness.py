@@ -67,6 +67,9 @@ def parse_args():
                     help="drop every WITH RECURSIVE oracle")
     ap.add_argument("--linear-replay", action="store_true",
                     help="run recursive oracles as linear Python replays")
+    ap.add_argument("--json", default="",
+                    help="also write per-query results to this JSON file "
+                         "(driver CORRECTNESS_r{N}.json shape)")
     return ap.parse_args()
 
 
@@ -88,6 +91,7 @@ def main():
             f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')")
 
     n_pass = n_fail = 0
+    results = {}
     for name, sql in sorted(oracle.items()):
         spark_path = args.out_dir / name
         status, detail = "PASS", ""
@@ -146,8 +150,16 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
+        results[name] = {
+            "rows_match": status in ("PASS", "CLOSE", "WARN") or "rows:" not in detail,
+            "schema_match": status in ("PASS", "CLOSE", "WARN") or "schema:" not in detail,
+            "hash_match": status in ("PASS", "WARN"),
+            "err": None if status in ("PASS", "CLOSE", "WARN") else detail[:200],
+        }
         print(f"{status:5s} {name} {detail}")
     print(f"== {n_pass} pass / {n_fail} not-pass of {len(oracle)}")
+    if args.json:
+        Path(args.json).write_text(json.dumps(results, indent=1, sort_keys=True))
     sys.exit(0 if n_fail == 0 else 1)
 
 

@@ -27,6 +27,39 @@ class IndicatorBucketedSpec extends SparkSpec {
     }
   }
 
+  test("autoBucket: converged regime sizes warm-up from the slowest symbol") {
+    val session = spark
+    import session.implicits._
+    // hot symbol 1s apart, thin symbol 10s apart over the same span: the
+    // warm-up window must be sized from the THIN symbol's interval
+    val rows = mkCandles("HOT", 1, 40000) ++
+      mkCandles("THIN", 2, 4000).map(c =>
+        c.copy(_2 = new Timestamp(Timestamp.valueOf("2024-03-04 00:00:00").getTime + (c._2.getTime - Timestamp.valueOf("2024-03-04 00:00:00").getTime) * 10)))
+    val df = rows.toDF("symbol", "timestamp", "open", "high", "low", "close")
+    val spec = IndicatorPass.autoBucket(df)
+    assert(spec.warmupRows == 2600)
+    assert(spec.rowIntervalSeconds > 9.0 && spec.rowIntervalSeconds < 11.0,
+      s"interval should track the thin symbol: ${spec.rowIntervalSeconds}")
+    // factor-4 overlap tax: bucket ≈ 4 × warm-up window (span/2 > 4W here)
+    val warmupWindow = spec.warmupRows * spec.rowIntervalSeconds
+    assert(spec.bucketSeconds >= warmupWindow,
+      "bucket must cover the warm-up window (one-bucket-forward replay)")
+    assert(spec.bucketSeconds <= 4.2 * warmupWindow)
+  }
+
+  test("autoBucket: short history clamps to the full-history-replay regime") {
+    val session = spark
+    import session.implicits._
+    val df = mkCandles("S", 3, 500)
+      .toDF("symbol", "timestamp", "open", "high", "low", "close")
+    val spec = IndicatorPass.autoBucket(df)
+    // warm-up window (2600 rows' time) exceeds the 500-row span: the clamp
+    // must keep bucketSeconds >= the warm-up window, leaving <= 2 buckets,
+    // where the second bucket's overlap covers the ENTIRE first
+    assert(spec.bucketSeconds.toDouble >= spec.warmupRows * spec.rowIntervalSeconds - 1)
+    assert(spec.bucketSeconds >= 499, s"span is ~500 s, got ${spec.bucketSeconds}")
+  }
+
   test("bucketed pass survives empty buckets (cold restart after a gap)") {
     val session = spark
     import session.implicits._
