@@ -103,13 +103,19 @@ def main():
             elif args.linear_replay and "RECURSIVE" in sql \
                     and linear_replay.is_peak_query(sql):
                 want_cols, want_rows = linear_replay.peak_hybrid(con, sql)
-                detail = "(thin-CTE replay)"
+                detail = "(find-peaks replay)"
             elif args.linear_replay and linear_replay.is_minhash_query(name):
                 # the SQL form is an n² all-pairs join (the sf0.1-and-below
                 # recall proof); this is the same join via exact prefix
                 # filtering — no recall compromise, tractable at sf1+
                 want_cols, want_rows = linear_replay.minhash_replay(con, name)
                 detail = "(prefix-filter replay)"
+            elif args.linear_replay and name == "llm_corpus_pipeline":
+                want_cols, want_rows = linear_replay.corpus_pipeline_replay(con, sql)
+                detail = "(prefix-filter replay)"
+            elif args.linear_replay and name in linear_replay.COSINE_DEDUP_QUERIES:
+                want_cols, want_rows = linear_replay.cosine_dedup_replay(con, name)
+                detail = "(screened-cosine replay)"
             else:
                 want = con.execute(sql)
                 want_cols = [d[0] for d in want.description]

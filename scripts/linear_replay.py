@@ -458,46 +458,130 @@ def h_family(con, name):
 
 # --------------------------------------------------------- peak-thinning hybrid
 
-def peak_hybrid(con, sql):
-    """Runs `sql` with the recursive find_peaks `thin` CTE replaced by a
-    Python greedy loop: candidates come from the SQL's own `grp` CTE
-    (priority-ordered maxima), survivors go back in as a registered
-    `fin_py` table. Returns (cols, rows).
-    """
-    i_thin = sql.index("thin AS (")
-    i_flagged = sql.index("flagged AS (")
-    prefix = sql[:i_thin]
-    cand_sql = prefix.rstrip().rstrip(",") + "\nSELECT * FROM grp"
-    cand = con.execute(cand_sql)
-    cand_cols = [d[0] for d in cand.description]
-    # grp emits (cname, dist, *keys, side, p, prio)
-    keys = cand_cols[2:-3]
-    cand_rows = cand.fetchall()
-    cand_rows.sort(key=lambda r: (r[0], r[2:-3], r[-3], r[-1]))
+PEAK_CFG = {"major": (10, 0.9), "minor": (7, 0.7), "micro": (5, 0.5)}
 
+
+def _range_min(x):
+    """Sparse table for O(1) range-min over numpy array x; returns f(i, j)
+    = min(x[i:j]) (j exclusive), nan-free input assumed, empty -> None."""
+    import numpy as np
+    n = len(x)
+    levels = [x]
+    k = 1
+    while 2 * k <= n:
+        prev = levels[-1]
+        levels.append(np.minimum(prev[:-k], prev[k:]))
+        k *= 2
+
+    def query(i, j):
+        i, j = int(i), int(j)
+        if j <= i:
+            return None
+        span = j - i
+        lvl = span.bit_length() - 1
+        k = 1 << lvl
+        a = levels[lvl]
+        return min(a[i], a[j - k])
+    return query
+
+
+def _find_peaks_group(xs):
+    """scipy-find_peaks core for one (keys, side) signal (pos-dense array):
+    plateau-midpoint maxima -> prominence (stack lb/rb + range-min bases)
+    -> per-config (h DESC, p DESC) greedy distance thinning -> flags.
+    Mirrors the SQL CTE chain sr1..flagged value-for-value.
+    Returns [(cname, p)] surviving flags."""
+    import numpy as np
+    x = np.asarray(xs)
+    n = len(x)
+    # runs of equal value
+    brk = np.flatnonzero(x[1:] != x[:-1]) + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk - 1, [n - 1]))
+    heights = x[starts]
+    # interior maxima: strictly above both neighbor runs; plateau midpoint
+    maxima = []
+    for r in range(1, len(starts) - 1):
+        if heights[r - 1] < heights[r] and heights[r + 1] < heights[r]:
+            maxima.append(((starts[r] + ends[r]) // 2, heights[r]))
+    if not maxima:
+        return []
+    # prev/next strictly-greater position via monotonic stacks
+    prev_greater = np.full(n, -1, dtype=np.int64)
+    stack = []
+    for i in range(n):
+        while stack and x[stack[-1]] <= x[i]:
+            stack.pop()
+        prev_greater[i] = stack[-1] if stack else -1
+        stack.append(i)
+    next_greater = np.full(n, n, dtype=np.int64)
+    stack = []
+    for i in range(n - 1, -1, -1):
+        while stack and x[stack[-1]] <= x[i]:
+            stack.pop()
+        next_greater[i] = stack[-1] if stack else n
+        stack.append(i)
+    rmin = _range_min(x)
+    proms = {}
+    for p, h in maxima:
+        lb = prev_greater[p]
+        rb = next_greater[p]
+        left = rmin(lb + 1, p)
+        right = rmin(p + 1, rb)
+        base = max(left if left is not None else h,
+                   right if right is not None else h)
+        proms[p] = h - base
     out = []
-    group = None
-    kept = set()
-    kept_list = []
-    for r in cand_rows:
-        g = (r[0],) + tuple(r[2:-3]) + (r[-3],)
-        if g != group:
-            group = g
-            kept = set()
-            kept_list = []
-        dist, p = r[1], r[-2]
-        if any((p + d) in kept for d in range(-dist + 1, dist)):
-            continue
-        kept.add(p)
-        kept_list.append(p)
-        out.append((r[0],) + tuple(r[2:-3]) + (r[-3], p))
+    for cname, (dist, pthr) in PEAK_CFG.items():
+        kept = set()
+        for p, h in sorted(maxima, key=lambda t: (-t[1], -t[0])):
+            if any((p + d) in kept for d in range(-dist + 1, dist)):
+                continue
+            kept.add(p)
+            if proms[p] >= pthr:
+                out.append((cname, int(p)))
+    return out
+
+
+def peak_hybrid(con, sql):
+    """Runs `sql` with the whole find_peaks CTE chain (sr1..flagged: the
+    recursive `thin` AND the quadratic correlated pb/prom subqueries, which
+    DuckDB grinds on a 500k-row hot chunk) replaced by the linear Python
+    computation above. DuckDB still builds the `sig` signal and runs
+    everything after `flagged` unchanged.
+    """
+    i_sr1 = sql.index("sr1 AS (")
+    end_marker = "WHERE prom.prm >= cfg.pthr)"
+    i_end = sql.index(end_marker) + len(end_marker)
+    prefix = sql[:i_sr1].rstrip().rstrip(",")
+
+    head = con.execute(prefix + "\nSELECT * FROM sig LIMIT 0")
+    sig_cols = [d[0] for d in head.description]
+    keys = sig_cols[:-3]  # sig = (*keys, side, pos, x)
+    rows = con.execute(
+        prefix + "\nSELECT * FROM sig ORDER BY "
+        + ", ".join(keys + ["side", "pos"])).fetchall()
+
+    flagged = []
+    i = 0
+    while i < len(rows):
+        g = rows[i][:len(keys) + 1]
+        j = i
+        xs = []
+        while j < len(rows) and rows[j][:len(keys) + 1] == g:
+            xs.append(rows[j][-1])
+            j += 1
+        for cname, p in _find_peaks_group(xs):
+            flagged.append((cname,) + g + (p,))
+        i = j
 
     import pandas as pd
-    fin_py = pd.DataFrame(out, columns=["cname"] + keys + ["side", "p"])
-    con.register("fin_py", fin_py)
+    flagged_py = pd.DataFrame(
+        flagged, columns=["cname"] + keys + ["side", "p"])
+    con.register("flagged_py", flagged_py)
     key_sel = ", ".join(["cname"] + keys + ["side", "p"])
-    final_sql = (prefix + f"fin AS (SELECT {key_sel} FROM fin_py),\n"
-                 + sql[i_flagged:])
+    final_sql = (prefix + f",\nflagged AS (SELECT {key_sel} FROM flagged_py)"
+                 + sql[i_end:])
     res = con.execute(final_sql)
     cols = [d[0] for d in res.description]
     return cols, res.fetchall()
@@ -586,6 +670,91 @@ def minhash_replay(con, name):
         by_source[source] = (n + 1, s + doc_id)
     return (["source", "n_survivors", "sum_doc_id"],
             [(src, n, s) for src, (n, s) in sorted(by_source.items())])
+
+
+# ---------------------------------------------- corpus pipeline / cosine dedup
+
+def corpus_pipeline_replay(con, sql):
+    """llm_corpus_pipeline with ONLY the n² Jaccard join (`p`/`dup` CTEs)
+    replaced by the exact prefix-filtered join; gate, langid, exact dedup
+    and the final aggregation still run in DuckDB unchanged."""
+    i_p = sql.index("p AS (")
+    dup_marker = "dup AS (SELECT DISTINCT id_b FROM p WHERE ni::DOUBLE / nu >= 0.8)"
+    i_dup_end = sql.index(dup_marker) + len(dup_marker)
+    prefix = sql[:i_p].rstrip().rstrip(",")
+    rows = con.execute(prefix + "\nSELECT doc_id, sh FROM sh ORDER BY doc_id").fetchall()
+    docs = [(did, None, frozenset(sh)) for did, sh in rows]
+    dup = sorted({b for _, b, _ in _true_jaccard_pairs(docs)})
+    import pandas as pd
+    con.register("dup_py", pd.DataFrame({"id_b": dup}, dtype="int64"))
+    final = prefix + ",\ndup AS (SELECT id_b FROM dup_py)" + sql[i_dup_end:]
+    res = con.execute(final)
+    return [d[0] for d in res.description], res.fetchall()
+
+
+COSINE_DEDUP_QUERIES = {"llm_embed_neardup", "llm_embed_neardup_lsh"}
+
+# round6(cos) >= 0.99 under HALF_UP <=> cos >= 0.9899995; numpy's pairwise
+# reduction differs from the sequential sum by ~1e-14 on unit-ish 64-dim
+# vectors, so a 1e-9 screening margin cannot lose a true candidate
+_COS_THRESHOLD = 0.9899995
+_COS_MARGIN = 1e-9
+
+
+def cosine_dedup_replay(con, name):
+    """The all-pairs exact-cosine dedup floor (oracle for both the exact and
+    the LSH Spark paths) without DuckDB's 33M interpreted lambda pairs:
+    numpy screens candidate pairs with a safety margin, then each candidate
+    is recomputed with the SQL's exact left-to-right double accumulation.
+    """
+    import numpy as np
+    rows = con.execute(
+        "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e "
+        "FROM embeddings ORDER BY vec_id").fetchall()
+    ids = [r[0] for r in rows]
+    base = np.asarray([r[1] for r in rows], dtype=np.float64)
+    # injected copies: elementwise double ops — numpy matches SQL bit-for-bit
+    inj_mask = [i for i, v in enumerate(ids) if v % 50 == 0]
+    all_ids = ids + [ids[i] + 100000 for i in inj_mask]
+    E = np.vstack([base, base[inj_mask] * 1.001 + 0.01])
+    n = len(all_ids)
+
+    nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+    cand = []
+    blk = 1024
+    for s0 in range(0, n, blk):
+        b = E[s0:s0 + blk]
+        cs = (b @ E.T) / (nrm[s0:s0 + blk, None] * nrm[None, :])
+        for bi, gi in zip(*np.nonzero(cs >= _COS_THRESHOLD - _COS_MARGIN)):
+            i = s0 + int(bi)
+            j = int(gi)
+            if i < j:
+                cand.append((i, j))
+
+    def seq_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    seq_norm = {}
+
+    def norm_of(i):
+        if i not in seq_norm:
+            v = E[i].tolist()
+            seq_norm[i] = math.sqrt(seq_dot(v, v))
+        return seq_norm[i]
+
+    dup = set()
+    for i, j in cand:
+        cos = _round6(seq_dot(E[i].tolist(), E[j].tolist())
+                      / (norm_of(i) * norm_of(j)))
+        if cos >= 0.99:
+            # SQL orders the pair by vec_id: dup collects the LARGER id
+            a, b = all_ids[i], all_ids[j]
+            dup.add(max(a, b))
+    survivors = [v for v in all_ids if v not in dup]
+    return (["n_survivors", "sum_vec_id"], [(len(survivors), sum(survivors))])
 
 
 def is_h_query(name):

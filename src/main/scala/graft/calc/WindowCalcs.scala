@@ -135,15 +135,22 @@ object WindowCalcs {
     * `sums`.
     */
   private def withBucketedRollingSums(df: DataFrame, bucketSeconds: Long,
-                                      sums: Seq[(String, Column, Int)]): DataFrame = {
-    // each requested sum also rolls its non-null count through the exact
-    // same prefix machinery (integer sums are exact in either mode)
+                                      sums: Seq[(String, Column, Int)],
+                                      countFor: Set[String] = Set.empty): DataFrame = {
+    // requested sums also roll their non-null count through the exact same
+    // prefix machinery (integer sums, exact in either mode); callers name
+    // only the counts they consume — e.g. W4's c and c² share close's
+    // null pattern, so one count serves both
+    val counted = if (countFor.isEmpty) sums.map(_._1).toSet else countFor
     val all = sums.flatMap { case (n, e, w) =>
-      Seq((n, e, w), (s"${n}__nn", when(e.isNotNull, 1L).otherwise(0L), w))
+      if (counted(n))
+        Seq((n, e, w), (s"${n}__nn", when(e.isNotNull, 1L).otherwise(0L), w))
+      else Seq((n, e, w))
     }
-    sums.foldLeft(withBucketedRollingSumsImpl(df, bucketSeconds, all)) {
-      case (d, (n, _, _)) => d.withColumnRenamed(s"__rs_${n}__nn", s"__rc_$n")
-    }
+    sums.filter(s => counted(s._1))
+      .foldLeft(withBucketedRollingSumsImpl(df, bucketSeconds, all)) {
+        case (d, (n, _, _)) => d.withColumnRenamed(s"__rs_${n}__nn", s"__rc_$n")
+      }
   }
 
   private def withBucketedRollingSumsImpl(df: DataFrame, bucketSeconds: Long,
@@ -265,7 +272,7 @@ object WindowCalcs {
                             exact: Boolean = true): DataFrame = {
     val c = if (exact) col("close").cast("decimal(18,2)") else col("close")
     val pre = withBucketedRollingSums(df, bucketSeconds,
-      Seq(("c", c, period), ("c2", c * c, period)))
+      Seq(("c", c, period), ("c2", c * c, period)), countFor = Set("c"))
     // denominator/fill gate = the rolling non-null count, mirroring the
     // global path's count(close) over the frame — null closes keep the two
     // paths bit-identical instead of silently relying on dense input
