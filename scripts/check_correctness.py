@@ -110,6 +110,9 @@ def main():
                 # filtering — no recall compromise, tractable at sf1+
                 want_cols, want_rows = linear_replay.minhash_replay(con, name)
                 detail = "(prefix-filter replay)"
+            elif args.linear_replay and name == "llm_dup_clusters":
+                want_cols, want_rows = linear_replay.dup_clusters_replay(con)
+                detail = "(prefix-filter replay)"
             elif args.linear_replay and name == "llm_corpus_pipeline":
                 want_cols, want_rows = linear_replay.corpus_pipeline_replay(con, sql)
                 detail = "(prefix-filter replay)"

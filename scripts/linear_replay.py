@@ -757,6 +757,36 @@ def cosine_dedup_replay(con, name):
     return (["n_survivors", "sum_vec_id"], [(len(survivors), sum(survivors))])
 
 
+def dup_clusters_replay(con):
+    """llm_dup_clusters: union-find over the exact prefix-filtered Jaccard
+    pairs — same components as the recursive transitive-closure SQL."""
+    docs = _shingle_docs(con)
+    pairs = _true_jaccard_pairs(docs)
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    groups = {}
+    nodes = {a for a, _, _ in pairs} | {b for _, b, _ in pairs}
+    for v in nodes:
+        r = find(v)
+        n, s = groups.get(r, (0, 0))
+        groups[r] = (n + 1, s + v)
+    return (["cluster_rep", "n_members", "sum_members"],
+            [(r, n, s) for r, (n, s) in sorted(groups.items())])
+
+
 def is_h_query(name):
     return name in H_QUERIES
 

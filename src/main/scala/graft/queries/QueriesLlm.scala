@@ -154,6 +154,58 @@ object QueriesLlm {
       |WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.id_b = documents.doc_id)
       |GROUP BY source""".stripMargin
 
+  /** Duplicate CLUSTERING — pair hits completed into canonical duplicate
+    * groups: LSH candidates → exact-Jaccard ≥ 0.8 edges →
+    * [[graft.operators.ConnectedComponents]] (alternating large/small-star,
+    * O(log² n) rounds, one scalar shuffle per star) → per-group (min-id
+    * representative, member count, member sum). This is what a corpus
+    * pipeline actually keys retention on: transitive duplicates A≈B≈C
+    * collapse into ONE group even when A and C never produced a direct
+    * candidate pair. The DuckDB oracle replays the same graph's transitive
+    * closure with a recursive CTE over the all-pairs edge set, so a wrong
+    * component anywhere (a missed merge, a non-minimal representative)
+    * hash-misses.
+    */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = MinHash.withExactJaccard(MinHash.candidatePairs(docs), docs)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    graft.operators.ConnectedComponents.components(edges)
+      .groupBy(col("component").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("id")).as("sum_members"))
+  }
+
+  private val dupClustersSql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(norm, ' ')) <= 3 THEN [norm]
+      |         ELSE list_transform(range(1, len(string_split(norm, ' ')) - 1),
+      |           i -> array_to_string(list_slice(string_split(norm, ' '), i, i + 2), ' '))
+      |    END AS sh
+      |  FROM d),
+      |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh)) AS ni,
+      |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS nu
+      |  FROM ds a, ds b WHERE a.doc_id < b.doc_id),
+      |e AS (SELECT id_a, id_b FROM p WHERE ni::DOUBLE / nu >= 0.8),
+      |sym AS (SELECT id_a AS a, id_b AS b FROM e
+      |        UNION ALL SELECT id_b, id_a FROM e),
+      |nodes AS (SELECT DISTINCT a AS id FROM sym),
+      |cc AS (SELECT id, id AS comp FROM nodes
+      |       UNION
+      |       SELECT sy.b, cc.comp FROM cc JOIN sym sy ON sy.a = cc.id),
+      |asg AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id)
+      |SELECT comp AS cluster_rep, COUNT(*) AS n_members,
+      |  CAST(SUM(id) AS BIGINT) AS sum_members
+      |FROM asg GROUP BY comp""".stripMargin
+
   /** SimHash near-dup pairs by Hamming distance (rows-only). maxDist = 7
     * rides the 8×8-bit banding guarantee (recall 1.0 for dist ≤ 7).
     */
@@ -679,6 +731,7 @@ object QueriesLlm {
     Q("llm_minhash_dedup", minhash, None, headline = true),
     Q("llm_minhash_dedup_verified", minhashVerified, Some(minhashVerifiedSql)),
     Q("llm_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
+    Q("llm_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("llm_simhash_neardup", simhash, None),
     Q("llm_simhash_recovery", simhashRecovery, Some(simhashRecoverySql)),
     Q("llm_cosine_topk", cosine, Some(cosineSql), headline = true),

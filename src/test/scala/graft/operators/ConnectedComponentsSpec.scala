@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Large-star/small-star connected components vs a local union-find, on
+  * shapes that stress the algorithm differently: a long path (tests
+  * multi-round convergence — O(log n) rounds, not one min-propagation
+  * hop), disjoint cliques (dedup's natural shape), and random graphs.
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def localComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(v => v -> find(v)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)], label: String): Unit = {
+    val got = ConnectedComponents.components(edges.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val want = localComponents(edges)
+    assert(got == want, s"$label: $got vs $want")
+  }
+
+  test("long path converges to one min-rooted component") {
+    check((0L until 63L).map(i => (i, i + 1)), "path")
+  }
+
+  test("disjoint cliques keep separate min representatives") {
+    val cliques = Seq(Seq(10L, 11L, 12L, 13L), Seq(40L, 41L), Seq(7L, 70L, 700L))
+    val edges = cliques.flatMap(c => c.combinations(2).map(p => (p(0), p(1))))
+    check(edges, "cliques")
+  }
+
+  test("random graphs match a local union-find") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = (1 to n).map(_ =>
+        (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).filter(e => e._1 != e._2)
+      check(edges, s"random$trial")
+    }
+  }
+
+  test("reversed and duplicated edges do not change the answer") {
+    val edges = Seq((5L, 1L), (1L, 5L), (5L, 1L), (2L, 5L), (9L, 8L))
+    check(edges, "dup-edges")
+  }
+}
