@@ -345,6 +345,113 @@ object Similarity {
     * and embeddings re-attach by id for scoring, same discipline as the
     * LSH paths.
     */
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization codebooks: the embedding splits into `m`
+    * contiguous dim-slices and each slice gets its own k-means codebook
+    * (`ksub` centroids) — m small models fit with the same sampled-maxmin
+    * + Lloyd machinery as the IVF quantizer. Returned as
+    * books(sub)(code) = centroid (subDim doubles): m × ksub × subDim —
+    * kilobytes, the whole index model broadcasts.
+    */
+  def pqCodebooks(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
+                  iters: Int = 5): Array[Array[Array[Double]]] = {
+    val dims = vectors.select(size(col("embedding"))).first().getInt(0)
+    require(dims % m == 0, s"pq: dims $dims not divisible by m=$m")
+    val sub = dims / m
+    (0 until m).toArray.map { s =>
+      val sliced = vectors
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      kmeansCentroids(sliced, ksub, iters)
+    }
+  }
+
+  /** All (sub, code, centroid) rows of the codebooks as one tiny broadcast
+    * table — encode and LUT construction are then single joins, flat in
+    * m × ksub exactly like the IVF [[centroidTable]] trick.
+    */
+  private def bookTable(spark: SparkSession,
+                        books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (book, s) <- books.zipWithIndex
+      (cent, c) <- book.zipWithIndex
+    } yield (s, c, cent.toSeq)).toSeq.toDF("__sub", "__code", "__cent")
+  }
+
+  /** PQ-encode: each vector becomes m small codes. One explode to
+    * subvectors, one broadcast join against the codebook table, one
+    * min-struct aggregation per (vec_id, sub), one collect per vec_id —
+    * the corpus never rides a shuffle wider than (id, sub, code) scalars
+    * plus the transient subvector. Output: vec_id, codes (array<int>,
+    * sub-major order).
+    */
+  def pqEncode(vectors: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val bt = bookTable(vectors.sparkSession, books)
+    vectors
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(embedding, s * $sub + 1, $sub))")))
+      .withColumnRenamed("pos", "__sub").withColumnRenamed("col", "__sv")
+      .join(broadcast(bt), "__sub")
+      .groupBy(col("vec_id"), col("__sub"))
+      .agg(min(struct(
+        VectorExprs.l2Sq(col("__sv"), col("__cent")).as("d"),
+        col("__code").as("c"))).as("m"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(__sub, m.c AS c))), s -> s.c)")
+        .as("codes"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): corpus vectors are scored against
+    * each query through their codes only — estimated squared L2 =
+    * Σ_sub lut(sub, code) where the per-query LUT holds the EXACT distance
+    * from the query's subvector to each codebook centroid. Shapes:
+    *
+    *  - LUT = queries × m × ksub rows (scalars), built by one broadcast
+    *    join, then itself broadcast to the scoring join;
+    *  - scoring streams the corpus codes exploded to (id, sub, code) —
+    *    3 scalar columns per corpus row per sub — and partial aggregation
+    *    folds the m-way expansion map-side before the (query, id) shuffle.
+    *
+    * The full-precision corpus never participates: at 100 TB the scored
+    * working set is m integers per vector — the point of PQ. Recall is
+    * floor-checked (llm_pq_near_recall), never pinned: codes inherit the
+    * k-means centroids' run-dependent low bits.
+    */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int = 5,
+             m: Int = 8, ksub: Int = 16, iters: Int = 5): DataFrame = {
+    val books = pqCodebooks(vectors, m, ksub, iters)
+    val sub = books(0)(0).length
+    val codes = pqEncode(vectors, books)
+      .select(col("vec_id").as("neighbor_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "__sub").withColumnRenamed("col", "__code")
+    val bt = bookTable(vectors.sparkSession, books)
+    val lut = queries
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(embedding, s * $sub + 1, $sub))")))
+      .withColumnRenamed("pos", "__sub").withColumnRenamed("col", "__sv")
+      .join(broadcast(bt), "__sub")
+      .select(col("query_id"), col("__sub"), col("__code"),
+        VectorExprs.l2Sq(col("__sv"), col("__cent")).as("__d"))
+    val scored = codes
+      .join(broadcast(lut), Seq("__sub", "__code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__d")).as("est_dist"), count(lit(1)).as("__n"))
+      // a (query, neighbor) pair missing a sub never happens — codes are
+      // total — but guard the invariant so a broken encode fails loudly
+      .filter(col("__n") === m)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("est_dist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .drop("__n")
+  }
+
   def ivfTopK(vectors: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 5): DataFrame = {
     val cents = kmeansCentroids(vectors, nlist, iters)

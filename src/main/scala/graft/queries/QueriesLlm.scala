@@ -387,6 +387,31 @@ object QueriesLlm {
     """SELECT COUNT(*) AS n_near_queries, true AS passes_floor
       |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
 
+  /** PQ (product-quantization) near-neighbor recall, floor-oracled like
+    * [[ivfNear]]: the injected near-copies must retrieve their originals
+    * at rank 1 through CODES ALONE — m=8 sub-codebooks × 16 centroids, ADC
+    * scoring, the corpus's full-precision vectors never touched after
+    * encoding ([[Similarity.pqTopK]]). Floor ≥ 0.9, not exact: codes
+    * inherit the k-means centroids' run-dependent low-order bits, and a
+    * true near-duplicate sharing all 8 codes can legitimately outrank the
+    * original on id ties.
+    */
+  private def pqNear(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    requireIdHeadroom(e, "vec_id", 100000L)
+    val injected = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f) + lit(0.01f)).as("embedding"))
+    val base = e.select(col("vec_id"), col("embedding")).unionByName(injected)
+    val hits = Similarity.pqTopK(base, base.filter(col("vec_id") >= 100000), k = 1)
+      .filter(col("neighbor_id") === col("query_id") - 100000)
+    injected.agg(count(lit(1)).as("n_near_queries")).crossJoin(
+        hits.agg(count(lit(1)).as("n_near_hits")))
+      .select(col("n_near_queries"),
+        (col("n_near_hits").cast("double") / col("n_near_queries") >= 0.9)
+          .as("passes_floor"))
+  }
+
   /** Language ID + quality-score buckets per source. Quality is per-row
     * scalar double math (identical bits in any engine), bucketed to
     * integers so the oracle comparison is exact.
@@ -738,6 +763,7 @@ object QueriesLlm {
     Q("llm_ann_recall", ann, None),
     Q("llm_ann_near_recall", annNear, Some(annNearSql)),
     Q("llm_ivf_near_recall", ivfNear, Some(ivfNearSql)),
+    Q("llm_pq_near_recall", pqNear, Some(ivfNearSql)),
     Q("llm_quality_langid", quality, Some(qualitySql)),
     Q("llm_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql)),
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
