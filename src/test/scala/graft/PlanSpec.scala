@@ -117,6 +117,38 @@ class PlanSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("connected components: star rounds shuffle scalar edges only") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = graft.operators.ConnectedComponents.components(edges)
+    val ep = out.queryExecution.executedPlan.toString
+    // the result frame reads from the per-round localCheckpoint (lineage
+    // cut — an uncut star chain grows ~4^rounds and wedges analysis)
+    assert(ep.contains("Scan ExistingRDD") || ep.contains("LocalTableScan"),
+      s"components must build on checkpointed edges, got:\n$ep")
+    assert(out.schema.fields.forall(_.dataType.typeName == "long"),
+      "assignment carries two scalar long columns only")
+  }
+
+  test("pq: codebooks broadcast to encode and LUT joins; corpus arrays stay out of the score shuffle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, (0 until 16).map(_ => rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val books = graft.functions.Similarity.pqCodebooks(vecs, m = 4, ksub = 4, iters = 1)
+    val enc = graft.functions.Similarity.pqEncode(vecs, books)
+    val pEnc = enc.queryExecution.sparkPlan.toString
+    assert(pEnc.contains("BroadcastHashJoin"), "encode joins the broadcast codebook table")
+    val top = graft.functions.Similarity.pqTopK(vecs, vecs.limit(2), k = 2,
+      m = 4, ksub = 4, iters = 1)
+    val pTop = top.queryExecution.sparkPlan.toString
+    assert(pTop.contains("BroadcastHashJoin"), "ADC scoring joins the broadcast LUT")
+    // the (query, neighbor) aggregation input carries scalars only — the
+    // embedding arrays end at the LUT/encode boundary
+    val aggLines = pTop.linesIterator.filter(_.contains("HashAggregate")).mkString("\n")
+    assert(!aggLines.contains("embedding"), s"arrays must not reach the score aggregation:\n$aggLines")
+  }
+
   test("partitionBy write + key filter: pruning happens at partition level") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val t = Tables.ticks(spark, dir).select(col("symbol"), col("price"), col("seq"))
