@@ -92,15 +92,20 @@ object QueriesStreaming {
       .as[(String, Timestamp, Double, Double, Double, Double)]
     val hName = s"graft_stream_h_${System.nanoTime}"
     val hIn = MemoryStream[(String, Timestamp, Double, Double, Double, Double)]
+    // patterns = true: the except-compare then covers all 86 columns — the
+    // 20 indicator kernels AND the 59 CDL pattern rings — proving the
+    // fused per-symbol state survives kryo state-store round-trips across
+    // micro-batches, not just the indicator scalars
     val hQ = StreamingIndicators.indicatorStream(
-        hIn.toDF().toDF("symbol", "timestamp", "open", "high", "low", "close"))
+        hIn.toDF().toDF("symbol", "timestamp", "open", "high", "low", "close"),
+        patterns = true)
       .writeStream.format("memory").queryName(hName).outputMode("append").start()
     try {
       feedSorted(candleFeed) { sl => hIn.addData(sl); hQ.processAllAvailable() }
     } finally hQ.stop()
     val batchH = IndicatorPass.withIndicators(
       batchCandles.select(col("symbol"), col("timestamp"),
-        col("open"), col("high"), col("low"), col("close")))
+        col("open"), col("high"), col("low"), col("close")), patterns = true)
     val (hOnlyBatch, hOnlyStream) = diffCounts(batchH, spark.table(hName))
 
     val nCandles = batchCandles.count()
