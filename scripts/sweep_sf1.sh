@@ -16,6 +16,10 @@ if [ ! -f "$SF1/.complete" ]; then
 fi
 
 echo "== Verify dump at sf1"
+# per-SF staging root: the s5/h1_derived oracles read staged files whose
+# absolute path is embedded in oracle_sql.json — a Verify run at ANOTHER SF
+# sharing the default root would overwrite them and break later replays
+export SPARK_GRAFT_STAGE_DIR="$PWD/target/stage_sf1"
 sbt -batch "runMain graft.Verify $SF1 target/verify_sf1" 2>/dev/null | grep -i "\[verify\]" || true
 
 echo "== correctness compare (linear-replay oracles, full coverage)"

@@ -23,8 +23,11 @@ object QueriesIngest {
     * oracle_sql.json stays replayable by a LATER check_correctness.py run
     * (a dead per-process dir made persisted oracle JSON fail on a dangling
     * path). Absolute because the driver's DuckDB may run with any CWD.
-    * Concurrent Verify runs on one machine would race the shared path —
-    * point SPARK_GRAFT_STAGE_DIR at distinct dirs for that.
+    * Concurrent Verify runs on one machine would race the shared path, and
+    * an interleaved Verify at a DIFFERENT SF overwrites the staged copies a
+    * previously-dumped oracle_sql.json points at — point
+    * SPARK_GRAFT_STAGE_DIR at a distinct dir per SF for multi-SF sweeps
+    * (scripts/sweep_sf1.sh does).
     */
   private[queries] lazy val stageRoot: java.nio.file.Path = {
     val root = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
