@@ -452,6 +452,58 @@ object Similarity {
       .drop("__n")
   }
 
+  /** IVF-PQ: coarse-quantizer routing (nprobe of nlist lists per query,
+    * exactly [[ivfTopK]]'s probe machinery) composed with PQ ADC scoring
+    * over the CANDIDATES only — the billion-scale ANN shape: search cost ≈
+    * (nprobe/nlist) × corpus, and what's scored is m small codes per
+    * candidate, never the full-precision vectors. This variant PQ-encodes
+    * raw vectors (IVFFlat-style routing + ADC); classic residual encoding
+    * is the refinement on top, not a different plan shape. Recall is
+    * floor-checked (llm_ivfpq_near_recall) like the IVF and PQ rows.
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int = 5,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                iters: Int = 5): DataFrame = {
+    val cents = kmeansCentroids(vectors, nlist, iters)
+    val books = pqCodebooks(vectors, m, ksub, iters)
+    val sub = books(0)(0).length
+    val corpus = assignLists(vectors, cents)
+      .select(col("vec_id").as("neighbor_id"), col("list"))
+    val centDf = centroidTable(vectors.sparkSession, cents)
+    val q = queries.filter(col("embedding").isNotNull)
+    val probes = q
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .join(broadcast(centDf))
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        VectorExprs.l2Sq(col("embedding"), col("__cent")).as("d"),
+        col("__list_id").as("i")))), 1, nprobe).as("__near"))
+      .select(col("query_id"), explode(expr("transform(__near, s -> s.i)")).as("list"))
+    val cand = probes.join(corpus, "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val codes = pqEncode(vectors, books)
+      .select(col("vec_id").as("neighbor_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "__sub").withColumnRenamed("col", "__code")
+    val bt = bookTable(vectors.sparkSession, books)
+    val lut = q
+      .select(col("vec_id").as("query_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(embedding, s * $sub + 1, $sub))")))
+      .withColumnRenamed("pos", "__sub").withColumnRenamed("col", "__sv")
+      .join(broadcast(bt), "__sub")
+      .select(col("query_id"), col("__sub"), col("__code"),
+        VectorExprs.l2Sq(col("__sv"), col("__cent")).as("__d"))
+    val scored = cand.join(codes, "neighbor_id")
+      .join(broadcast(lut), Seq("query_id", "__sub", "__code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__d")).as("est_dist"), count(lit(1)).as("__n"))
+      .filter(col("__n") === m)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("est_dist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .drop("__n")
+  }
+
   def ivfTopK(vectors: DataFrame, k: Int = 5, nlist: Int = 16, nprobe: Int = 4,
               iters: Int = 5): DataFrame = {
     val cents = kmeansCentroids(vectors, nlist, iters)

@@ -206,6 +206,31 @@ object QueriesLlm {
       |  CAST(SUM(id) AS BIGINT) AS sum_members
       |FROM asg GROUP BY comp""".stripMargin
 
+  /** IVF-PQ near-neighbor recall ([[Similarity.ivfPqTopK]]): the composed
+    * coarse-routing + code-scoring path, same injected-copy task and 0.9
+    * floor as the IVF and PQ rows. nprobe = 8 of 16 lists: the injected
+    * copy and its original land in the same coarse list essentially
+    * always, but a list-boundary original can sit in a list the query's
+    * probe order reaches late — probing half the lists keeps the
+    * composed floor as robust as each component's own row.
+    */
+  private def ivfPqNear(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    requireIdHeadroom(e, "vec_id", 100000L)
+    val injected = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001f) + lit(0.01f)).as("embedding"))
+    val base = e.select(col("vec_id"), col("embedding")).unionByName(injected)
+    val hits = Similarity.ivfPqTopK(base, base.filter(col("vec_id") >= 100000),
+        k = 1, nprobe = 8)
+      .filter(col("neighbor_id") === col("query_id") - 100000)
+    injected.agg(count(lit(1)).as("n_near_queries")).crossJoin(
+        hits.agg(count(lit(1)).as("n_near_hits")))
+      .select(col("n_near_queries"),
+        (col("n_near_hits").cast("double") / col("n_near_queries") >= 0.9)
+          .as("passes_floor"))
+  }
+
   /** SimHash near-dup pairs by Hamming distance (rows-only). maxDist = 7
     * rides the 8×8-bit banding guarantee (recall 1.0 for dist ≤ 7).
     */
@@ -764,6 +789,7 @@ object QueriesLlm {
     Q("llm_ann_near_recall", annNear, Some(annNearSql)),
     Q("llm_ivf_near_recall", ivfNear, Some(ivfNearSql)),
     Q("llm_pq_near_recall", pqNear, Some(ivfNearSql)),
+    Q("llm_ivfpq_near_recall", ivfPqNear, Some(ivfNearSql)),
     Q("llm_quality_langid", quality, Some(qualitySql)),
     Q("llm_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql)),
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
