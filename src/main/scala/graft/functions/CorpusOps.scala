@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators a large-scale data pipeline needs
+  * beyond dedup/similarity: benchmark decontamination, repetition-quality
+  * filtering (Gopher-style), deterministic stratified sampling, and
+  * training-example packing planning. All are column-expression / single-
+  * shuffle compositions — no driver materialization, no all-pairs work —
+  * and every metric that feeds a filter decision or an oracle hash is
+  * integer arithmetic, so results are bit-stable across engines and
+  * partitionings.
+  *
+  * Reference scope note: the reference pipeline (SURVEY §2) has no corpus
+  * operators; these extend the engine per the BASELINE north_star the same
+  * way the dedup/ANN family does.
+  */
+object CorpusOps {
+
+  /** Distinct word n-grams of the benchmark ("eval") documents — the
+    * contamination dictionary. Shares [[MinHash.shingles]] so the gram
+    * definition (normalized text, whole-text gram when ≤ n tokens) is the
+    * single one the dedup family already oracle-proved.
+    */
+  def evalNgrams(evalDocs: DataFrame, n: Int, textCol: String = "text"): DataFrame =
+    evalDocs
+      .select(explode(array_distinct(MinHash.shingles(col(textCol), n))).as("gram"))
+      .distinct()
+
+  /** Benchmark decontamination: flag every corpus document sharing at least
+    * one word n-gram with the eval set (the GPT-3/PaLM-style n-gram-overlap
+    * rule). The eval dictionary is broadcast — benchmark suites are a few
+    * MB of grams against a corpus of TBs, so the corpus side never
+    * shuffles; each doc is checked map-side and the only wide op is the
+    * per-doc `distinct` on (doc_id) after the inner join, keyed by unique
+    * ids. If the dictionary ever outgrew broadcast, dropping the
+    * `broadcast` hint degrades gracefully to a shuffled hash join on the
+    * gram string — uniform keys, no skew.
+    *
+    * Returns the corpus frame plus `is_contaminated` (0/1 int).
+    */
+  def withContamination(
+      corpus: DataFrame,
+      evalGrams: DataFrame,
+      n: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val hit = corpus
+      .select(col(idCol), explode(array_distinct(MinHash.shingles(col(textCol), n))).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .select(col(idCol))
+      .distinct()
+      .withColumn("is_contaminated", lit(1))
+    corpus
+      .join(hit, Seq(idCol), "left")
+      .withColumn("is_contaminated", coalesce(col("is_contaminated"), lit(0)))
+  }
+
+  /** Gopher-style repetition statistics per document, over word 2-grams of
+    * the normalized text: total grams `n2`, distinct grams `d2`, and the
+    * count of the most frequent gram `top2`. The duplicate-gram fraction is
+    * (n2−d2)/n2 and the top-gram fraction top2/n2; both are exposed as
+    * integer numerators/denominators so threshold tests stay exact
+    * cross-engine ((n2−d2)·16 > n2 ⇔ frac > 1/16 — no float compare).
+    *
+    * Distributed shape: n2/d2 are pure column expressions (no shuffle);
+    * top2 explodes grams and aggregates on (doc_id, gram) — two shuffles
+    * keyed by the unique doc id, so parallelism is row-count-bound and
+    * skew-free regardless of how repetitive any single document is.
+    */
+  def withRepetitionStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = MinHash.shingles(col(textCol), 2)
+    val withCounts = docs
+      .withColumn("n2", size(grams).cast("long"))
+      .withColumn("d2", size(array_distinct(grams)).cast("long"))
+    val top = withCounts
+      .select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top2"))
+    withCounts.join(top, Seq(idCol))
+  }
+
+  /** Deterministic, engine-portable sampling key in [0, 1000): the first 32
+    * bits of md5("graft" ++ id) — the same value is computable as
+    * `CAST('0x' || substr(md5(...), 1, 8) AS BIGINT) % 1000` in ANSI-ish
+    * SQL, so stratified sampling decisions are reproducible anywhere (and
+    * across reruns/partitionings, unlike `rand()`).
+    */
+  def sampleKey(id: Column): Column =
+    conv(substring(md5(concat(lit("graft"), id.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 1000
+
+  /** Stratified Bernoulli sample: keep a row iff its [[sampleKey]] falls
+    * under the per-stratum rate (permille). Pure map-side — no shuffle, no
+    * state; at 100 TB this is a scan that keeps rate‰ of each stratum with
+    * deterministic membership.
+    */
+  def stratifiedSample(docs: DataFrame, ratePermille: Column, idCol: String = "doc_id"): DataFrame =
+    docs.filter(sampleKey(col(idCol)) < ratePermille)
+
+  /** Training-example packing plan, GPT-style concat-and-chunk: documents
+    * are concatenated in (stream, position) order and split into
+    * fixed-`budget` token bins; a document whose token span crosses a bin
+    * boundary is split across bins. This computes, per document, its
+    * starting token offset within the stream and its start/end bin — a
+    * window running-sum per stream, all integer math. Streams (here
+    * `source`) are the unit of sequential order, so parallelism is
+    * #streams; a 100 TB corpus has millions of stream-days, not five.
+    */
+  def withPackingPlan(
+      docs: DataFrame,
+      budget: Long,
+      streamCol: String = "source",
+      orderCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tok", TextOps.bpeTokenCount(col(textCol)).cast("long"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("start_bin", expr(s"tok_offset div ${budget}L"))
+      .withColumn(
+        "end_bin",
+        when(col("n_tok") === 0, col("start_bin"))
+          .otherwise(expr(s"(tok_offset + n_tok - 1) div ${budget}L")))
+  }
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.CorpusOps
+
+/** Corpus-curation operators (decontamination, repetition quality,
+  * stratified sampling, packing planning) as oracle-checked queries over
+  * `documents`. Every aggregate the oracle hashes is integer arithmetic —
+  * counts, integer id sums, exact rational threshold tests — so the rows
+  * are bit-stable across engines and partitionings by construction.
+  */
+object QueriesCorpus {
+
+  /** DuckDB word n-gram construction matching [[graft.functions.MinHash.shingles]]:
+    * normalized text, whole-text single gram when ≤ n tokens.
+    */
+  private def gramsSql(n: Int, gramCol: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |  FROM documents),
+       |s AS (SELECT doc_id, source, string_split(norm, ' ') AS toks, norm FROM d),
+       |g AS (SELECT doc_id, source,
+       |  CASE WHEN len(toks) <= $n THEN [norm]
+       |       ELSE list_transform(range(1, len(toks) - ${n - 2}),
+       |         i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))
+       |  END AS $gramCol
+       |  FROM s)""".stripMargin
+
+  /** Benchmark decontamination (GPT-3-style 4-gram overlap): docs with
+    * `doc_id % 97 = 0` stand in for the benchmark suite; every other doc is
+    * corpus and is flagged iff it shares a word 4-gram with the suite.
+    * Per-source counts + the contaminated id sum pin exactly WHICH docs
+    * were flagged, not just how many.
+    */
+  private def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    CorpusOps.withContamination(corpus, CorpusOps.evalNgrams(eval, 4), 4)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("is_contaminated").cast("long")).as("n_contaminated"),
+        sum(lit(1L) - col("is_contaminated")).as("n_kept"),
+        sum(when(col("is_contaminated") === 1, col("doc_id")).otherwise(0L)).as("sum_contam_ids"))
+  }
+
+  private val decontaminateSql =
+    s"""${gramsSql(4, "gr")},
+       |ev AS (SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 97 = 0),
+       |hits AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT doc_id, unnest(list_distinct(gr)) AS gram FROM g WHERE doc_id % 97 <> 0) c
+       |  JOIN ev USING (gram)),
+       |corpus AS (
+       |  SELECT g.doc_id, g.source, CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contam
+       |  FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+       |  WHERE g.doc_id % 97 <> 0)
+       |SELECT source, COUNT(*) AS n_total,
+       |  CAST(SUM(contam) AS BIGINT) AS n_contaminated,
+       |  CAST(SUM(1 - contam) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN contam = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_contam_ids
+       |FROM corpus GROUP BY source""".stripMargin
+
+  /** Gopher-style repetition quality per source: integer numerators /
+    * denominators of the duplicate-2-gram and top-2-gram fractions, plus
+    * exact-rational flag counts (frac > 1/16 ⇔ numerator·16 > denominator —
+    * no float compare anywhere).
+    */
+  private def repetition(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.withRepetitionStats(Tables.documents(s, dir))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n2")).as("sum_n2"),
+        sum(col("d2")).as("sum_d2"),
+        sum(col("top2")).as("sum_top2"),
+        sum(when((col("n2") - col("d2")) * 16 > col("n2"), 1L).otherwise(0L)).as("n_flag_dup"),
+        sum(when(col("top2") * 16 > col("n2"), 1L).otherwise(0L)).as("n_flag_top"))
+
+  private val repetitionSql =
+    s"""${gramsSql(2, "g2")},
+       |m AS (SELECT doc_id, source, len(g2) AS n2, len(list_distinct(g2)) AS d2 FROM g),
+       |e AS (SELECT doc_id, unnest(g2) AS gram FROM g),
+       |c AS (SELECT doc_id, gram, count(*) AS c FROM e GROUP BY 1, 2),
+       |t AS (SELECT doc_id, max(c) AS top2 FROM c GROUP BY 1)
+       |SELECT m.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(m.n2) AS BIGINT) AS sum_n2,
+       |  CAST(SUM(m.d2) AS BIGINT) AS sum_d2,
+       |  CAST(SUM(t.top2) AS BIGINT) AS sum_top2,
+       |  CAST(SUM(CASE WHEN (m.n2 - m.d2) * 16 > m.n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup,
+       |  CAST(SUM(CASE WHEN t.top2 * 16 > m.n2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top
+       |FROM m JOIN t USING (doc_id) GROUP BY m.source""".stripMargin
+
+  /** Deterministic stratified sampling: per-language keep rates (en 60%,
+    * other known langs 30%, else 10%) applied through the portable md5
+    * sample key — membership is a pure function of doc_id, reproducible in
+    * any engine, across reruns and partitionings. The sampled id sum pins
+    * exact membership per (lang, source) stratum.
+    */
+  private def stratified(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 600)
+      .when(col("lang").isin("zh", "de", "es", "fr"), 300)
+      .otherwise(100)
+    Tables.documents(s, dir)
+      .withColumn("keep", (CorpusOps.sampleKey(col("doc_id")) < rate).cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(col("keep")).as("n_sampled"),
+        sum(when(col("keep") === 1, col("doc_id")).otherwise(0L)).as("sum_sampled_ids"))
+  }
+
+  private val stratifiedSql =
+    """SELECT lang, source, COUNT(*) AS n_total,
+      |  CAST(SUM(keep) AS BIGINT) AS n_sampled,
+      |  CAST(SUM(CASE WHEN keep = 1 THEN doc_id ELSE 0 END) AS BIGINT) AS sum_sampled_ids
+      |FROM (
+      |  SELECT lang, source, doc_id,
+      |    CASE WHEN CAST(concat('0x', substr(md5(concat('graft', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000
+      |           < (CASE WHEN lang = 'en' THEN 600
+      |                   WHEN lang IN ('zh', 'de', 'es', 'fr') THEN 300
+      |                   ELSE 100 END)
+      |         THEN 1 ELSE 0 END AS keep
+      |  FROM documents)
+      |GROUP BY lang, source""".stripMargin
+
+  /** Concat-and-chunk packing plan at a 512-token budget: per source
+    * stream, total BPE-ish tokens, bins produced, docs split across a bin
+    * boundary, and the last bin index (cross-checks the running-sum window
+    * against the total).
+    */
+  private def packing(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.withPackingPlan(Tables.documents(s, dir), 512L)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("start_bin") =!= col("end_bin"), 1L).otherwise(0L)).as("n_split_docs"),
+        max(col("end_bin")).as("last_bin"))
+      .withColumn(
+        "n_bins",
+        when(col("total_tokens") === 0, 0L)
+          .otherwise(expr("((total_tokens - 1) div 512) + 1")))
+
+  private val packingSql =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT source, doc_id, n_tok,
+      |    COALESCE(CAST(SUM(n_tok) OVER (
+      |      PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_offset
+      |  FROM t),
+      |b AS (
+      |  SELECT source, n_tok, tok_offset,
+      |    tok_offset // 512 AS start_bin,
+      |    CASE WHEN n_tok = 0 THEN tok_offset // 512
+      |         ELSE (tok_offset + n_tok - 1) // 512 END AS end_bin
+      |  FROM o)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN start_bin <> end_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+      |  CAST(MAX(end_bin) AS BIGINT) AS last_bin,
+      |  CAST(CASE WHEN SUM(n_tok) = 0 THEN 0 ELSE (SUM(n_tok) - 1) // 512 + 1 END AS BIGINT) AS n_bins
+      |FROM b GROUP BY source""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
+    Q("llm_repetition_quality", repetition, Some(repetitionSql)),
+    Q("llm_stratified_sample", stratified, Some(stratifiedSql)),
+    Q("llm_pack_sequences", packing, Some(packingSql)))
+}

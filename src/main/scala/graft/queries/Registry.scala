@@ -15,6 +15,7 @@ object Registry {
       QueriesH.all ++
       QueriesIngest.all ++
       QueriesLlm.all ++
+      QueriesCorpus.all ++
       QueriesStreaming.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

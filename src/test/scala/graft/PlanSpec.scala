@@ -149,6 +149,22 @@ class PlanSpec extends SparkSpec {
     assert(!aggLines.contains("embedding"), s"arrays must not reach the score aggregation:\n$aggLines")
   }
 
+  test("decontamination: eval gram dictionary broadcasts; corpus side never shuffles pre-join") {
+    val p = plan(graft.queries.Registry.queries("llm_decontaminate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin [gram"),
+      "the eval n-gram dictionary must reach the corpus grams as a broadcast join on gram")
+    // wide ops carry scalars only: no aggregation input ever holds the text
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).mkString("\n")
+    assert(!aggLines.contains("text#"), s"doc text must not reach any aggregate:\n$aggLines")
+  }
+
+  test("stratified sample: pure map-side filter — no exchange before the aggregate") {
+    val p = plan(graft.queries.Registry.queries("llm_stratified_sample")(spark, dir))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregate")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "sampling must not join — membership is a pure function of the row")
+  }
+
   test("partitionBy write + key filter: pruning happens at partition level") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val t = Tables.ticks(spark, dir).select(col("symbol"), col("price"), col("seq"))
