@@ -25,19 +25,31 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Raw events table. `ts` arrives as INT64 TIMESTAMP(NANOS) which Spark
-    * reads as Long under `spark.sql.legacy.parquet.nanosAsLong`; we convert to
-    * a microsecond TimestampType with integer division (`div`, not `/`: a
-    * double division would lose precision above 2^53 ns). DuckDB's
-    * `ts::TIMESTAMP` cast truncates ns→µs identically, so oracle SQL must cast
-    * the same way.
+  /** Raw events table, normalized so `ts` is always a session-zone
+    * (UTC) TimestampType regardless of how the generator encoded it:
+    *
+    *  - INT64 TIMESTAMP(NANOS) — Spark reads it as Long under
+    *    `spark.sql.legacy.parquet.nanosAsLong`; integer-divide to µs
+    *    (`div`, not `/`: a double division would lose precision above
+    *    2^53 ns). DuckDB's `ts::TIMESTAMP` truncates ns→µs identically.
+    *  - TIMESTAMP(MICROS) isAdjustedToUTC=false — Spark reads
+    *    TIMESTAMP_NTZ; cast to TimestampType (identity on the stored
+    *    micros since the session zone is UTC, GraftSession.scala:26).
+    *    DuckDB reads the same column as naive TIMESTAMP, so both
+    *    engines see the same wall-clock micros.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // SQL conf, settable at runtime: tolerate sessions built without
     // GraftSession (e.g. a driver-owned smoke session).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsNorm = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ =>
+        col("ts").cast(org.apache.spark.sql.types.TimestampType)
+    }
+    raw.withColumn("ts", tsNorm)
   }
 
   /** Registers every testdata table — plus the derived `ticks` and
