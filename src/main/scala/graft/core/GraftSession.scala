@@ -22,7 +22,10 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
-      .withExtensions(graft.functions.VectorExprs.register)
+      .withExtensions { ext =>
+        graft.functions.VectorExprs.register(ext)
+        graft.functions.Sketches.register(ext)
+      }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.functions.Sketches
+
+/** Sketch operators as oracle-checked queries: HyperLogLog distinct counts,
+  * count-min heavy hitters, Bloom-filter join pruning — all on the
+  * [[graft.functions.Sketches]] 61-bit universal hash, so the DuckDB oracle
+  * replays every register, cell, and bit EXACTLY and the gate hash-checks
+  * estimate values, not just error bounds. Each query also carries the
+  * exact answer alongside the sketch's, making the estimate error itself an
+  * oracle-checked column.
+  *
+  * Scale shapes (the reason sketches exist at 100 TB):
+  *  - HLL: per-group state is 256 bytes regardless of cardinality; the
+  *    groupBy(max) register pass partial-aggregates map-side, so the
+  *    shuffle carries ≤ groups × 256 cells, never the data.
+  *  - CMS: the d×w cell grid partial-aggregates the same way (shuffle ≤
+  *    d·w cells/partition); the per-key probe is a broadcast join.
+  *  - Bloom: the bitmask is bounded by m bits whatever the build-side
+  *    cardinality (the driver collects ≤ m DISTINCT positions, exactly
+  *    like Spark's own runtime-filter blooms merge on the driver), and the
+  *    probe is a map-side filter — zero shuffle ahead of the pruned join.
+  */
+object QueriesSketch {
+
+  private val M61s = "2305843009213693951"
+
+  /** DuckDB replay of [[graft.functions.Hash61Kernel]]: exact in HUGEINT. */
+  private def hSql(x: String, ab: (Long, Long)): String =
+    s"CAST(((CAST(${ab._1} AS HUGEINT) * ($x % $M61s) + ${ab._2}) % $M61s) AS BIGINT)"
+
+  // ---------------------------------------------------------------- HLL --
+
+  private val HllM = 256
+  /** α·m² · 2^60 precomputed once and inlined into BOTH engines as the same
+    * double literal, so the estimate is a single correctly-rounded division
+    * per group (`K / S`) — bit-identical across engines by IEEE 754.
+    */
+  private val HllK: Double = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    alpha * HllM * HllM * math.pow(2.0, 60.0)
+  }
+  private val Pow60 = 1152921504606846976L // 2^60
+
+  /** Per-event-type HLL(m=256) distinct-user estimate next to the exact
+    * count. Register rho = 54 − bitlength(h >>> 8) over the 53-bit tail of
+    * the 61-bit hash; the harmonic sum Σ2^(−reg) is computed EXACTLY as the
+    * integer Σ2^(60−reg) in DECIMAL(38,0) (empty buckets contribute 2^60 via
+    * the (m − n_present) term — no bucket spine join needed), so the only
+    * floating-point steps are one cast and one division, both correctly
+    * rounded. The standard small-range linear-counting branch
+    * (E ≤ 2.5m ∧ V > 0 → m·ln(m/V)) rounds to an integer estimate, so a
+    * sub-ulp libm ln() difference cannot surface. Exercised for real: at
+    * sf0.01 each type has 150 distinct users → linear counting; at sf0.1+
+    * (1500+) → the raw HLL branch.
+    */
+  private def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val h = Sketches.hash61(col("user_id"), Sketches.HllParams._1, Sketches.HllParams._2)
+    val hashed = ev.select(col("event_type"),
+      pmod(h, lit(HllM.toLong)).as("bucket"), shiftright(h, 8).as("rest"))
+    val rho = when(col("rest") === 0L, lit(54)).otherwise(lit(54) - length(bin(col("rest"))))
+    val perBucket = hashed.select(col("event_type"), col("bucket"), rho.as("rho"))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("reg"))
+    val agg = perBucket.groupBy(col("event_type")).agg(
+      sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - reg AS INT)) AS DECIMAL(38,0))"))
+        .as("s_present"),
+      count(lit(1)).as("n_present"))
+    val stats = agg.select(col("event_type"),
+      (col("s_present") +
+        (lit(HllM.toLong) - col("n_present")).cast(DecimalType(38, 0)) *
+          lit(Pow60).cast(DecimalType(38, 0))).as("s_all"),
+      (lit(HllM.toLong) - col("n_present")).as("v_zero"))
+    val exact = ev.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n_exact"))
+    val withRaw = stats.join(exact, "event_type")
+      .withColumn("hll_raw", lit(HllK) / col("s_all").cast("double"))
+    withRaw.select(
+      col("event_type"), col("n_exact"), col("v_zero"), col("hll_raw"),
+      when(col("hll_raw") <= lit(2.5 * HllM) && col("v_zero") > 0,
+        round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero").cast("double"))))
+        .otherwise(round(col("hll_raw"))).cast("long").as("hll_est"))
+      .withColumn("err_pct",
+        (col("hll_est") - col("n_exact")).cast("double") * lit(100.0) / col("n_exact").cast("double"))
+  }
+
+  private val hllDistinctSql = {
+    val h = hSql("user_id", Sketches.HllParams)
+    s"""WITH e AS (SELECT event_type, user_id FROM events),
+       |h AS (SELECT event_type, $h AS h61 FROM e),
+       |hb AS (SELECT event_type, h61 % $HllM AS bucket, h61 >> 8 AS rest FROM h),
+       |pb AS (SELECT event_type, bucket,
+       |    MAX(CASE WHEN rest = 0 THEN 54 ELSE 54 - length(bin(rest)) END) AS reg
+       |  FROM hb GROUP BY 1, 2),
+       |ag AS (SELECT event_type,
+       |    SUM(CAST((CAST(1 AS BIGINT) << CAST(60 - reg AS INTEGER)) AS DECIMAL(38,0))) AS s_present,
+       |    CAST(COUNT(*) AS BIGINT) AS n_present
+       |  FROM pb GROUP BY 1),
+       |st AS (SELECT event_type,
+       |    s_present + ($HllM - n_present) * CAST($Pow60 AS DECIMAL(38,0)) AS s_all,
+       |    $HllM - n_present AS v_zero
+       |  FROM ag),
+       |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM e GROUP BY 1),
+       |fin AS (SELECT st.event_type, n_exact, v_zero,
+       |    $HllK / CAST(s_all AS DOUBLE) AS hll_raw
+       |  FROM st JOIN ex USING (event_type)),
+       |est AS (SELECT *,
+       |    CASE WHEN hll_raw <= ${2.5 * HllM} AND v_zero > 0
+       |         THEN CAST(ROUND($HllM.0 * ln($HllM.0 / CAST(v_zero AS DOUBLE))) AS BIGINT)
+       |         ELSE CAST(ROUND(hll_raw) AS BIGINT) END AS hll_est
+       |  FROM fin)
+       |SELECT event_type, n_exact, v_zero, hll_raw, hll_est,
+       |  CAST(hll_est - n_exact AS DOUBLE) * 100.0 / CAST(n_exact AS DOUBLE) AS err_pct
+       |FROM est""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- CMS --
+
+  private val CmsW = 4096L // ≈ rows/w expected overcount: ~2 at sf0.01, ~24 at sf0.1
+
+  private def cmsBuckets(key: Column): Column =
+    array(Sketches.CmsParams.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("r"), pmod(Sketches.hash61(key, a, b), lit(CmsW)).as("bucket"))
+    }: _*)
+
+  /** Count-min(d=4, w=4096) frequency estimates for the top-5 users by
+    * exact count (ties broken by user_id, both engines). The sketch
+    * overcounts or is exact, never under — `overcount = cms_est − exact_cnt
+    * ≥ 0` is the CMS guarantee as an oracle-checked column, nonzero in
+    * practice (expected ≈ rows/w collision mass per cell, min over d rows).
+    */
+  private def cmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val cells = ev.select(explode(cmsBuckets(col("user_id"))).as("c"))
+      .select(col("c.r").as("r"), col("c.bucket").as("bucket"))
+    val sketch = cells.groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    val top = exact.orderBy(col("exact_cnt").desc, col("user_id").asc).limit(5)
+    val kb = top.select(col("user_id"), col("exact_cnt"),
+        explode(cmsBuckets(col("user_id"))).as("c"))
+      .select(col("user_id"), col("exact_cnt"), col("c.r").as("r"), col("c.bucket").as("bucket"))
+    kb.join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy(col("user_id"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("user_id"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+  }
+
+  private val cmsHeavySql = {
+    def rowSelects(from: String, prefix: String): String =
+      Sketches.CmsParams.zipWithIndex.map { case (ab, i) =>
+        s"SELECT $prefix$i AS r, ${hSql("user_id", ab)} % $CmsW AS bucket$from"
+      }.mkString("\n  UNION ALL ")
+    val kbSelects = Sketches.CmsParams.zipWithIndex.map { case (ab, i) =>
+      s"SELECT user_id, exact_cnt, $i AS r, ${hSql("user_id", ab)} % $CmsW AS bucket FROM top"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT user_id FROM events),
+       |cells AS (
+       |  ${rowSelects(" FROM e", "")}),
+       |sk AS (SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+       |ex AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM e GROUP BY 1),
+       |top AS (SELECT * FROM ex ORDER BY exact_cnt DESC, user_id ASC LIMIT 5),
+       |kb AS (
+       |  $kbSelects)
+       |SELECT kb.user_id, kb.exact_cnt, MIN(sk.cnt) AS cms_est,
+       |  MIN(sk.cnt) - kb.exact_cnt AS overcount
+       |FROM kb JOIN sk USING (r, bucket) GROUP BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------------- Bloom --
+
+  private val BloomM = 131072 // 2^17 bits = 2048 words; sized ≈ 16·n at sf1
+
+  /** Bloom(m=2^17, k=3) join pruning audit: the bitmask is built from the
+    * urgent orders' keys, lineitem probes it, and the row counts prove both
+    * properties — `false_neg = 0` (every true match passes) and `false_pos`
+    * small (the pruning value). The driver-side collect is of DISTINCT bit
+    * positions, bounded by m — independent of build cardinality, the same
+    * shape as Spark's own runtime-filter bloom merge. This query keeps the
+    * unpruned rows to AUDIT the filter; the production plan — filter before
+    * the join, map-side, zero added shuffle — is pinned by PlanSpec.
+    */
+  private def bloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k")).distinct()
+    val posCols = Sketches.BloomParams.map { case (a, b) =>
+      pmod(Sketches.hash61(col("k"), a, b), lit(BloomM.toLong))
+    }
+    val positions = urgent.select(explode(array(posCols: _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val mask = Sketches.maskFromPositions(positions, BloomM)
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      .withColumn("pass",
+        Sketches.bloomMightContain(col("l_orderkey"), mask, Sketches.BloomParams))
+    li.join(broadcast(urgent), li("l_orderkey") === urgent("k"), "left")
+      .agg(
+        count(lit(1)).as("probe_rows"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("bloom_pass"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("true_match"),
+        sum(when(col("pass") && col("k").isNull, 1L).otherwise(0L)).as("false_pos"),
+        sum(when(!col("pass") && col("k").isNotNull, 1L).otherwise(0L)).as("false_neg"))
+      .crossJoin(urgent.agg(count(lit(1)).as("n_build"))) // 1-row × 1-row scalar assembly
+  }
+
+  private val bloomPruneSql = {
+    val bitSelects = Sketches.BloomParams.map { ab =>
+      s"SELECT DISTINCT ${hSql("k", ab)} % $BloomM AS pos FROM urgent"
+    }.mkString("\n  UNION ")
+    val passConj = Sketches.BloomParams.map { ab =>
+      s"(${hSql("pk", ab)} % $BloomM) IN (SELECT pos FROM bits)"
+    }.mkString("\n    AND ")
+    s"""WITH urgent AS (
+       |  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+       |bits AS (
+       |  $bitSelects),
+       |keys AS (SELECT DISTINCT l_orderkey AS pk FROM lineitem),
+       |kp AS (SELECT pk,
+       |    $passConj AS pass,
+       |    pk IN (SELECT k FROM urgent) AS is_u
+       |  FROM keys)
+       |SELECT
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM urgent) AS n_build,
+       |  CAST(COUNT(*) AS BIGINT) AS probe_rows,
+       |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS bloom_pass,
+       |  CAST(SUM(CASE WHEN is_u THEN 1 ELSE 0 END) AS BIGINT) AS true_match,
+       |  CAST(SUM(CASE WHEN pass AND NOT is_u THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+       |  CAST(SUM(CASE WHEN is_u AND NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS false_neg
+       |FROM lineitem l JOIN kp ON l.l_orderkey = kp.pk""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("sk_hll_distinct", hllDistinct, Some(hllDistinctSql)),
+    Q("sk_cms_heavy", cmsHeavy, Some(cmsHeavySql)),
+    Q("sk_bloom_prune", bloomPrune, Some(bloomPruneSql)))
+}

@@ -16,6 +16,7 @@ object Registry {
       QueriesIngest.all ++
       QueriesLlm.all ++
       QueriesCorpus.all ++
+      QueriesSketch.all ++
       QueriesStreaming.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -165,6 +165,33 @@ class PlanSpec extends SparkSpec {
       "sampling must not join — membership is a pure function of the row")
   }
 
+  test("sk_hll: register pass partial-aggregates map-side, hash codegen'd") {
+    val p = plan(graft.queries.Registry.queries("sk_hll_distinct")(spark, dir))
+    assert(p.contains("partial_max"),
+      "register max must partial-aggregate before the shuffle — the 100 TB contract " +
+        "is that only (group, bucket, reg) cells ride the exchange")
+    assert(p.contains("graft_hash61"), "native hash expression in the plan")
+  }
+
+  test("sk_bloom production shape: bloom filter is map-side, below the join") {
+    import graft.functions.Sketches
+    // the audit query keeps unpruned rows to count false positives; this is
+    // the production plan a user composes: filter THEN join
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("k")).distinct()
+    val mask = Sketches.maskFromPositions(Seq(0L, 77L, 4000L), 131072)
+    val pruned = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .filter(Sketches.bloomMightContain(col("l_orderkey"), mask, Sketches.BloomParams))
+      .join(urgent, col("l_orderkey") === col("k"), "left_semi")
+    val ep = pruned.queryExecution.executedPlan.toString
+    assert(ep.contains("DataFilters: [graft_bloom61"),
+      "bloom test must reach the scan node's DataFilters — evaluated on the " +
+        "scan, map-side, zero exchanges before the prune")
+    assert(ep.indexOf("Join") < ep.indexOf("graft_bloom61"),
+      "filter sits BELOW the join (deeper in the plan tree = later in toString)")
+  }
+
   test("partitionBy write + key filter: pruning happens at partition level") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val t = Tables.ticks(spark, dir).select(col("symbol"), col("price"), col("seq"))
