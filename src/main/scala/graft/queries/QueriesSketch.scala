@@ -88,7 +88,10 @@ object QueriesSketch {
         (col("hll_est") - col("n_exact")).cast("double") * lit(100.0) / col("n_exact").cast("double"))
   }
 
-  private val hllDistinctSql = {
+  /** Shared with `stream_hll_distinct`: the streaming HLL emits rows that
+    * hash-match this same oracle (batch ≡ stream ≡ oracle).
+    */
+  val hllDistinctSql: String = {
     val h = hSql("user_id", Sketches.HllParams)
     s"""WITH e AS (SELECT event_type, user_id FROM events),
        |h AS (SELECT event_type, $h AS h61 FROM e),

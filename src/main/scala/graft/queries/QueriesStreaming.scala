@@ -347,8 +347,44 @@ object QueriesStreaming {
        |JOIN last_rows l ON t.symbol = l.lsym AND t.chunk = l.lchunk
        |JOIN tails ta ON t.symbol = ta.vsym AND t.tstamp = ta.vts""".stripMargin
 
+  /** Streaming HLL distinct-count ([[graft.streaming.StreamingSketch]]):
+    * 256-int bounded state per group, sentinel-triggered emission, joined
+    * with the batch exact counts into the EXACT row shape of
+    * `sk_hll_distinct` — and checked against that query's own oracle SQL,
+    * so one DuckDB replay pins batch, stream, and oracle to identical
+    * bits.
+    */
+  private def streamHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id").cast("long").as("user_id"))
+    val feed = ev.orderBy(col("event_type"), col("user_id")).as[(String, Long)]
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: one sentinel per group
+
+    val name = s"graft_stream_hll_${System.nanoTime}"
+    val in = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingSketch.hllDistinctStream(
+        in.toDF().toDF("event_type", "user_id"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      feedSorted(feed) { sl => in.addData(sl); q.processAllAvailable() }
+      in.addData(types.map(t => (t, -1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val exact = ev.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n_exact"))
+    spark.table(name).join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("v_zero"), col("hll_raw"), col("hll_est"))
+      .withColumn("err_pct",
+        (col("hll_est") - col("n_exact")).cast("double") * lit(100.0) / col("n_exact").cast("double"))
+  }
+
   val all: Seq[Q] = Seq(
     Q("stream_equiv", streamEquiv, Some(streamEquivSql)),
+    Q("stream_hll_distinct", streamHllDistinct, Some(QueriesSketch.hllDistinctSql)),
     Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql)),
     Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql)),
     Q("stream_anchored_vwap", streamAnchoredVwap, Some(streamAnchoredVwapSql))

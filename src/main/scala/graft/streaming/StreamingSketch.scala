@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import graft.functions.{Hash61Kernel, Sketches}
+
+/** Streaming HyperLogLog: per-group distinct-count estimation with BOUNDED
+  * state — 256 register ints per group, independent of stream length or
+  * cardinality. The unbounded alternative (`dropDuplicates` + count) keeps
+  * every key in the state store forever; this is the sketch trade: ~2%
+  * error for O(m) state, the only viable shape for distinct-counting an
+  * unbounded 100 TB stream.
+  *
+  * Bit-equivalence contract: registers are updated with EXACTLY the batch
+  * query's hash/bucket/rho pipeline ([[graft.queries.QueriesSketch]]), and
+  * the final estimate math reproduces the batch Column expressions
+  * step-for-step (exact integer harmonic sum via BigInt → one
+  * correctly-rounded double division; HALF_UP integer rounding). The
+  * emitted rows therefore hash-match the SAME DuckDB oracle as the batch
+  * query — batch ≡ stream ≡ oracle, the strongest equivalence the gate can
+  * express. A sentinel `user_id = −1` per group triggers emission after
+  * the real feed (contributing nothing to the registers), the same
+  * final-flush idiom as [[StreamingAnchoredVwap]].
+  */
+object StreamingSketch {
+
+  private val M = 256
+  /** α·m²·2^60 — same construction as QueriesSketch.HllK (kept in sync by
+    * StreamingSketchSpec comparing stream vs batch rows bit-for-bit).
+    */
+  private val K: Double = {
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    alpha * M * M * math.pow(2.0, 60.0)
+  }
+
+  /** (event_type, v_zero, hll_raw, hll_est) per group, emitted on sentinel. */
+  def hllDistinctStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (a, b) = Sketches.HllParams
+    val ds: Dataset[(String, Long)] = events
+      .select(col("event_type"), col("user_id").cast("long"))
+      .as[(String, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Int], (String, Long, Double, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[Array[Int]]) =>
+          val regs = state.getOption.getOrElse(new Array[Int](M))
+          var emit = false
+          rows.foreach { case (_, uid) =>
+            if (uid < 0L) emit = true
+            else {
+              val h = Hash61Kernel.hash(uid, a, b)
+              val bucket = (h % M).toInt
+              val rest = h >>> 8
+              // rho = 54 − bitlength(rest): bitlength(x>0) = 64 − nlz(x)
+              val rho = if (rest == 0L) 54 else 54 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+              if (rho > regs(bucket)) regs(bucket) = rho
+            }
+          }
+          state.update(regs)
+          if (!emit) Iterator.empty
+          else {
+            // exact integer harmonic sum Σ 2^(60−reg), then ONE double division
+            // — mirrors the batch DECIMAL(38,0) sum → double cast → K/S
+            var s = BigInt(0)
+            var vZero = 0L
+            var i = 0
+            while (i < M) {
+              s += BigInt(1) << (60 - regs(i))
+              if (regs(i) == 0) vZero += 1
+              i += 1
+            }
+            val raw = K / s.toDouble
+            val est =
+              if (raw <= 2.5 * M && vZero > 0)
+                halfUp(M.toDouble * math.log(M.toDouble / vZero.toDouble))
+              else halfUp(raw)
+            Iterator.single((key, vZero, raw, est))
+          }
+      }
+      .toDF("event_type", "v_zero", "hll_raw", "hll_est")
+  }
+
+  /** Spark's `round(double)`: BigDecimal HALF_UP on the exact binary value
+    * (NOT `math.round`'s floor(x+0.5), which differs on ties-adjacent
+    * doubles).
+    */
+  private def halfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+}
