@@ -382,9 +382,58 @@ object QueriesStreaming {
         (col("hll_est") - col("n_exact")).cast("double") * lit(100.0) / col("n_exact").cast("double"))
   }
 
+  /** Stream-stream interval join with watermarked state: clicks within the
+    * hour BEFORE a purchase by the same user (the classic attribution
+    * join), both sides branches of one event stream. The inner join emits
+    * eagerly on match; the 2-hour watermarks bound the click-side state to
+    * O(rate × window) — Spark evicts buffered clicks once the purchase-side
+    * watermark passes `c_ts + 1h`, so state never scales with stream
+    * length. The time-sorted feed means every matching click is buffered
+    * before its purchase arrives (c_ts ≤ p_ts), so the emitted pair SET is
+    * exactly the batch range join, which the oracle replays in DuckDB —
+    * every pair, not a count, is hash-checked.
+    */
+  private def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .filter(col("event_type").isin("purchase", "click"))
+    val feed = ev.orderBy(col("ts"), col("event_id"))
+      .as[(Long, Timestamp, Long, String)]
+
+    val name = s"graft_stream_ssj_${System.nanoTime}"
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val s = in.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val purchases = s.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"), col("user_id").as("p_user"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = s.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("ts").as("c_ts"), col("user_id").as("c_user"))
+      .withWatermark("c_ts", "2 hours")
+    val q = purchases.join(clicks,
+        expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 1 HOUR AND c_ts <= p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      feedSorted(feed) { sl => in.addData(sl); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  private val streamStreamJoinSql =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts::TIMESTAMP BETWEEN p.ts::TIMESTAMP - INTERVAL 1 HOUR
+      |                         AND p.ts::TIMESTAMP""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("stream_equiv", streamEquiv, Some(streamEquivSql)),
     Q("stream_hll_distinct", streamHllDistinct, Some(QueriesSketch.hllDistinctSql)),
+    Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql)),
     Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql)),
     Q("stream_anchored_vwap", streamAnchoredVwap, Some(streamAnchoredVwapSql))
