@@ -213,11 +213,30 @@ object WindowCalcs {
     * plan degrades linearly with the hottest symbol while bucketed stays
     * flat at symbols × buckets parallelism (sf1: 500k-row hot symbol).
     */
-  def fewSymbolSkew(probe: DataFrame, threshold: Long = 150000L): Boolean = {
-    val m = probe.groupBy("symbol").count()
-      .agg(coalesce(max("count"), lit(0L))).head().getLong(0)
-    m > threshold
-  }
+  def fewSymbolSkew(probe: DataFrame, threshold: Long = 150000L): Boolean =
+    maxRowsPerSymbol(probe) > threshold
+
+  /** Session-scoped statistics cache for the skew probe, keyed by the
+    * probe's canonicalized logical plan: the same (source, projection)
+    * probed twice costs one scan, like a catalog column statistic. The
+    * result is a plan-choice input ONLY — both window paths are
+    * bit-identical — so a stale entry (data replaced on disk mid-session)
+    * can cost performance, never correctness; `Catalog.refreshTable`-style
+    * invalidation is simply a new JVM/session here.
+    */
+  private val skewStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  /** Test hook: entries currently cached (WindowProbeCacheSpec pins that
+    * re-instantiated probes of the same source hit one entry).
+    */
+  private[calc] def skewStatsCacheSize: Int = skewStatsCache.size()
+
+  private def maxRowsPerSymbol(probe: DataFrame): Long =
+    skewStatsCache.computeIfAbsent(
+      probe.queryExecution.analyzed.semanticHash(),
+      _ => probe.groupBy("symbol").count()
+        .agg(coalesce(max("count"), lit(0L))).head().getLong(0))
 
   /** W1 with runtime path selection (see [[fewSymbolSkew]]). */
   def withVolumeSpikesAuto(df: DataFrame, window: Int = 60, mult: Double = 1.5,
