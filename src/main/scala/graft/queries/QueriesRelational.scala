@@ -280,6 +280,99 @@ object QueriesRelational {
         sum(col("seq") - col("sym_min")).as("sum_rel_seq"))
   }
 
+  /** Multi-granularity revenue via ROLLUP(region, nation): Spark's Expand
+    * operator computes all three grouping levels in ONE scan + one
+    * shuffle — at 100 TB that replaces N repeated full-table aggregations
+    * with a ×levels row expansion that partial-aggregates map-side
+    * immediately. `grouping()` flags disambiguate rollup NULLs from data
+    * NULLs, matching DuckDB's GROUPING().
+    */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val joined = o
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+    joined.rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).cast("int").as("g_reg"),
+        grouping(col("n_name")).cast("int").as("g_nat"),
+        dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(col("r_name"), col("n_name"), col("g_reg"), col("g_nat"),
+        col("revenue"), col("n_orders"))
+  }
+
+  private val q11Sql =
+    """SELECT r_name, n_name,
+      |  CAST(GROUPING(r_name) AS INTEGER) AS g_reg,
+      |  CAST(GROUPING(n_name) AS INTEGER) AS g_nat,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
+  /** Daily × event-type pivot with an EXPLICIT value list: Spark skips the
+    * distinct-values pre-scan a bare pivot() needs (one fewer job, fixed
+    * schema — the only scale-safe pivot; an unbounded pivot column is a
+    * schema explosion at 100 TB) and plans a single partial+final aggregate
+    * with one conditional-count column per type.
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+  }
+
+  private val q12Sql =
+    """SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
+      |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+      |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Exact distributed quantiles by rank selection: one sort per group
+    * (row_number + count over the same window partitioning → a single
+    * shuffle+sort), pick values at rank ⌈q·n⌉. Deterministic across
+    * engines because ties break on event_id and both engines compute the
+    * identical IEEE q·n product. Exact quantiles at 100 TB are feasible
+    * exactly this way (range-partition + sort); when one pass over
+    * unsorted data is required instead, that is the sketch family's job
+    * (see QueriesSketch).
+    */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    def at(q: Double): org.apache.spark.sql.Column =
+      max(when(col("rn") === ceil(col("n") * lit(q)), col("value")))
+    ranked.groupBy(col("event_type"))
+      .agg(at(0.5).as("p50"), at(0.9).as("p90"), at(0.99).as("p99"),
+        max(col("n")).as("n_rows"))
+  }
+
+  private val q13Sql =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.5) THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.9) THEN value END) AS p90,
+      |  MAX(CASE WHEN rn = CEIL(n * 0.99) THEN value END) AS p99,
+      |  CAST(MAX(n) AS BIGINT) AS n_rows
+      |FROM r GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true, benchRun = Some(q01Bench)),
     Q("j4_salted_join", j4, Some(j4Sql)),
@@ -293,6 +386,9 @@ object QueriesRelational {
     Q("q07_rolling_avg_value", q07, Some(q07Sql)),
     Q("q08_lag_diff_value", q08, Some(q08Sql)),
     Q("q09_part_brand_stats", q09, Some(q09Sql)),
-    Q("q10_union_filtered", q10, Some(q10Sql))
+    Q("q10_union_filtered", q10, Some(q10Sql)),
+    Q("q11_rollup_revenue", q11, Some(q11Sql)),
+    Q("q12_pivot_daily", q12, Some(q12Sql)),
+    Q("q13_exact_quantiles", q13, Some(q13Sql))
   )
 }

@@ -165,6 +165,29 @@ class PlanSpec extends SparkSpec {
       "sampling must not join — membership is a pure function of the row")
   }
 
+  test("q11 rollup: one Expand pass, not N re-aggregations") {
+    val df = graft.queries.Registry.queries("q11_rollup_revenue")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("Expand"), "rollup must plan as Expand + single aggregate")
+    assert("FileScan parquet .*orders".r.findAllIn(p).size == 1,
+      "orders scanned exactly once for all three grouping levels")
+  }
+
+  test("q12 pivot with explicit values: single scan, single aggregate") {
+    val df = graft.queries.Registry.queries("q12_pivot_daily")(spark, dir)
+    val p = plan(df)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      "explicit pivot values must not add a distinct pre-scan of the source")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final aggregate")
+  }
+
+  test("q13 exact quantiles: both windows share ONE exchange") {
+    val df = graft.queries.Registry.queries("q13_exact_quantiles")(spark, dir)
+    val ep = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(event_type".r.findAllIn(ep).size == 1,
+      "row_number and count windows must reuse the same partitioning")
+  }
+
   test("sk_hll: register pass partial-aggregates map-side, hash codegen'd") {
     val p = plan(graft.queries.Registry.queries("sk_hll_distinct")(spark, dir))
     assert(p.contains("partial_max"),
