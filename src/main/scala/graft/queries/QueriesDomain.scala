@@ -1008,10 +1008,59 @@ object QueriesDomain {
        |  MAX(price) AS max_price
        |FROM g GROUP BY symbol, grp""".stripMargin
 
+  /** Resample to a fixed 1-minute grid with forward-fill — the canonical
+    * pandas `resample('1min').ffill()` of the reference's domain, Spark-
+    * first: per-symbol bucket bounds → `sequence()` grid (size = time span
+    * ÷ granularity × symbols, INDEPENDENT of tick count — at 100 TB the
+    * grid is still 43k rows per symbol-month), left join of the bucketed
+    * closes, then one `last(ignoreNulls)` running window per symbol = one
+    * sort. `is_gap` marks synthesized rows; volume zero-fills (a gap has
+    * no trades). First grid bucket always has a candle (bounds come FROM
+    * the candles), so the fill never emits a leading null.
+    */
+  private def g8(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.ticks(s, dir)
+    val c1m = t.groupBy(col("symbol"),
+        expr("unix_micros(timestamp) div 60000000").as("bucket"))
+      .agg(max_by(col("price"), col("timestamp")).as("close"),
+        dsum(col("volume"), scale = 4).as("volume"))
+    val bounds = c1m.groupBy(col("symbol"))
+      .agg(min(col("bucket")).as("mnb"), max(col("bucket")).as("mxb"))
+    val grid = bounds.select(col("symbol"),
+      explode(sequence(col("mnb"), col("mxb"))).as("bucket"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(c1m, Seq("symbol", "bucket"), "left")
+      .select(col("symbol"),
+        tsSec(timestamp_micros(col("bucket") * lit(60000000L))).as("ts"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_ffill"),
+        coalesce(col("volume"), lit(0.0)).as("volume"),
+        col("close").isNull.as("is_gap"))
+  }
+
+  private val g8Sql =
+    s"""$withTicks,
+       |c AS (SELECT symbol, epoch_us(tstamp) // 60000000 AS bucket,
+       |    arg_max(price, tstamp) AS close,
+       |    CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS volume
+       |  FROM ticks GROUP BY 1, 2),
+       |b AS (SELECT symbol, min(bucket) AS mnb, max(bucket) AS mxb FROM c GROUP BY 1),
+       |g AS (SELECT symbol, unnest(generate_series(mnb, mxb)) AS bucket FROM b),
+       |j AS (SELECT g.symbol, g.bucket, c.close, c.volume
+       |  FROM g LEFT JOIN c USING (symbol, bucket))
+       |SELECT symbol,
+       |  strftime(make_timestamp(bucket * 60000000), '%Y-%m-%d %H:%M:%S') AS ts,
+       |  last_value(close IGNORE NULLS) OVER (PARTITION BY symbol ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+       |  COALESCE(volume, 0.0) AS volume,
+       |  close IS NULL AS is_gap
+       |FROM j""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
     Q("g1_candles_1s", g1, Some(g1Sql), headline = true),
+    Q("g8_resample_ffill", g8, Some(g8Sql)),
     Q("g2_rollup_60s", g2, Some(g2Sql)),
     Q("g2_rollup_chain", g2chain, Some(g2chainSql)),
     Q("w15_time_range_avg", w15, Some(w15Sql)),
