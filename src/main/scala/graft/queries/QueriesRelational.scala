@@ -373,6 +373,37 @@ object QueriesRelational {
       |  CAST(MAX(n) AS BIGINT) AS n_rows
       |FROM r GROUP BY 1""".stripMargin
 
+  /** Per-group top-k through the typed [[graft.operators.TopKAggregator]]
+    * (§2.10's reserved typed-Aggregator slot): partial aggregation ships ≤
+    * k pairs per group per map task to the shuffle — O(groups × k) — where
+    * the window form (`row_number() ≤ k`, q03) sorts every row through the
+    * exchange. The oracle replays with exactly that window form, proving
+    * the two top-k shapes equivalent on the same deterministic total order
+    * (value DESC, event_id ASC).
+    */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+    ev.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.operators.TopKAggregator(3).toColumn.name("topk"))
+      .toDF("event_type", "topk")
+      .select(col("event_type"), posexplode(col("topk")))
+      .select(col("event_type"), (col("pos") + 1).as("rank"),
+        col("col._1").as("value"), col("col._2").as("event_id"))
+  }
+
+  private val q14Sql =
+    """WITH r AS (
+      |  SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events)
+      |SELECT event_type, CAST(rn AS INTEGER) AS rank, value, event_id
+      |FROM r WHERE rn <= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true, benchRun = Some(q01Bench)),
     Q("j4_salted_join", j4, Some(j4Sql)),
@@ -389,6 +420,7 @@ object QueriesRelational {
     Q("q10_union_filtered", q10, Some(q10Sql)),
     Q("q11_rollup_revenue", q11, Some(q11Sql)),
     Q("q12_pivot_daily", q12, Some(q12Sql)),
-    Q("q13_exact_quantiles", q13, Some(q13Sql))
+    Q("q13_exact_quantiles", q13, Some(q13Sql)),
+    Q("q14_topk_per_group", q14, Some(q14Sql))
   )
 }
