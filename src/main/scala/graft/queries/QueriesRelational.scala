@@ -395,7 +395,10 @@ object QueriesRelational {
         col("col._1").as("value"), col("col._2").as("event_id"))
   }
 
-  private val q14Sql =
+  /** Shared with `stream_topk`: the streaming top-k emits rows that
+    * hash-match this same oracle (batch ≡ stream ≡ oracle).
+    */
+  val q14Sql: String =
     """WITH r AS (
       |  SELECT event_type, value, event_id,
       |    ROW_NUMBER() OVER (PARTITION BY event_type

@@ -430,9 +430,58 @@ object QueriesStreaming {
       | AND c.ts::TIMESTAMP BETWEEN p.ts::TIMESTAMP - INTERVAL 1 HOUR
       |                         AND p.ts::TIMESTAMP""".stripMargin
 
+  /** Streaming per-group top-k: the state IS the batch
+    * [[graft.operators.TopKAggregator]] buffer — every arriving row passes
+    * through the aggregator's own `reduce`, so batch ≡ stream holds by
+    * construction (one ordering implementation, two execution modes) and
+    * the emitted rows hash-match q14's oracle. State is ≤ k pairs per
+    * group, the streaming analog of the map-side-combine bound. Sentinel
+    * `event_id = −1` triggers ranked emission (never enters the buffer:
+    * ids are non-negative and the sentinel short-circuits before reduce).
+    */
+  private def streamTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val feed = ev.orderBy(col("event_id")).as[(String, Double, Long)]
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+    val agg = graft.operators.TopKAggregator(3)
+    val name = s"graft_stream_topk_${System.nanoTime}"
+    val in = MemoryStream[(String, Double, Long)]
+    val q = in.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Double, Long)], (String, Int, Double, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Vector[(Double, Long)]]) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          var emit = false
+          rows.foreach { case (_, v, id) =>
+            if (id < 0L) emit = true else buf = agg.reduce(buf, (v, id))
+          }
+          state.update(buf)
+          if (!emit) Iterator.empty
+          else buf.iterator.zipWithIndex.map { case ((v, id), i) => (key, i + 1, v, id) }
+      }
+      .toDF("event_type", "rank", "value", "event_id")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      feedSorted(feed) { sl => in.addData(sl); q.processAllAvailable() }
+      in.addData(types.map(t => (t, 0.0, -1L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name)
+  }
+
   val all: Seq[Q] = Seq(
     Q("stream_equiv", streamEquiv, Some(streamEquivSql)),
     Q("stream_hll_distinct", streamHllDistinct, Some(QueriesSketch.hllDistinctSql)),
+    Q("stream_topk", streamTopK, Some(QueriesRelational.q14Sql)),
     Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql)),
     Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql)),
