@@ -225,16 +225,25 @@ object WindowCalcs {
     * invalidation is simply a new JVM/session here.
     */
   private val skewStatsCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
 
-  /** Test hook: entries currently cached (WindowProbeCacheSpec pins that
-    * re-instantiated probes of the same source hit one entry).
+  /** Test hooks (WindowProbeCacheSpec): membership by the probe's own key —
+    * robust to suites running concurrently — plus a cache clear.
     */
-  private[calc] def skewStatsCacheSize: Int = skewStatsCache.size()
+  private[calc] def skewStatsCached(probe: DataFrame): Boolean =
+    skewStatsCache.containsKey(probe.queryExecution.analyzed.canonicalized)
+  private[calc] def skewStatsCacheClear(): Unit = skewStatsCache.clear()
 
+  /** Keyed on the canonicalized analyzed plan ITSELF (structural equality),
+    * not its 32-bit semanticHash — a hash collision between two different
+    * probes would silently reuse the wrong statistic (wrong window path;
+    * still bit-identical results, but the Int keyspace makes that plausible
+    * over a long session).
+    */
   private def maxRowsPerSymbol(probe: DataFrame): Long =
     skewStatsCache.computeIfAbsent(
-      probe.queryExecution.analyzed.semanticHash(),
+      probe.queryExecution.analyzed.canonicalized,
       _ => probe.groupBy("symbol").count()
         .agg(coalesce(max("count"), lit(0L))).head().getLong(0))
 

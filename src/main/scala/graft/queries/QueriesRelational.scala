@@ -314,18 +314,20 @@ object QueriesRelational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
-  /** Daily × event-type pivot with an EXPLICIT value list: Spark skips the
-    * distinct-values pre-scan a bare pivot() needs (one fewer job, fixed
-    * schema — the only scale-safe pivot; an unbounded pivot column is a
-    * schema explosion at 100 TB) and plans a single partial+final aggregate
-    * with one conditional-count column per type.
+  /** Daily × event-type pivot via explicit conditional aggregation — one
+    * count(when(type=v,1)) column per type. Same single partial+final
+    * aggregate Spark plans for an explicit-list pivot() (no distinct-values
+    * pre-scan, fixed schema — the only scale-safe pivot shape at 100 TB),
+    * but a day with zero rows of some type yields 0, not the NULL that
+    * pivot's PivotFirst rewrite leaves in missing cells — matching the
+    * COUNT(*) FILTER oracle on sparse days too.
     */
   private def q12(s: SparkSession, dir: String): DataFrame = {
     val types = Seq("click", "view", "purchase", "signup", "error")
+    val cells = types.map(t => count(when(col("event_type") === t, 1)).as(t))
     Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day"))
-      .pivot("event_type", types)
-      .agg(count(lit(1)))
+      .agg(cells.head, cells.tail: _*)
   }
 
   private val q12Sql =

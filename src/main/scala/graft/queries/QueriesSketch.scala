@@ -30,9 +30,13 @@ object QueriesSketch {
 
   private val M61s = "2305843009213693951"
 
-  /** DuckDB replay of [[graft.functions.Hash61Kernel]]: exact in HUGEINT. */
+  /** DuckDB replay of [[graft.functions.Hash61Kernel]]: exact in HUGEINT.
+    * The inner reduction mirrors the kernel's floorMod: DuckDB's % is
+    * sign-preserving, so negative keys need the ((x % M) + M) % M form to
+    * land in [0, M61) like the engine does — total over the long range.
+    */
   private def hSql(x: String, ab: (Long, Long)): String =
-    s"CAST(((CAST(${ab._1} AS HUGEINT) * ($x % $M61s) + ${ab._2}) % $M61s) AS BIGINT)"
+    s"CAST(((CAST(${ab._1} AS HUGEINT) * ((($x % $M61s) + $M61s) % $M61s) + ${ab._2}) % $M61s) AS BIGINT)"
 
   // ---------------------------------------------------------------- HLL --
 

@@ -365,13 +365,13 @@ object QueriesStreaming {
       .collect().map(_.getString(0)).toSeq // bounded: one sentinel per group
 
     val name = s"graft_stream_hll_${System.nanoTime}"
-    val in = MemoryStream[(String, Long)]
+    val in = MemoryStream[(String, Long, Boolean)]
     val q = graft.streaming.StreamingSketch.hllDistinctStream(
-        in.toDF().toDF("event_type", "user_id"))
+        in.toDF().toDF("event_type", "user_id", "is_sentinel"))
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
-      feedSorted(feed) { sl => in.addData(sl); q.processAllAvailable() }
-      in.addData(types.map(t => (t, -1L)))
+      feedSorted(feed) { sl => in.addData(sl.map { case (t, u) => (t, u, false) }); q.processAllAvailable() }
+      in.addData(types.map(t => (t, 0L, true)))
       q.processAllAvailable()
     } finally q.stop()
 
@@ -435,9 +435,9 @@ object QueriesStreaming {
     * through the aggregator's own `reduce`, so batch ≡ stream holds by
     * construction (one ordering implementation, two execution modes) and
     * the emitted rows hash-match q14's oracle. State is ≤ k pairs per
-    * group, the streaming analog of the map-side-combine bound. Sentinel
-    * `event_id = −1` triggers ranked emission (never enters the buffer:
-    * ids are non-negative and the sentinel short-circuits before reduce).
+    * group, the streaming analog of the map-side-combine bound. An
+    * explicit sentinel flag (not an in-band id value — real event_ids of
+    * any sign enter the buffer) triggers ranked emission.
     */
   private def streamTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -451,18 +451,18 @@ object QueriesStreaming {
 
     val agg = graft.operators.TopKAggregator(3)
     val name = s"graft_stream_topk_${System.nanoTime}"
-    val in = MemoryStream[(String, Double, Long)]
+    val in = MemoryStream[(String, Double, Long, Boolean)]
     val q = in.toDS()
       .groupByKey(_._1)
       .flatMapGroupsWithState[Vector[(Double, Long)], (String, Int, Double, Long)](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Double, Long)],
+        (key: String, rows: Iterator[(String, Double, Long, Boolean)],
          state: org.apache.spark.sql.streaming.GroupState[Vector[(Double, Long)]]) =>
           var buf = state.getOption.getOrElse(agg.zero)
           var emit = false
-          rows.foreach { case (_, v, id) =>
-            if (id < 0L) emit = true else buf = agg.reduce(buf, (v, id))
+          rows.foreach { case (_, v, id, sentinel) =>
+            if (sentinel) emit = true else buf = agg.reduce(buf, (v, id))
           }
           state.update(buf)
           if (!emit) Iterator.empty
@@ -471,8 +471,8 @@ object QueriesStreaming {
       .toDF("event_type", "rank", "value", "event_id")
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
-      feedSorted(feed) { sl => in.addData(sl); q.processAllAvailable() }
-      in.addData(types.map(t => (t, 0.0, -1L)))
+      feedSorted(feed) { sl => in.addData(sl.map { case (t, v, id) => (t, v, id, false) }); q.processAllAvailable() }
+      in.addData(types.map(t => (t, 0.0, 0L, true)))
       q.processAllAvailable()
     } finally q.stop()
     spark.table(name)

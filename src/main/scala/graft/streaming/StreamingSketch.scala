@@ -20,9 +20,12 @@ import graft.functions.{Hash61Kernel, Sketches}
   * correctly-rounded double division; HALF_UP integer rounding). The
   * emitted rows therefore hash-match the SAME DuckDB oracle as the batch
   * query — batch ≡ stream ≡ oracle, the strongest equivalence the gate can
-  * express. A sentinel `user_id = −1` per group triggers emission after
-  * the real feed (contributing nothing to the registers), the same
-  * final-flush idiom as [[StreamingAnchoredVwap]].
+  * express. Emission is triggered by an EXPLICIT `is_sentinel` flag column
+  * (one flagged row per group after the real feed, contributing nothing to
+  * the registers), the same final-flush idiom as [[StreamingAnchoredVwap]]
+  * — a flag, not an in-band id value, so the full long range of real ids
+  * (negative included) flows into the registers exactly like the batch
+  * query hashes it.
   */
 object StreamingSketch {
 
@@ -35,22 +38,29 @@ object StreamingSketch {
     alpha * M * M * math.pow(2.0, 60.0)
   }
 
-  /** (event_type, v_zero, hll_raw, hll_est) per group, emitted on sentinel. */
+  /** (event_type, v_zero, hll_raw, hll_est) per group, emitted when a row
+    * with `is_sentinel = true` arrives (that row never touches the
+    * registers). Input columns: event_type, user_id[, is_sentinel] — a
+    * missing flag column means an all-data stream (flag defaults false).
+    */
   def hllDistinctStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val (a, b) = Sketches.HllParams
-    val ds: Dataset[(String, Long)] = events
-      .select(col("event_type"), col("user_id").cast("long"))
-      .as[(String, Long)]
+    val flagged =
+      if (events.columns.contains("is_sentinel")) events
+      else events.withColumn("is_sentinel", lit(false))
+    val ds: Dataset[(String, Long, Boolean)] = flagged
+      .select(col("event_type"), col("user_id").cast("long"), col("is_sentinel"))
+      .as[(String, Long, Boolean)]
     ds.groupByKey(_._1)
       .flatMapGroupsWithState[Array[Int], (String, Long, Double, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Long)], state: GroupState[Array[Int]]) =>
+        (key: String, rows: Iterator[(String, Long, Boolean)], state: GroupState[Array[Int]]) =>
           val regs = state.getOption.getOrElse(new Array[Int](M))
           var emit = false
-          rows.foreach { case (_, uid) =>
-            if (uid < 0L) emit = true
+          rows.foreach { case (_, uid, sentinel) =>
+            if (sentinel) emit = true
             else {
               val h = Hash61Kernel.hash(uid, a, b)
               val bucket = (h % M).toInt

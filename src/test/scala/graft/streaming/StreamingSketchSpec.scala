@@ -25,16 +25,17 @@ class StreamingSketchSpec extends SparkSpec {
     val types = ev.select(col("event_type")).distinct().collect().map(_.getString(0)).toSeq
 
     val name = s"hll_spec_${System.nanoTime}"
-    val in = MemoryStream[(String, Long)]
-    val q = StreamingSketch.hllDistinctStream(in.toDF().toDF("event_type", "user_id"))
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = StreamingSketch.hllDistinctStream(
+        in.toDF().toDF("event_type", "user_id", "is_sentinel"))
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       // two slices so registers round-trip the state store between batches
-      val rows = ev.as[(String, Long)].collect().toSeq
+      val rows = ev.as[(String, Long)].collect().toSeq.map { case (t, u) => (t, u, false) }
       val (first, second) = rows.splitAt(rows.size / 2)
       in.addData(first); q.processAllAvailable()
       in.addData(second); q.processAllAvailable()
-      in.addData(types.map(t => (t, -1L))); q.processAllAvailable()
+      in.addData(types.map(t => (t, 0L, true))); q.processAllAvailable()
     } finally q.stop()
 
     val stream = spark.table(name)
@@ -43,21 +44,25 @@ class StreamingSketchSpec extends SparkSpec {
       "stream rows must equal batch rows exactly")
   }
 
-  test("sentinel rows do not disturb the registers") {
+  test("sentinel rows do not disturb the registers; negative ids are DATA") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val name = s"hll_sentinel_${System.nanoTime}"
-    val in = MemoryStream[(String, Long)]
-    val q = StreamingSketch.hllDistinctStream(in.toDF().toDF("event_type", "user_id"))
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = StreamingSketch.hllDistinctStream(
+        in.toDF().toDF("event_type", "user_id", "is_sentinel"))
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
-      in.addData(Seq(("a", 5L), ("a", 6L))); q.processAllAvailable()
-      in.addData(Seq(("a", -1L))); q.processAllAvailable()
+      // a negative id is a legitimate key (flag carries the sentinel role)
+      in.addData(Seq(("a", 5L, false), ("a", -6L, false))); q.processAllAvailable()
+      in.addData(Seq(("a", 0L, true))); q.processAllAvailable()
       // emitting again after more sentinels yields the same registers
-      in.addData(Seq(("a", -1L))); q.processAllAvailable()
+      in.addData(Seq(("a", 0L, true))); q.processAllAvailable()
     } finally q.stop()
     val rows = spark.table(name).select("v_zero", "hll_raw", "hll_est").collect()
     assert(rows.length === 2 && rows(0) === rows(1),
       "sentinels must be no-ops on state")
+    assert(rows(0).getLong(0) === 254L,
+      "both the positive AND the negative id must have populated a register")
   }
 }
