@@ -21,6 +21,8 @@ object Profile {
     // warmup
     spark.read.parquet(s"$dir/nation.parquet").count()
 
+    if (args.headOption.contains("h2")) { profileH2(spark, dir); spark.stop(); return }
+
     // ---- llm_embed_neardup_lsh stages
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
@@ -90,5 +92,105 @@ object Profile {
     val verified = MinHash.withExactJaccard(pairs, docs)
     time("withExactJaccard")(verified.count())
     spark.stop()
+  }
+
+  /** Stage-level split of the h2 pattern pass: candle agg, explode+sort,
+    * kernel-only, and the full Row-encode path — flat and bucketed.
+    */
+  private def profileH2(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.calc.IndicatorPass
+    import org.apache.spark.sql.{Encoders, Row}
+
+    val mkCandles = () => graft.operators.CandleAggregator.aggregate(
+      graft.core.Tables.ticks(spark, dir))
+    time("candle aggregation (count)")(mkCandles().count())
+
+    val c = mkCandles().cache()
+    time("candles cache+count")(c.count())
+
+    val inSchema = c.schema
+    val iSym = inSchema.fieldIndex("symbol")
+    val iO = inSchema.fieldIndex("open")
+    val iH = inSchema.fieldIndex("high")
+    val iL = inSchema.fieldIndex("low")
+    val iC = inSchema.fieldIndex("close")
+
+    // A: shuffle+sort only, iterate rows, no kernel
+    val sorted = c.repartition(col("symbol"))
+      .sortWithinPartitions(col("symbol"), col("timestamp"))
+    time("A sort+iterate (no kernel)")(
+      sorted.mapPartitions { rows =>
+        var n = 0L
+        rows.foreach { r => if (r.getDouble(iC) > -1) n += 1 }
+        Iterator.single(n)
+      }(Encoders.scalaLong).reduce(_ + _))
+
+    // B: + indicator kernel only (no patterns)
+    time("B sort+kernel indicators")(
+      sorted.mapPartitions { rows =>
+        var sym: String = null
+        var st: IndicatorPass.SymbolState = null
+        var n = 0L
+        rows.foreach { r =>
+          val s = r.getString(iSym)
+          if (st == null || s != sym) { sym = s; st = new IndicatorPass.SymbolState() }
+          st.next(r.getDouble(iO), r.getDouble(iH), r.getDouble(iL), r.getDouble(iC))
+          n += 1
+        }
+        Iterator.single(n)
+      }(Encoders.scalaLong).reduce(_ + _))
+
+    // C: + pattern kernel too, still no row building
+    time("C sort+kernel indicators+patterns")(
+      sorted.mapPartitions { rows =>
+        var sym: String = null
+        var st: IndicatorPass.SymbolState = null
+        var n = 0L
+        rows.foreach { r =>
+          val s = r.getString(iSym)
+          if (st == null || s != sym) { sym = s; st = new IndicatorPass.SymbolState(patterns = true) }
+          st.next(r.getDouble(iO), r.getDouble(iH), r.getDouble(iL), r.getDouble(iC))
+          n += 1
+        }
+        Iterator.single(n)
+      }(Encoders.scalaLong).reduce(_ + _))
+
+    // D: full flat pass (Row building + 89-col encoder)
+    time("D full flat withIndicators(patterns)")(
+      IndicatorPass.withIndicators(c, patterns = true).count())
+
+    // E: full bucketed pass (the bench variant's spec)
+    time("E full bucketed (bench spec wr=64 bf=16)")(
+      IndicatorPass.withIndicators(c, patterns = true,
+        bucket = Some(IndicatorPass.autoBucket(c, warmupRows = 64, bucketFactor = 16))).count())
+
+    // G: full flat pass, materialize EVERY column through the encoder
+    val flatOut = IndicatorPass.withIndicators(c, patterns = true)
+    time("G flat + hash ALL columns (encoder real)") {
+      val h = xxhash64(flatOut.columns.map(cn => col(s"`$cn`")): _*)
+      flatOut.select(h.as("h")).agg(bit_xor(col("h"))).collect(); 1L
+    }
+
+    // H: bucketed bench-spec pass + the h2 select (tsMicros) + hash
+    val bOut = IndicatorPass.withIndicators(c, patterns = true,
+      bucket = Some(IndicatorPass.autoBucket(c, warmupRows = 64, bucketFactor = 16)))
+    time("H bucketed + tsMicros select + hash") {
+      val sel = bOut.select((col("symbol") +:
+        graft.queries.Det.tsMicros(col("timestamp")).as("ts") +:
+        IndicatorPass.patternFields.map(f => col(f.name))): _*)
+      val h = xxhash64(sel.columns.map(cn => col(s"`$cn`")): _*)
+      sel.select(h.as("h")).agg(bit_xor(col("h"))).collect(); 1L
+    }
+
+    (1 to 2).foreach { rep =>
+      time(s"F h2_patterns benchRun rep$rep") {
+        spark.catalog.clearCache()
+        val q = graft.queries.Registry.all.find(_.name == "h2_patterns").get
+        val df = q.benchRun.getOrElse(q.run)(spark, dir)
+        val h = xxhash64(df.columns.map(cn => col(s"`$cn`")): _*)
+        df.select(h.as("h")).agg(bit_xor(col("h"))).collect()
+        1L
+      }
+    }
   }
 }

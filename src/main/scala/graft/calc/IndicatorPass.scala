@@ -93,7 +93,22 @@ object IndicatorPass {
 
     private def z(x: Double): Double = if (x.isNaN) 0.0 else x
 
+    /** Number of values [[nextInto]] writes. */
+    def width: Int =
+      indicatorFields.length + (if (patternEval == null) 0 else patternFields.length)
+
     def next(open: Double, high: Double, low: Double, close: Double): Seq[Any] = {
+      val out = new Array[Any](width)
+      nextInto(open, high, low, close, out, 0)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+
+    /** Consumes one candle and writes the indicator (+ pattern) values into
+      * `out` starting at `off` — the allocation-light face the native
+      * [[graft.plans.IndicatorPassExec]] drives once per row.
+      */
+    def nextInto(open: Double, high: Double, low: Double, close: Double,
+                 out: Array[Any], off: Int): Unit = {
       val typicalPrice = (high + low + close) / 3.0
 
       adx.update(high, low, close)
@@ -127,22 +142,34 @@ object IndicatorPass {
       val isNone = if (isUp == 0 && isDown == 0) 1 else 0
 
       first = false
-      // Seq[Any], not Seq(...): Scala's weak-lub numeric widening would
-      // silently promote the Int flag columns to Double and break the
-      // row encoder.
-      val indicators = Seq[Any](
-        typicalPrice, adxV, diPos, diNeg, diPos - diNeg,
-        z(macd.macd), z(macd.sig), z(macd.hist),
-        psar, psarTrend, psarReversal,
-        atrFilled, atrNorm, atrChange, highVol,
-        t3V, t3Slope, isUp, isDown, isNone)
-      if (patternEval == null) indicators
-      else {
+      // boxed Any slots (the Int flags must stay Int — a numeric widening
+      // to Double would break the row layout)
+      out(off) = typicalPrice
+      out(off + 1) = adxV
+      out(off + 2) = diPos
+      out(off + 3) = diNeg
+      out(off + 4) = diPos - diNeg
+      out(off + 5) = z(macd.macd)
+      out(off + 6) = z(macd.sig)
+      out(off + 7) = z(macd.hist)
+      out(off + 8) = psar
+      out(off + 9) = psarTrend
+      out(off + 10) = psarReversal
+      out(off + 11) = atrFilled
+      out(off + 12) = atrNorm
+      out(off + 13) = atrChange
+      out(off + 14) = highVol
+      out(off + 15) = t3V
+      out(off + 16) = t3Slope
+      out(off + 17) = isUp
+      out(off + 18) = isDown
+      out(off + 19) = isNone
+      if (patternEval != null) {
         val ps = patternEval.next(open, high, low, close)
         var sum = 0L
         var i = 0
-        while (i < ps.length) { sum += ps(i); i += 1 }
-        indicators ++ ps :+ sum
+        while (i < ps.length) { sum += ps(i); out(off + 20 + i) = ps(i); i += 1 }
+        out(off + 20 + ps.length) = sum
       }
     }
   }
@@ -221,34 +248,23 @@ object IndicatorPass {
     * columns + candle_pattern_sum in the SAME single-shuffle pass — to a
     * candle frame (must have symbol, timestamp, open, high, low, close).
     * `bucket` engages the warm-up-overlap path for few-symbol skew.
+    *
+    * Physically this plans the native [[graft.plans.IndicatorPassExec]]
+    * operator (strategy injected by GraftSession): the planner inserts the
+    * (symbol[, bucket]) exchange+sort the operator DECLARES, and emission
+    * is one codegen'd UnsafeProjection — no external-Row encode (which
+    * measured 5× the kernel cost on the old mapPartitions route).
     */
   def withIndicators(candles: DataFrame, patterns: Boolean = false,
                      bucket: Option[BucketSpec] = None): DataFrame = {
-    val inSchema = candles.schema
-    val outSchema = StructType(inSchema.fields ++ indicatorFields ++
-      (if (patterns) patternFields else Seq.empty))
-    val iSym = inSchema.fieldIndex("symbol")
-    val iO = inSchema.fieldIndex("open")
-    val iH = inSchema.fieldIndex("high")
-    val iL = inSchema.fieldIndex("low")
-    val iC = inSchema.fieldIndex("close")
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val spark = candles.sparkSession
+    val outAttrs = graft.plans.IndicatorPassPlan.mkOutAttrs(patterns)
 
     bucket match {
       case None =>
-        candles
-          .repartition(col("symbol"))
-          .sortWithinPartitions(col("symbol"), col("timestamp"))
-          .mapPartitions { rows =>
-            var sym: String = null
-            var st: SymbolState = null
-            rows.map { r =>
-              val s = r.getString(iSym)
-              if (st == null || s != sym) { sym = s; st = new SymbolState(patterns = patterns) }
-              val out = st.next(
-                r.getDouble(iO), r.getDouble(iH), r.getDouble(iL), r.getDouble(iC))
-              Row.fromSeq(r.toSeq ++ out)
-            }
-          }(Encoders.row(outSchema))
+        PlanBridge.ofRows(spark, graft.plans.IndicatorPassPlan(
+          PlanBridge.analyzed(candles), patterns, bucketed = false, outAttrs))
 
       case Some(spec) =>
         val bUs = spec.bucketSeconds * 1000000L
@@ -266,28 +282,8 @@ object IndicatorPass {
           .withColumn("__b", col("__a").getField("b"))
           .withColumn("__w", col("__a").getField("w"))
           .drop("__a")
-        val iB = exploded.schema.fieldIndex("__b")
-        val iW = exploded.schema.fieldIndex("__w")
-
-        exploded
-          .repartition(col("symbol"), col("__b"))
-          .sortWithinPartitions(col("symbol"), col("__b"), col("timestamp"))
-          .mapPartitions { rows =>
-            var sym: String = null
-            var bk = Long.MinValue
-            var st: SymbolState = null
-            rows.flatMap { r =>
-              val s = r.getString(iSym)
-              val b = r.getLong(iB)
-              if (st == null || s != sym || b != bk) {
-                sym = s; bk = b; st = new SymbolState(patterns = patterns)
-              }
-              val out = st.next(
-                r.getDouble(iO), r.getDouble(iH), r.getDouble(iL), r.getDouble(iC))
-              if (r.getBoolean(iW)) None
-              else Some(Row.fromSeq(r.toSeq.dropRight(2) ++ out))
-            }
-          }(Encoders.row(outSchema))
+        PlanBridge.ofRows(spark, graft.plans.IndicatorPassPlan(
+          PlanBridge.analyzed(exploded), patterns, bucketed = true, outAttrs))
     }
   }
 }

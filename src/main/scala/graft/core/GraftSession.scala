@@ -25,6 +25,7 @@ object GraftSession {
       .withExtensions { ext =>
         graft.functions.VectorExprs.register(ext)
         graft.functions.Sketches.register(ext)
+        ext.injectPlannerStrategy(_ => graft.plans.IndicatorPassStrategy)
       }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
