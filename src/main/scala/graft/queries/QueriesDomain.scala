@@ -575,12 +575,12 @@ object QueriesDomain {
       IndicatorPass.patternFields.map(f => col(f.name))): _*)
   }
 
-  /** Bench variant: the warm-up-overlap bucketed pass with the density-derived
-    * [[IndicatorPass.autoBucket]] spec — the declared few-symbol scale path,
-    * parallelism symbols × buckets instead of symbols. Measurably faster than
-    * the 5-way funnel for the pattern-heavy kernel even at sf0.1; h1's
-    * lighter kernel doesn't amortize the overlap replay at this scale, so
-    * only h2 benches bucketed. autoBucket (not a fixed 1-day bucket): on the
+  /** Bench variant with runtime path selection ([[WindowCalcs.fewSymbolSkew]],
+    * cached probe): flat single-exchange pass on uniform symbol layouts,
+    * warm-up-overlap bucketed pass with the density-derived
+    * [[IndicatorPass.autoBucket]] spec when a hot symbol would serialize —
+    * parallelism symbols × buckets instead of symbols.
+    * autoBucket (not a fixed 1-day bucket): on the
     * sparse test candles (~130 s apart at sf0.1) a fixed spec's 960 s warm-up
     * window covered ~7 rows — short of even the patterns' 10-row trailing
     * averages — so the bench variant was NOT the same answer near bucket
@@ -588,19 +588,29 @@ object QueriesDomain {
     * h1_bucketed/h2_bucketed hash rows below.
     */
   private def h2Bench(s: SparkSession, dir: String): DataFrame = {
-    // cache: the autoBucket stats pre-pass and the main pass share one
-    // candle aggregation (cleared between bench reps by the harness)
-    val c = candles(s, dir).cache()
-    // h2 emits PATTERN columns only; the CDL kernels look back <= 13 rows
-    // (10-row trailing averages + 4-candle context), so the bench variant
-    // warms up 64 rows — not the 2600 the (discarded) exponential
-    // indicator columns would need — with a wider bucket factor to keep
-    // the overlap tax ~6%. Pattern outputs stay bit-identical (proven by
-    // h2_bucketed's hash row, which runs the full-warm-up spec).
-    val out = IndicatorPass.withIndicators(c, patterns = true,
-      bucket = Some(IndicatorPass.autoBucket(c, warmupRows = 64, bucketFactor = 16)))
-    out.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
-      IndicatorPass.patternFields.map(f => col(f.name))): _*)
+    // auto path selection, same cached skew probe as W1/W4: below the
+    // threshold the flat 1-exchange pass wins (no overlap replay, no
+    // explode); above it the bucketed pass buys symbols × buckets
+    // parallelism against a hot symbol's serial window
+    if (!WindowCalcs.fewSymbolSkew(ticks(s, dir))) {
+      val out = IndicatorPass.withIndicators(candles(s, dir), patterns = true)
+      out.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+        IndicatorPass.patternFields.map(f => col(f.name))): _*)
+    } else {
+      // cache: the autoBucket stats pre-pass and the main pass share one
+      // candle aggregation (cleared between bench reps by the harness)
+      val c = candles(s, dir).cache()
+      // h2 emits PATTERN columns only; the CDL kernels look back <= 13 rows
+      // (10-row trailing averages + 4-candle context), so the bench variant
+      // warms up 64 rows — not the 2600 the (discarded) exponential
+      // indicator columns would need — with a wider bucket factor to keep
+      // the overlap tax ~6%. Pattern outputs stay bit-identical (proven by
+      // h2_bucketed's hash row, which runs the full-warm-up spec).
+      val out = IndicatorPass.withIndicators(c, patterns = true,
+        bucket = Some(IndicatorPass.autoBucket(c, warmupRows = 64, bucketFactor = 16)))
+      out.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+        IndicatorPass.patternFields.map(f => col(f.name))): _*)
+    }
   }
 
   /** The bucketed (warm-up-overlap) H-family pass on the CORRECTNESS
