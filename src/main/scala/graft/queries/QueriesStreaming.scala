@@ -130,6 +130,80 @@ object QueriesStreaming {
        |  CAST(0 AS BIGINT) AS h_only_batch, CAST(0 AS BIGINT) AS h_only_stream
        |FROM candles""".stripMargin
 
+  /** Checkpoint-RESTART equivalence — the last §2.9 pillar: a stateful
+    * streaming query (the richest one: the fused indicator+pattern kernel,
+    * per-symbol kryo state) run against a real on-disk `checkpointLocation`
+    * with a FILE source and a file sink, STOPPED mid-input, restarted from
+    * the checkpoint, and the combined output compared row-for-row against
+    * the uninterrupted batch pass. If any state — EMA/ADX/ATR/SAR/T3
+    * scalars, the 16-candle pattern rings, HIKKAKEMOD's confirmation
+    * counter — failed to round-trip the state store across the restart,
+    * the post-restart rows would restart cold and the except-counts go
+    * red. The reference's analog is resume-by-re-merge
+    * (fetch_historical_trades_nvda.py:203-258); Structured Streaming's
+    * contract is stronger (exactly-once over checkpointed offsets + state)
+    * and this row pins it.
+    *
+    * `n_pre_restart` (rows emitted before the stop, recomputed by the
+    * oracle from the corpus midpoint) proves the stop really split the
+    * input: 0 < n_pre_restart < n_candles.
+    */
+  private def streamRestartEquiv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val batchCandles = CandleAggregator.aggregate(graft.core.Tables.ticks(spark, dir))
+      .select(col("symbol"), col("timestamp"),
+        col("open"), col("high"), col("low"), col("close")).cache()
+    val bounds = batchCandles.agg(min(col("timestamp")), max(col("timestamp"))).head()
+    val mid = new Timestamp((bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+
+    val root = java.nio.file.Files.createTempDirectory("graft_restart_")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"; val sinkDir = s"$root/out"
+
+    def runUntilDrained(): Unit = {
+      val q = StreamingIndicators.indicatorStream(
+          spark.readStream.schema(batchCandles.schema).parquet(inDir), patterns = true)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: first half of event time arrives, is processed, query STOPS
+    batchCandles.filter(col("timestamp") <= lit(mid)).write.mode("append").parquet(inDir)
+    runUntilDrained()
+    val nPre = spark.read.parquet(sinkDir).count()
+
+    // phase 2: the rest arrives; a NEW query resumes from the checkpoint
+    batchCandles.filter(col("timestamp") > lit(mid)).write.mode("append").parquet(inDir)
+    runUntilDrained()
+
+    val streamed = spark.read.parquet(sinkDir)
+    val batchH = IndicatorPass.withIndicators(batchCandles, patterns = true)
+    val (onlyBatch, onlyStream) = diffCounts(batchH, streamed)
+    val nCandles = batchCandles.count()
+    val nStream = streamed.count()
+    batchCandles.unpersist()
+    // all counts are materialized — the scratch dirs can go
+    def rmr(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    rmr(root)
+    Seq((nCandles, nPre, nStream, onlyBatch, onlyStream))
+      .toDF("n_candles", "n_pre_restart", "n_stream", "only_batch", "only_stream")
+  }
+
+  private val streamRestartEquivSql =
+    s"""${QueriesDomain.withCandles},
+       |b AS (SELECT (epoch_ms(MIN(tstamp)) + epoch_ms(MAX(tstamp))) // 2 AS midms FROM candles)
+       |SELECT COUNT(*) AS n_candles,
+       |  (SELECT COUNT(*) FROM candles, b WHERE epoch_ms(tstamp) <= midms) AS n_pre_restart,
+       |  COUNT(*) AS n_stream,
+       |  CAST(0 AS BIGINT) AS only_batch, CAST(0 AS BIGINT) AS only_stream
+       |FROM candles""".stripMargin
+
   /** The LLM-corpus ingest funnel, batch ≡ stream: quality gate + langId +
     * exact dedup run BOTH as the batch pipeline and as the streaming one
     * (micro-batched documents through streaming dropDuplicates state), and
@@ -480,6 +554,7 @@ object QueriesStreaming {
 
   val all: Seq[Q] = Seq(
     Q("stream_equiv", streamEquiv, Some(streamEquivSql)),
+    Q("stream_restart_equiv", streamRestartEquiv, Some(streamRestartEquivSql)),
     Q("stream_hll_distinct", streamHllDistinct, Some(QueriesSketch.hllDistinctSql)),
     Q("stream_topk", streamTopK, Some(QueriesRelational.q14Sql)),
     Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
