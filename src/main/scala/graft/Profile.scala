@@ -22,6 +22,38 @@ object Profile {
     spark.read.parquet(s"$dir/nation.parquet").count()
 
     if (args.headOption.contains("h2")) { profileH2(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("oraclesql")) {
+      val out = java.nio.file.Paths.get("/tmp/oraclesql")
+      java.nio.file.Files.createDirectories(out)
+      Seq(
+        "llm_fingerprints" -> graft.queries.LlmHashOracles.fingerprintsSql,
+        "llm_simhash_neardup" -> graft.queries.LlmHashOracles.simhashSql,
+        "llm_minhash_dedup" -> graft.queries.LlmHashOracles.minhashSql,
+        "llm_ann_recall" -> graft.queries.LlmHashOracles.annSql
+      ).foreach { case (n, sql) =>
+        java.nio.file.Files.writeString(out.resolve(s"$n.sql"), sql)
+      }
+      println(s"[profile] wrote 4 oracle SQLs to $out")
+      spark.stop(); return
+    }
+    if (args.headOption.contains("hashes")) {
+      // ground-truth vectors for scripts/spark_hashes.py's self-check
+      spark.sql(
+        """SELECT xxhash64('') a, xxhash64('a') b, xxhash64('hello world') c,
+          |  xxhash64('abcdefghijklmnopqrst') d,
+          |  xxhash64(CAST(0 AS INT), CAST(0 AS INT)) e,
+          |  xxhash64(CAST(5 AS INT), CAST(63 AS INT)) f,
+          |  xxhash64(CAST(123456789 AS INT), CAST(7 AS INT)) g,
+          |  hash(array(CAST(1 AS BIGINT))) h,
+          |  hash(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT))) i,
+          |  hash(array(CAST(-9223372036854775808 AS BIGINT), CAST(982451653 AS BIGINT))) j,
+          |  xxhash64('spark dedup corpus shingles') k,
+          |  hash(array(CAST(17 AS BIGINT), CAST(2038074742 AS BIGINT), CAST(0 AS BIGINT),
+          |       CAST(55 AS BIGINT), CAST(1 AS BIGINT), CAST(999999999 AS BIGINT),
+          |       CAST(123 AS BIGINT), CAST(456 AS BIGINT))) l
+          |""".stripMargin).show(false)
+      spark.stop(); return
+    }
 
     // ---- llm_embed_neardup_lsh stages
     val e = Tables.embeddings(spark, dir)

@@ -40,6 +40,11 @@ object MinHash {
     * [1, P), b_p in [0, P)), fixed seed — reproducible everywhere with no
     * driver-side state to ship.
     */
+  /** Exposed for the DuckDB oracle replay (LlmHashOracles inlines the
+    * coefficient arrays into the SQL).
+    */
+  private[graft] def affineCoeffs(numPerms: Int): (Array[Long], Array[Long]) = coeffs(numPerms)
+
   private def coeffs(numPerms: Int): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(0x5eed)
     val as = Array.fill(numPerms)(1L + rnd.nextInt((Prime - 1).toInt))

@@ -59,8 +59,10 @@ object QueriesLlm {
       |FROM documents GROUP BY lang, source""".stripMargin
 
   /** MinHash-LSH fuzzy dedup summary: total docs, survivors at Jaccard 0.8,
-    * candidate pairs seen. Banded LSH — never all-pairs (rows-only check;
-    * the hash family is engine-specific).
+    * candidate pairs seen. Banded LSH — never all-pairs. Oracle-checked
+    * since round 9: [[LlmHashOracles.minhashSql]] replays the xxhash64
+    * shingle hashes, affine signatures, Murmur3 band buckets, and both
+    * Jaccard columns bit-exactly in DuckDB.
     */
   private def minhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -231,8 +233,10 @@ object QueriesLlm {
           .as("passes_floor"))
   }
 
-  /** SimHash near-dup pairs by Hamming distance (rows-only). maxDist = 7
-    * rides the 8×8-bit banding guarantee (recall 1.0 for dist ≤ 7).
+  /** SimHash near-dup pairs by Hamming distance. maxDist = 7 rides the
+    * 8×8-bit banding guarantee (recall 1.0 for dist ≤ 7). Oracle-checked
+    * since round 9: [[LlmHashOracles.simhashSql]] replays token xxhash64,
+    * bit votes, sketches, and the banded join value-exactly.
     */
   private def simhash(s: SparkSession, dir: String): DataFrame =
     SimHash.nearDupPairs(Tables.documents(s, dir), maxDist = 7)
@@ -702,7 +706,10 @@ object QueriesLlm {
       |  CAST(SUM(amp) AS BIGINT) AS sum_amplitude
       |FROM s GROUP BY source""".stripMargin
 
-  /** Winnowing fingerprint summary (rows-only; engine-specific hashes). */
+  /** Winnowing fingerprint summary over the production xxhash64 k-gram
+    * hash — oracle-checked since round 9 ([[LlmHashOracles.fingerprintsSql]]
+    * replays every gram hash and window minimum in DuckDB).
+    */
   private def fingerprints(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("n_fp", size(TextOps.winnowFingerprints(col("text"))))
@@ -778,14 +785,14 @@ object QueriesLlm {
   val all: Seq[Q] = Seq(
     Q("llm_exact_dedup", dedup, Some(dedupSql)),
     Q("llm_text_stats", stats, Some(statsSql)),
-    Q("llm_minhash_dedup", minhash, None, headline = true),
+    Q("llm_minhash_dedup", minhash, Some(LlmHashOracles.minhashSql), headline = true),
     Q("llm_minhash_dedup_verified", minhashVerified, Some(minhashVerifiedSql)),
     Q("llm_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("llm_dup_clusters", dupClusters, Some(dupClustersSql)),
-    Q("llm_simhash_neardup", simhash, None),
+    Q("llm_simhash_neardup", simhash, Some(LlmHashOracles.simhashSql)),
     Q("llm_simhash_recovery", simhashRecovery, Some(simhashRecoverySql)),
     Q("llm_cosine_topk", cosine, Some(cosineSql), headline = true),
-    Q("llm_ann_recall", ann, None),
+    Q("llm_ann_recall", ann, Some(LlmHashOracles.annSql)),
     Q("llm_ann_near_recall", annNear, Some(annNearSql)),
     Q("llm_ivf_near_recall", ivfNear, Some(ivfNearSql)),
     Q("llm_pq_near_recall", pqNear, Some(ivfNearSql)),
@@ -797,7 +804,7 @@ object QueriesLlm {
     Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
     Q("mm_png_decode", mmPng, Some(mmPngSql)),
     Q("mm_wav_decode", mmWav, Some(mmWavSql)),
-    Q("llm_fingerprints", fingerprints, None),
+    Q("llm_fingerprints", fingerprints, Some(LlmHashOracles.fingerprintsSql)),
     Q("llm_fingerprints_poly", fingerprintsPoly, Some(fingerprintsPolySql)),
     Q("j3_asof_join", asof, Some(asofSql))
   )
