@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *    to the minimum over those.
   *
   * Edges live as plain (a, b) rows — scalars only ride the shuffles. The
-  * fixpoint is detected by an edge-set equality check (two counts + an
-  * anti-join, cheap next to the star shuffles); `maxIters` is a safety
-  * valve, not a tuning knob.
+  * fixpoint is detected by a one-action (count, Σa, Σb) fingerprint per
+  * round — the star ops are monotone in the partner ids — with one exact
+  * set-difference confirmation when the fingerprint stabilizes; `maxIters`
+  * is a safety valve, not a tuning knob.
   */
 object ConnectedComponents {
 
@@ -65,15 +66,25 @@ object ConnectedComponents {
     * where losing an executor mid-iteration must be recoverable.
     */
   def components(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    // (count, Σa, Σb) fingerprint in ONE action per round: star ops only
+    // ever lower partner ids, so an unchanged fingerprint is a near-certain
+    // fixpoint — confirmed by ONE exact set-difference check at that point
+    // (not per round, the r8 cost). Decimal sums: ANSI mode would throw on
+    // a long-sum overflow at extreme id ranges.
+    def stats(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("a").cast("decimal(38,0)")), sum(col("b").cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
+    }
     var cur = canon(edges).localCheckpoint(true)
-    var n = cur.count()
+    var n = stats(cur)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
-      val m = next.count()
-      // star ops only ever lower the partner ids, so equal counts + empty
-      // difference is a true fixpoint test
+      val m = stats(next)
       converged = m == n && next.except(cur).isEmpty
       cur = next
       n = m

@@ -7,10 +7,16 @@ import org.apache.spark.sql.functions._
   *
   * A shuffle join keyed on a skewed column sends the hot key's every row to
   * ONE reducer; at 100 TB that reducer runs for hours while the rest idle.
-  * AQE's skew-join split repairs this for sort-merge joins with accurate
-  * runtime stats, but not for shuffled-hash joins, not when stats mislead,
-  * and not when the skew is in the GROUPING that follows. Salting fixes it
-  * structurally: the probe side scatters each row into one of `salts`
+  * AQE's skew-join split repairs this ONLY when the join's children are
+  * bare Sort+ShuffleStage pairs: `OptimizeSkewedJoin` pattern-matches
+  * SMJ(Sort(shuffle), Sort(shuffle)), so ANY operator between the shuffle
+  * and the join — in particular the aggregation that BUILDS a dimension
+  * side, exactly the j4 shape — blocks the split and the hot partition
+  * stays whole (pinned both ways by PlanSpec's "AQE skew split" test).
+  * AQE is also disabled outright in stateful streaming, and mis-estimated
+  * stats can leave real skew under its thresholds. Salting fixes the
+  * distribution structurally, in the PLAN, with no runtime-stats
+  * dependency: the probe side scatters each row into one of `salts`
   * sub-keys (deterministically — task retries must re-salt identically, so
   * no rand()), the build side replicates ×salts, and the join runs on
   * (key, salt) — the hot key now spreads over `salts` reducers at the cost

@@ -215,6 +215,72 @@ class PlanSpec extends SparkSpec {
       "filter sits BELOW the join (deeper in the plan tree = later in toString)")
   }
 
+  test("AQE skew split repairs the hot-key SMJ; salting spreads structurally") {
+    import spark.implicits._
+    // 'HOT' carries ~91% of rows — the j4 shape in miniature
+    // repartition(8): skew splitting subdivides a hot REDUCE partition
+    // along mapper-output boundaries — a single-mapper local relation has
+    // nothing to split along, just like a single giant input file wouldn't
+    val big = ((1 to 100000).map(i => ("HOT", i.toLong)) ++
+      (1 to 9).flatMap(k => (1 to 1000).map(i => (s"k$k", i.toLong))))
+      .toDF("symbol", "seq").repartition(8)
+    val dim = big.groupBy(col("symbol")).agg(min(col("seq")).as("sym_min"))
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // harness-sized thresholds: the hot partition (~1.5 MB) must register
+      // as skewed the way a 100 GB partition would at cluster defaults
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+
+      // 1. the shape AQE CAN repair: both join children are bare
+      // Sort+ShuffleStage (dim is a raw table). OptimizeSkewedJoin splits
+      // the hot partition along mapper boundaries. Materialize THIS frame
+      // (not a derived count plan) so its own AdaptiveSparkPlan finalizes.
+      val rawDim = (Seq(("HOT", 0L)) ++ (1 to 9).map(k => (s"k$k", 0L)))
+        .toDF("symbol", "sym_min").repartition(2)
+      val repairable = big.join(rawDim, Seq("symbol"))
+      val nPlain = repairable.collect().length
+      val pp = repairable.queryExecution.executedPlan.toString
+      assert(pp.contains("isFinalPlan=true"), s"plan must be final; got:\n$pp")
+      assert(pp.contains("skewed"),
+        s"AQE must mark the hot partition as skewed in the final plan; got:\n$pp")
+
+      // 2. the j4 shape AQE can NOT repair: the dim side is an AGGREGATE,
+      // and OptimizeSkewedJoin only matches SMJ(Sort(ShuffleStage),
+      // Sort(ShuffleStage)) — the HashAggregate between shuffle and join
+      // blocks the pattern, so the hot partition stays whole. This is the
+      // regime SkewJoin.saltedInner exists for (alongside stateful
+      // streaming, where AQE is disabled outright, and misleading stats).
+      val aggJoin = big.join(dim, Seq("symbol"))
+      aggJoin.collect()
+      val ap = aggJoin.queryExecution.executedPlan.toString
+      assert(ap.contains("isFinalPlan=true"), s"plan must be final; got:\n$ap")
+      assert(!ap.contains("skewed"),
+        s"dim-side aggregation must block AQE's skew split (if this ever " +
+          s"starts passing, Spark learned the pattern — revisit the " +
+          s"SkewJoin docs); got:\n$ap")
+
+      // 3. salted join: the exchange key IS (symbol, __salt) — the spread
+      // exists in the PLAN, needing no runtime stats at all
+      val salted = graft.operators.SkewJoin.saltedInner(
+        big, dim, "symbol", salts = 8, saltBy = Seq("seq"))
+      val sp = salted.queryExecution.executedPlan.toString
+      assert(sp.contains("__salt"),
+        s"salted plan must partition on the composite (key, salt); got:\n$sp")
+      // result identity under skew is SkewJoinSpec's pin; here: same count
+      assert(salted.count() === nPlain.toLong)
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("partitionBy write + key filter: pruning happens at partition level") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
     val t = Tables.ticks(spark, dir).select(col("symbol"), col("price"), col("seq"))
