@@ -119,6 +119,11 @@ def main():
             elif args.linear_replay and name in linear_replay.COSINE_DEDUP_QUERIES:
                 want_cols, want_rows = linear_replay.cosine_dedup_replay(con, name)
                 detail = "(screened-cosine replay)"
+            elif args.linear_replay and name in linear_replay.HASH_ORACLE_QUERIES:
+                # the DuckDB CTE-chain hash oracles are exact but
+                # lambda-slow past ~sf0.1; same values via vectorized numpy
+                want_cols, want_rows = linear_replay.hash_oracle_replay(con, name, sql)
+                detail = "(numpy hash replay)"
             else:
                 want = con.execute(sql)
                 want_cols = [d[0] for d in want.description]

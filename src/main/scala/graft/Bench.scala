@@ -41,7 +41,11 @@ object Bench {
     // canonicalized plan, so rep 2 of a query with an internal .cache()
     // boundary would otherwise reuse rep 1's materialization and report a
     // fantasy time.
-    val results = Registry.headline.map { q =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c: spot-bench subset (sf10 scale runs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val results = Registry.headline
+      .filter(q => only.forall(_.contains(q.name)))
+      .map { q =>
       // production-path variant where one exists (codegen'd doubles); the
       // exact-decimal run stays Verify-only oracle parity machinery
       val fn = q.benchRun.getOrElse(q.run)
