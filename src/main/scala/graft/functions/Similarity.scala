@@ -222,6 +222,81 @@ object Similarity {
     vectors.join(dups, vectors("vec_id") === dups("__dup"), "left_anti")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with k-means,
+    * generate candidate pairs only WITHIN a cluster, verify each candidate
+    * with exact cosine, and drop the higher id of every pair at or above
+    * `threshold` — [[dedupByCosine]]'s answer at a within-cluster cost.
+    *
+    * Candidate generation is multi-probe: each vector contributes to its
+    * `nprobe` nearest lists (the same broadcast-centroid + sorted-struct
+    * aggregation as [[ivfTopK]]'s query routing), so a near-dup pair
+    * straddling a Voronoi boundary is missed only if the two vectors'
+    * nprobe-sets are DISJOINT — at dedup-grade cosine (θ ≈ 0.08 rad for
+    * 0.99) the two distance vectors to the centroids differ by O(‖a−b‖)
+    * while inter-centroid gaps are O(1), so the top-nprobe sets share at
+    * least the common nearest list in practice (spec-checked against the
+    * all-pairs baseline; the registry row hash-checks it against the same
+    * all-pairs DuckDB oracle as the LSH path).
+    *
+    * 100 TB shape: one broadcast join against the k×dims centroid model,
+    * one shuffle on the scalar (list) key for pairing — embeddings never
+    * ride the self-join; they re-attach to verified-candidate ids via two
+    * hash joins. Within-list pairing is quadratic in list size, so pick
+    * nlist ∝ corpus size to hold the per-list population (and thus the
+    * per-task pair count) constant; total candidate work is then
+    * ≈ nprobe² · n · (n/nlist) — linear in n at fixed list size. The
+    * k-means model itself is k×dims doubles, collected per Lloyd round
+    * (model, not data).
+    *
+    * Null embeddings take no part in clustering and survive (a null cosine
+    * never crosses the threshold) — the same semantics as
+    * [[dedupByCosine]]/[[dedupByCosineLsh]].
+    *
+    * NOT lazy: the probe-list frame feeds both sides of a self-join in one
+    * downstream action, so it materializes eagerly (cache + count, or a
+    * parquet checkpoint when `checkpointDir` is set) — the same cache-race
+    * rationale as [[bucketedFrame]].
+    */
+  def semanticDedup(vectors: DataFrame, threshold: Double, nlist: Int = 16,
+                    nprobe: Int = 2, iters: Int = 5,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val cents = kmeansCentroids(vectors, nlist, iters)
+    val centDf = centroidTable(vectors.sparkSession, cents)
+    val probesRaw = vectors
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(centDf))
+      .groupBy(col("vec_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        VectorExprs.l2Sq(col("embedding"), col("__cent")).as("d"),
+        col("__list_id").as("i")))), 1, nprobe).as("__near"))
+      .select(col("vec_id"), explode(expr("transform(__near, s -> s.i)")).as("list"))
+    val probes = checkpointDir match {
+      case Some(dir) =>
+        probesRaw.write.mode("overwrite").parquet(dir)
+        vectors.sparkSession.read.parquet(dir)
+      case None =>
+        val cached = probesRaw.cache()
+        cached.count()
+        cached
+    }
+    val a = probes.select(col("list"), col("vec_id").as("id_a"))
+    val b = probes.select(col("list"), col("vec_id").as("id_b"))
+    val candidates = a.join(b, Seq("list"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val dups = candidates
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "id_b")
+      .filter(round(cosineFromNorms(dot(col("ea"), col("eb")), col("na"), col("nb")), 6) >= threshold)
+      .select(col("id_b").as("__dup")).distinct()
+    vectors.join(dups, vectors("vec_id") === dups("__dup"), "left_anti")
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** The centroid MODEL as a tiny broadcast table (list id, centroid) —

@@ -517,6 +517,27 @@ object QueriesLlm {
       .agg(count(lit(1)).as("n_survivors"), sum(col("vec_id")).as("sum_vec_id"))
   }
 
+  /** Same injected-near-dup dedup a third way — SemDeDup-style semantic
+    * dedup ([[Similarity.semanticDedup]]: k-means clusters as the candidate
+    * generator, multi-probe assignment, exact-cosine verify) against the
+    * SAME all-pairs DuckDB oracle: hash-green means the cluster-bucketed
+    * path reproduces the exact baseline's survivors on this corpus, pair
+    * for pair, despite the centroids' run-dependent low-order float bits
+    * (the survivor set depends only on candidate RECALL plus the exact
+    * cosine filter, not on centroid values).
+    */
+  private def embedSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    requireIdHeadroom(e, "vec_id", 100000L)
+    val injected = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.001) + lit(0.01)).as("embedding"))
+    val base = e.unionByName(injected)
+    Similarity.semanticDedup(base, threshold = 0.99, nlist = 16, nprobe = 2)
+      .agg(count(lit(1)).as("n_survivors"), sum(col("vec_id")).as("sum_vec_id"))
+  }
+
   private val embedNearDupSql =
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
@@ -801,6 +822,7 @@ object QueriesLlm {
     Q("llm_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql)),
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),
+    Q("llm_semantic_dedup", embedSemDedup, Some(embedNearDupSql)),
     Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
     Q("mm_png_decode", mmPng, Some(mmPngSql)),
     Q("mm_wav_decode", mmWav, Some(mmWavSql)),

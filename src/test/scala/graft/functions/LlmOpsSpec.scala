@@ -130,6 +130,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(base.count() > lsh.size)
   }
 
+  test("SemDeDup semantic dedup reproduces the all-pairs baseline's survivors") {
+    val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("embedding"))
+    val injected = e.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"),
+        transform($"embedding", x => x * lit(1.001) + lit(0.01)).as("embedding"))
+    val base = e.unionByName(injected)
+    val exact = Similarity.dedupByCosine(base, threshold = 0.99)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val sem = Similarity.semanticDedup(base, threshold = 0.99, nlist = 16, nprobe = 2)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(exact == sem)
+    // the injection actually exercised the dedup: every +100000 id dropped
+    assert(base.count() > sem.size)
+    // and a null embedding survives, per the family's null semantics
+    val withNull = base.unionByName(
+      base.sparkSession.range(1).select(lit(888888L).as("vec_id"),
+        lit(null).cast("array<double>").as("embedding")))
+    val semNull = Similarity.semanticDedup(withNull, threshold = 0.99, nlist = 16, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(semNull.contains(888888L), "null-embedding row must survive semantic dedup")
+    assert(semNull.size == sem.size + 1)
+  }
+
   test("a null embedding survives LSH dedup and matches the spec path (bucket 0, cos null)") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("embedding"))
