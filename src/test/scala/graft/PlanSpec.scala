@@ -73,6 +73,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: probe-list frame caches scalars only, centroid table broadcasts") {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val df = graft.functions.Similarity.semanticDedup(e, threshold = 0.99, nlist = 4, nprobe = 2)
+    val plan = df.queryExecution.optimizedPlan
+    val cached = plan.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        m.output.map(_.name)
+    }
+    assert(cached.nonEmpty, "the probe-list frame must hit a cache boundary")
+    cached.foreach { cols =>
+      assert(cols.sorted == Seq("list", "vec_id"),
+        s"probe frame must be scalar-only, got $cols — the embedding arrays " +
+          "must re-attach after the within-cluster pairing, not ride it")
+    }
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("BroadcastHashJoin") || executed.contains("BroadcastNestedLoopJoin"),
+      "the k-by-dims centroid model must broadcast, never shuffle the corpus against it")
+  }
+
   test("w1 production path: one exchange, one window, codegen'd avg") {
     val p = plan(graft.calc.WindowCalcs.withVolumeSpikes(
       CandleAggregator.aggregate(Tables.ticks(spark, dir)), exact = false))
