@@ -102,6 +102,31 @@ object CorpusOps {
   def stratifiedSample(docs: DataFrame, ratePermille: Column, idCol: String = "doc_id"): DataFrame =
     docs.filter(sampleKey(col(idCol)) < ratePermille)
 
+  /** Deterministic global shuffle + shard manifest for training export:
+    * every document gets a pseudo-random but fully reproducible position in
+    * a sharded training order. The shuffle key is Spark's codegen'd
+    * `xxhash64` of the id (NOT `rand()` — same key for the same id on any
+    * rerun, any partitioning, any executor count); the shard is the key mod
+    * `numShards`; the in-shard position ranks by (key, id).
+    *
+    * 100 TB shape: one shuffle on the scalar shard id, then a per-shard
+    * sort — parallelism is `numShards`, so size shards to the writer task
+    * you want (a 100 TB corpus exports to ~100k shards, not 16; the window
+    * never sees more than one shard). No global total-order sort, no
+    * driver-side state; hash keys are uniform so shard sizes are balanced
+    * within sampling noise — the classic shuffle-and-shard step every
+    * training pipeline runs before writing tfrecord/webdataset-style
+    * output.
+    */
+  def shardManifest(docs: DataFrame, numShards: Int, idCol: String = "doc_id"): DataFrame = {
+    val keyed = docs.select(
+      col(idCol),
+      xxhash64(col(idCol)).as("shuffle_key"),
+      pmod(xxhash64(col(idCol)), lit(numShards.toLong)).cast("int").as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    keyed.withColumn("pos", row_number().over(w) - 1)
+  }
+
   /** Training-example packing plan, GPT-style concat-and-chunk: documents
     * are concatenated in (stream, position) order and split into
     * fixed-`budget` token bins; a document whose token span crosses a bin

@@ -145,6 +145,35 @@ object OracleHash {
     (c.sql, c.last, s)
   }
 
+  /** hashLong(l, seed) sub-chain — XXH64's single-8-byte-stripe path (what
+    * Spark's `xxhash64` runs for a BIGINT column): l a signed BIGINT
+    * expression, reinterpreted as unsigned 64-bit little-endian input.
+    * Returns unsigned result column.
+    */
+  private def hashLong(c: Chain, lExpr: String, seed: String): String = {
+    val u = c.step(s"CASE WHEN ($lExpr) < 0 THEN ($lExpr)::HUGEINT + $M64 ELSE ($lExpr)::HUGEINT END")
+    var h = c.step(s"(($seed) + $P5 + 8) % $M64")
+    var t = c.m64(u, P2)
+    t = c.rotl64(t, 31)
+    t = c.m64(t, P1)
+    h = c.xor64(h, t)
+    h = c.rotl64(h, 27)
+    h = c.m64(h, P1)
+    h = c.add64(h, P4)
+    fmix64(c, h)
+  }
+
+  /** xxhash64(bigint l) — Spark's seed-42 hashLong over a single BIGINT
+    * column. Returns (chainSql, lastCte, signedCol, unsignedCol).
+    */
+  def xxh64Long(src: String, prefix: String, lCol: String)
+  : (String, String, String, String) = {
+    val c = new Chain(src, prefix)
+    val u = hashLong(c, lCol, "42")
+    val s = toSigned(c, u)
+    (c.sql, c.last, s, u)
+  }
+
   // -------------------------------------------------- Murmur3 (32-bit ops)
 
   private val C1 = "3432918353" // 0xcc9e2d51

@@ -170,9 +170,31 @@ object QueriesCorpus {
       |  CAST(CASE WHEN SUM(n_tok) = 0 THEN 0 ELSE (SUM(n_tok) - 1) // 512 + 1 END AS BIGINT) AS n_bins
       |FROM b GROUP BY source""".stripMargin
 
+  /** Deterministic shuffle-and-shard manifest ([[CorpusOps.shardManifest]]):
+    * the full per-document (shuffle_key, shard, pos) assignment at 16
+    * shards, hash-checked against a DuckDB replay of Spark's own
+    * xxhash64-of-BIGINT ([[OracleHash.xxh64Long]]) — key values, shard
+    * routing, and every in-shard rank must all match bit-for-bit.
+    */
+  private def shards(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.shardManifest(Tables.documents(s, dir), numShards = 16)
+
+  private val shardsSql = {
+    val (chain, last, hs, _) = OracleHash.xxh64Long("d", "shx", "doc_id")
+    s"""WITH d AS (SELECT doc_id FROM documents),
+       |$chain,
+       |f AS (SELECT doc_id, $hs AS shuffle_key FROM $last)
+       |SELECT doc_id, shuffle_key,
+       |  CAST(((shuffle_key % 16) + 16) % 16 AS INTEGER) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY ((shuffle_key % 16) + 16) % 16
+       |       ORDER BY shuffle_key, doc_id) - 1 AS INTEGER) AS pos
+       |FROM f""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("llm_repetition_quality", repetition, Some(repetitionSql)),
     Q("llm_stratified_sample", stratified, Some(stratifiedSql)),
-    Q("llm_pack_sequences", packing, Some(packingSql)))
+    Q("llm_pack_sequences", packing, Some(packingSql)),
+    Q("llm_shard_manifest", shards, Some(shardsSql)))
 }

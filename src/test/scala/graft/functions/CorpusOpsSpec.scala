@@ -97,4 +97,32 @@ class CorpusOpsSpec extends SparkSpec {
       .head
     assert(out === Row(0L, 0L, 0L))
   }
+
+  test("shardManifest: reproducible sharded shuffle order, invariant to partitioning") {
+    val session = spark
+    import session.implicits._
+    val docs = (0L until 500L).toDF("doc_id")
+    val m = CorpusOps.shardManifest(docs, numShards = 8)
+      .select("doc_id", "shuffle_key", "shard", "pos").collect()
+    assert(m.length == 500)
+    // shard routing = pmod(key, 8); every shard's positions are 0..size-1
+    m.foreach { r =>
+      val expected = (r.getLong(1) % 8 + 8) % 8
+      assert(r.getInt(2) == expected.toInt)
+    }
+    val byShard = m.groupBy(_.getInt(2))
+    assert(byShard.keySet == (0 until 8).toSet, "uniform keys must hit every shard")
+    byShard.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == rows.indices.toSeq)
+      // in-shard order follows (shuffle_key, doc_id)
+      val sorted = rows.sortBy(r => (r.getLong(1), r.getLong(0)))
+      assert(sorted.map(_.getInt(3)).toSeq == rows.indices.toSeq)
+    }
+    // determinism under a different physical partitioning: same manifest
+    val m2 = CorpusOps.shardManifest(docs.repartition(13), numShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val m1 = m.map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(m1.toSeq == m2.toSeq)
+  }
 }
