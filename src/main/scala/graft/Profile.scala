@@ -22,6 +22,7 @@ object Profile {
     spark.read.parquet(s"$dir/nation.parquet").count()
 
     if (args.headOption.contains("h2")) { profileH2(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("minhash")) { profileMinhash(spark, dir); spark.stop(); return }
     if (args.headOption.contains("oraclesql")) {
       val out = java.nio.file.Paths.get("/tmp/oraclesql")
       java.nio.file.Files.createDirectories(out)
@@ -124,6 +125,40 @@ object Profile {
     val verified = MinHash.withExactJaccard(pairs, docs)
     time("withExactJaccard")(verified.count())
     spark.stop()
+  }
+
+  /** Minhash-only stage split (safe at any SF — no fixed-bucket embed LSH). */
+  private def profileMinhash(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    time("docs materialize")(docs.count())
+    val sigs = MinHash.withSignatures(docs)
+    time("signatures kernel (no cache)")(sigs.count())
+    val sigc = sigs.cache()
+    time("signatures cache")(sigc.count())
+    val banded = sigc.select(col("id"),
+      explode(MinHash.bands(col("sig"), 16, 8)).as("b"))
+    time("band explode + hash")(banded.count())
+    val a = banded.select(col("b").as("b_a"), col("id").as("id_a"))
+    val bd = banded.select(col("b").as("b_b"), col("id").as("id_b"))
+    val idPairs = a.join(bd, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    time("band self-join")(idPairs.count())
+    time("band self-join + distinct")(idPairs.distinct().count())
+    val pairs = MinHash.candidatePairs(docs).cache()
+    time("candidatePairs full (incl est_jaccard)")(pairs.count())
+    time("dedupFuzzyFromPairs")(MinHash.dedupFuzzyFromPairs(docs, pairs).count())
+    time("withExactJaccard")(MinHash.withExactJaccard(pairs, docs).count())
+    spark.catalog.clearCache()
+    val fn = graft.queries.Registry.queries("llm_minhash_dedup")
+    (1 to 3).foreach { rep =>
+      spark.catalog.clearCache()
+      time(s"QUERY llm_minhash_dedup rep$rep") {
+        val df = fn(spark, dir)
+        val h = xxhash64(df.columns.map(c => col(s"`$c`")): _*)
+        df.select(h.as("h")).agg(bit_xor(col("h"))).collect()
+        1L
+      }
+    }
   }
 
   /** Stage-level split of the h2 pattern pass: candle agg, explode+sort,

@@ -107,10 +107,23 @@ object MinHash {
     * expression semantics value-for-value, so candidate pairs and survivor
     * sets are unchanged.
     */
+  /** Widen a kernel input to the session's parallelism when the scan gave
+    * fewer partitions. A small-ish text corpus often arrives as ONE parquet
+    * split (file size < maxPartitionBytes), which would run the signature
+    * kernel — and every downstream op until the first shuffle — on a single
+    * thread (measured: 16 s single-threaded vs ~1 s wide at 500k docs). At
+    * real scale the scan already has more splits than cores and this
+    * no-ops; the repartition moves only (id, text).
+    */
+  private def widenToCores(in: DataFrame): DataFrame = {
+    val target = in.sparkSession.sparkContext.defaultParallelism
+    if (in.rdd.getNumPartitions < target) in.repartition(target) else in
+  }
+
   def withSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                      numPerms: Int = 128, n: Int = 3): DataFrame = {
     val (as, bs) = coeffs(numPerms)
-    val in = docs.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val in = widenToCores(docs.select(col(idCol).as("id"), col(textCol).cast("string").as("t")))
     val outSchema = StructType(Seq(
       in.schema.head, StructField("sig", ArrayType(LongType, containsNull = false))))
     in.mapPartitions { rows =>
@@ -124,12 +137,17 @@ object MinHash {
   /** Spark's trim strips 0x20 only; then lower; then Java-regex collapse —
     * the exact operator order of TextOps.normalized — then the space split.
     */
+  /** Precompiled: `String.replaceAll` re-compiles its pattern on every
+    * call, which is measurable at one call per document in the kernel.
+    */
+  private val WsRun = java.util.regex.Pattern.compile("\\s+")
+
   private def normTokens(text: String): Array[String] = {
     var b0 = 0
     var e0 = text.length
     while (b0 < e0 && text.charAt(b0) == ' ') b0 += 1
     while (e0 > b0 && text.charAt(e0 - 1) == ' ') e0 -= 1
-    text.substring(b0, e0).toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+    WsRun.matcher(text.substring(b0, e0).toLowerCase).replaceAll(" ").split(" ", -1)
   }
 
   /** Applies `f` to the reduced xxhash64 of every word n-gram shingle. */
@@ -176,7 +194,7 @@ object MinHash {
     */
   def withShingleHashSets(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val in = docs.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
+    val in = widenToCores(docs.select(col(idCol).as("id"), col(textCol).cast("string").as("t")))
     val outSchema = StructType(Seq(
       in.schema.head, StructField("hs", ArrayType(LongType, containsNull = false))))
     in.mapPartitions { rows =>
@@ -233,12 +251,33 @@ object MinHash {
         cached.count()
         cached
     }
-    val banded = sigd.select(col("id"), explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
-    // per-side key rename: a self-join on the same lineage would otherwise
-    // resolve both sides of `b === b` to one attribute (trivially true)
-    val a = banded.select(col("b").as("b_a"), col("id").as("id_a"))
-    val bd = banded.select(col("b").as("b_b"), col("id").as("id_b"))
-    val idPairs = a.join(bd, col("b_a") === col("b_b") && col("id_a") < col("id_b"))
+    // (band, bandHash) packed into ONE long — band in the high 32 bits,
+    // the murmur3 band hash zero-extended in the low 32 — so the bucket
+    // key is injective, the shuffle carries two longs per row instead of
+    // a struct, and the join comparator is a single long compare. The
+    // BUCKETS are the same (band, hash) pairs the oracle replays; only
+    // the physical key shape changes. The exploded frame materializes
+    // eagerly (scalars only: id + key) so the self-join's two sides read
+    // it from cache instead of each re-running the explode over the
+    // signature arrays (measured ~2× the band-stage cost at 500k docs).
+    val bandedRaw = sigd
+      .select(col("id"), explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
+      .select(col("id"),
+        (shiftleft(col("b.band").cast("long"), 32) bitwiseOR
+          (col("b.band_hash").cast("long") bitwiseAND lit(0xFFFFFFFFL))).as("bk"))
+    val banded = checkpointDir match {
+      case Some(dir) =>
+        val bdir = dir + "_bands"
+        bandedRaw.write.mode("overwrite").parquet(bdir)
+        docs.sparkSession.read.parquet(bdir)
+      case None =>
+        val cached = bandedRaw.cache()
+        cached.count()
+        cached
+    }
+    val a = banded.select(col("bk").as("bk_a"), col("id").as("id_a"))
+    val bd = banded.select(col("bk").as("bk_b"), col("id").as("id_b"))
+    val idPairs = a.join(bd, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
     idPairs
