@@ -47,9 +47,16 @@ object GraftSession {
   private lazy val warehouseDir: String =
     java.nio.file.Files.createTempDirectory("graft_warehouse_").toString
 
-  private def defaultMaster: String =
-    s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"
+  /** Default to every core on the machine (the harness contract is
+    * local[32]); `SPARK_GRAFT_CPUS` overrides for constrained runs. The
+    * old fallback of 4 silently ran Verify/Bench 8× under-parallelized
+    * whenever the env var was absent.
+    */
+  private def cpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
 
-  private def defaultShuffle: Int =
-    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(4).max(4)
+  private def defaultMaster: String = s"local[$cpus]"
+
+  private def defaultShuffle: Int = cpus.max(4)
 }

@@ -107,17 +107,35 @@ object MinHash {
     * expression semantics value-for-value, so candidate pairs and survivor
     * sets are unchanged.
     */
-  /** Widen a kernel input to the session's parallelism when the scan gave
-    * fewer partitions. A small-ish text corpus often arrives as ONE parquet
-    * split (file size < maxPartitionBytes), which would run the signature
-    * kernel — and every downstream op until the first shuffle — on a single
-    * thread (measured: 16 s single-threaded vs ~1 s wide at 500k docs). At
-    * real scale the scan already has more splits than cores and this
-    * no-ops; the repartition moves only (id, text).
+  /** Widen the corpus-wide kernel input when the scan gave far fewer
+    * partitions than the data warrants. A mid-size text corpus often
+    * arrives as ONE parquet row group (row group < maxPartitionBytes ⇒ one
+    * split), which would run the signature kernel — and every downstream op
+    * until the first shuffle — on a single thread (measured: 16 s
+    * single-threaded vs ~4 s wide at 500k docs). Sizing is by plan-stats
+    * bytes (~2 MB of text per task ≈ the kernel's per-task sweet spot), so
+    * a tiny corpus is NOT repartitioned (the shuffle + 32-task overhead
+    * exceeds the kernel time below ~a few MB — measured as a 60% regression
+    * at 5k docs), and at real scale the scan already has more splits than
+    * cores and this no-ops. Only (id, text) ride the repartition.
     */
   private def widenToCores(in: DataFrame): DataFrame = {
-    val target = in.sparkSession.sparkContext.defaultParallelism
-    if (in.rdd.getNumPartitions < target) in.repartition(target) else in
+    val cores = in.sparkSession.sparkContext.defaultParallelism
+    val bytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (bytes / (2L << 20)).min(cores).toInt
+    // The scan's partition COUNT cannot be trusted as a parallelism signal:
+    // Spark byte-range-splits a parquet file into ~cores slices, but a row
+    // group belongs entirely to the slice holding its midpoint — a
+    // single-row-group file reports ~cores partitions with every one of
+    // them empty except one (measured: 15 "partitions", 1 effective, 16 s
+    // single-threaded kernel). So below a single-node-scale ceiling we
+    // unconditionally repartition by byte size — the ~1 s shuffle of tens
+    // of MB buys back a >10× kernel speedup, and tiny corpora (byBytes<2)
+    // skip it. Above the ceiling we trust the scan: cluster-scale tables
+    // are written with row groups ≤ maxPartitionBytes, where splits are
+    // genuinely parallel and a forced global reshuffle of the corpus would
+    // cost more than it could save.
+    if (byBytes >= 2 && bytes <= (4L << 30)) in.repartition(byBytes) else in
   }
 
   def withSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
@@ -194,7 +212,10 @@ object MinHash {
     */
   def withShingleHashSets(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val in = widenToCores(docs.select(col(idCol).as("id"), col(textCol).cast("string").as("t")))
+    // no widenToCores here: the verify stage's input is candidate-bound
+    // (semi-joined to pair ids), so it is small by construction and a
+    // forced repartition only adds a shuffle + per-task overhead
+    val in = docs.select(col(idCol).as("id"), col(textCol).cast("string").as("t"))
     val outSchema = StructType(Seq(
       in.schema.head, StructField("hs", ArrayType(LongType, containsNull = false))))
     in.mapPartitions { rows =>
