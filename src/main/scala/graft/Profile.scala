@@ -21,6 +21,13 @@ object Profile {
     // warmup
     spark.read.parquet(s"$dir/nation.parquet").count()
 
+    if (args.headOption.contains("explain")) {
+      args.drop(1).foreach { name =>
+        println(s"=== $name")
+        graft.queries.Registry.queries(name)(spark, dir).explain("formatted")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("h2")) { profileH2(spark, dir); spark.stop(); return }
     if (args.headOption.contains("minhash")) { profileMinhash(spark, dir); spark.stop(); return }
     if (args.headOption.contains("oraclesql")) {

@@ -127,6 +127,57 @@ object CorpusOps {
     keyed.withColumn("pos", row_number().over(w) - 1)
   }
 
+  /** Consecutive non-overlapping `width`-token chunks of the normalized
+    * text — the unit of exact-substring dedup (Lee et al. 2022's
+    * "Deduplicating Training Data Makes Language Models Better" suffix-
+    * array pass, discretized to a fixed token grid so it distributes as a
+    * plain group-by instead of a global suffix sort). The trailing partial
+    * chunk is kept: dropping it would blind the detector to short docs.
+    */
+  def tokenChunks(text: Column, width: Int): Column = {
+    val toks = split(TextOps.normalized(text), " ")
+    transform(
+      sequence(lit(0), ((size(toks) - 1) / width).cast("int")),
+      i => concat_ws(" ", slice(toks, i * width + 1, lit(width))))
+  }
+
+  /** Exact substring-chunk dedup: a chunk is duplicated when its exact text
+    * occurs in ≥ 2 distinct documents; each doc gets its distinct-chunk
+    * count `n_chunks` and duplicated-chunk count `n_dup_chunks` (a doc with
+    * n_dup·2 > n_chunks is mostly-duplicated — the usual removal rule).
+    *
+    * Distributed shape: per-doc distinct chunks explode once, then two
+    * shuffles — group-by on the chunk text (short, ~width words; partial
+    * map-side counts collapse common chunks before the exchange) and the
+    * per-doc re-aggregation keyed by the unique doc id. Grouping on the
+    * chunk TEXT keeps the operator exact (cf. [[TextOps.fingerprint]]'s
+    * 256-bit key for whole-doc identity — a 64-bit chunk hash would start
+    * colliding near the 2^32-distinct-chunk birthday bound, well inside
+    * 100 TB territory). Chunk frequencies are vocabulary-shaped, but the
+    * duplicate filter runs AFTER the full aggregation, so a hyper-common
+    * chunk costs one combined row per partition, not a skewed reduce.
+    */
+  def withChunkDedup(
+      docs: DataFrame,
+      width: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val chunks = array_distinct(tokenChunks(col(textCol), width))
+    val base = docs.withColumn("n_chunks", size(chunks).cast("long"))
+    val pairs = base.select(col(idCol), explode(chunks).as("chunk"))
+    val dup = pairs
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_docs_with"))
+      .filter(col("n_docs_with") >= 2)
+    val perDoc = pairs
+      .join(dup.select(col("chunk")), Seq("chunk"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_chunks"))
+    base
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_dup_chunks", coalesce(col("n_dup_chunks"), lit(0L)))
+  }
+
   /** Training-example packing plan, GPT-style concat-and-chunk: documents
     * are concatenated in (stream, position) order and split into
     * fixed-`budget` token bins; a document whose token span crosses a bin

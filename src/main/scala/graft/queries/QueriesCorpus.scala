@@ -191,10 +191,73 @@ object QueriesCorpus {
        |FROM f""".stripMargin
   }
 
+  /** Exact substring-chunk dedup at an 8-token grid
+    * ([[CorpusOps.withChunkDedup]]): per source, total and duplicated
+    * distinct chunks plus the flagged (mostly-duplicated) docs — the
+    * flagged id sum pins exact membership. All counts integer.
+    */
+  private def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    CorpusOps.withChunkDedup(Tables.documents(s, dir), 8)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("sum_chunks"),
+        sum(col("n_dup_chunks")).as("sum_dup_chunks"),
+        sum(when(col("n_dup_chunks") * 2 > col("n_chunks"), 1L).otherwise(0L)).as("n_flagged"),
+        sum(when(col("n_dup_chunks") * 2 > col("n_chunks"), col("doc_id")).otherwise(0L))
+          .as("sum_flagged_ids"))
+
+  private val chunkDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |s AS (SELECT doc_id, source, string_split(norm, ' ') AS toks FROM d),
+      |c AS (SELECT doc_id, source,
+      |  list_distinct(list_transform(range(0, (len(toks) - 1) // 8 + 1),
+      |    i -> array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' '))) AS chunks
+      |  FROM s),
+      |p AS (SELECT doc_id, unnest(chunks) AS chunk FROM c),
+      |dup AS (SELECT chunk FROM p GROUP BY chunk HAVING COUNT(*) >= 2),
+      |pd AS (SELECT p.doc_id, COUNT(*) AS n_dup FROM p JOIN dup USING (chunk) GROUP BY p.doc_id),
+      |m AS (SELECT c.doc_id, c.source, len(chunks) AS n_chunks, COALESCE(pd.n_dup, 0) AS n_dup
+      |      FROM c LEFT JOIN pd ON c.doc_id = pd.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chunks) AS BIGINT) AS sum_chunks,
+      |  CAST(SUM(n_dup) AS BIGINT) AS sum_dup_chunks,
+      |  CAST(SUM(CASE WHEN n_dup * 2 > n_chunks THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+      |  CAST(SUM(CASE WHEN n_dup * 2 > n_chunks THEN doc_id ELSE 0 END) AS BIGINT) AS sum_flagged_ids
+      |FROM m GROUP BY source""".stripMargin
+
+  /** Corpus vocabulary head: global top-20 tokens by occurrence count with
+    * document frequency — the distributed word count every tokenizer/vocab
+    * build starts from. Two-phase aggregate on the token (map-side partial
+    * counts soak up the Zipf head before the exchange), then a global
+    * TakeOrderedAndProject — O(k) driver result, no full sort. Unique-token
+    * tie-break makes the top-20 boundary deterministic cross-engine.
+    */
+  private def vocabTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(graft.functions.TextOps.normalized(col("text")), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("token").asc)
+      .limit(20)
+
+  private val vocabTopkSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |t AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS token FROM d)
+      |SELECT token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM t GROUP BY token ORDER BY n_occ DESC, token LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("llm_repetition_quality", repetition, Some(repetitionSql)),
     Q("llm_stratified_sample", stratified, Some(stratifiedSql)),
     Q("llm_pack_sequences", packing, Some(packingSql)),
-    Q("llm_shard_manifest", shards, Some(shardsSql)))
+    Q("llm_shard_manifest", shards, Some(shardsSql)),
+    Q("llm_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
+    Q("llm_vocab_topk", vocabTopk, Some(vocabTopkSql)))
 }

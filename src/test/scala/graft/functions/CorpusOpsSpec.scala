@@ -72,6 +72,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(keys.values.toSet.size > 30, "keys should spread over [0,1000)")
   }
 
+  test("tokenChunks: non-overlapping width-grid with trailing partial chunk") {
+    val out = docs((1L, "a b c d e", "s"))
+      .select(CorpusOps.tokenChunks(col("text"), 2).as("c"))
+      .collect()
+      .head
+      .getSeq[String](0)
+    assert(out === Seq("a b", "c d", "e"))
+    // single-token and blank text both yield exactly one chunk
+    val short = docs((1L, "solo", "s"), (2L, "   ", "s"))
+      .select(CorpusOps.tokenChunks(col("text"), 8).as("c"))
+      .collect()
+      .map(_.getSeq[String](0))
+    assert(short(0) === Seq("solo"))
+    assert(short(1) === Seq(""))
+  }
+
+  test("withChunkDedup: cross-doc duplicated chunks counted per doc") {
+    // width 2 → doc 1 chunks {a b, c d}; doc 2 {a b, x y}; doc 3 {p q}
+    // "a b" occurs in docs 1 and 2 → duplicated; everything else unique
+    val d = docs((1L, "a b c d", "s"), (2L, "a b x y", "s"), (3L, "p q", "s"))
+    val out = CorpusOps
+      .withChunkDedup(d, 2)
+      .select("doc_id", "n_chunks", "n_dup_chunks")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(1L -> ((2L, 1L)), 2L -> ((2L, 1L)), 3L -> ((1L, 0L))))
+  }
+
+  test("withChunkDedup: repeats within one doc alone are not duplicates") {
+    // doc 1 repeats its own chunk ("a b" twice) — distinct-per-doc first,
+    // so a within-doc repeat never counts as a cross-doc duplicate
+    val d = docs((1L, "a b a b", "s"), (2L, "z z z z", "s"))
+    val out = CorpusOps
+      .withChunkDedup(d, 2)
+      .select("doc_id", "n_chunks", "n_dup_chunks")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out === Map(1L -> ((1L, 0L)), 2L -> ((1L, 0L))))
+  }
+
   test("withPackingPlan: offsets, bins, and split docs on a fixture") {
     // budget 10; source s docs in id order with bpe token counts 4, 8, 6:
     // offsets 0, 4, 12 → bins (0,0), (0,1) split, (1,1)
