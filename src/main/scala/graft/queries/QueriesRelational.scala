@@ -409,6 +409,41 @@ object QueriesRelational {
       |SELECT event_type, CAST(rn AS INTEGER) AS rank, value, event_id
       |FROM r WHERE rn <= 3""".stripMargin
 
+  /** J5 — large-large range join via bucket replication
+    * ([[graft.operators.RangeJoin]]): per-user 4-hour activity windows
+    * (users in the `% 10` stratum, so the interval side SCALES with the
+    * data instead of broadcasting away) matched against every event whose
+    * ts falls inside the window. A naive `BETWEEN` join here is a
+    * BroadcastNestedLoopJoin; the rewrite is an equi-join on the hour
+    * bucket (each window replicated ≤ 5×). All-integer aggregates per
+    * window pin exact match membership.
+    */
+  private def j5(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val wins = ev.filter(col("user_id") % 10 === 0)
+      .groupBy(col("user_id").as("win_id"))
+      .agg(min(col("ts")).as("win_start"))
+      .withColumn("win_end", col("win_start") + expr("INTERVAL 4 HOURS"))
+    graft.operators.RangeJoin.pointInInterval(
+      ev.select(col("ts"), col("event_id"), col("user_id")),
+      wins, "ts", "win_start", "win_end", bucketSeconds = 3600L)
+      .groupBy(col("win_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_event_ids"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val j5Sql =
+    """WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events),
+      |w AS (SELECT user_id AS win_id, MIN(ts) AS ws, MIN(ts) + INTERVAL 4 HOUR AS we
+      |      FROM e WHERE user_id % 10 = 0 GROUP BY 1)
+      |SELECT win_id, COUNT(*) AS n_events,
+      |  CAST(SUM(e.event_id) AS BIGINT) AS sum_event_ids,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM w JOIN e ON e.ts >= w.ws AND e.ts < w.we
+      |GROUP BY win_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true, benchRun = Some(q01Bench)),
     Q("j4_salted_join", j4, Some(j4Sql)),
@@ -426,6 +461,7 @@ object QueriesRelational {
     Q("q11_rollup_revenue", q11, Some(q11Sql)),
     Q("q12_pivot_daily", q12, Some(q12Sql)),
     Q("q13_exact_quantiles", q13, Some(q13Sql)),
-    Q("q14_topk_per_group", q14, Some(q14Sql))
+    Q("q14_topk_per_group", q14, Some(q14Sql)),
+    Q("j5_range_join", j5, Some(j5Sql))
   )
 }
