@@ -55,6 +55,7 @@ object Sketches {
     (567890123456718901L, 19L),
     (678901234567189017L, 23L),
     (789012345671890123L, 29L))
+  val KmvParams: (Long, Long) = (890123456718901235L, 31L)
 
   /** Register the SQL faces (`graft_hash61(x, a, b)`) on GraftSession. The
     * Bloom test carries a bitmask object and has no SQL face.

@@ -20,6 +20,44 @@ import org.apache.spark.sql.expressions.Aggregator
   * + O(k) insert on a tiny array — the classic bounded-heap trade-off
   * without a mutable heap's encoder friction.
   */
+/** Typed `Aggregator` for the k smallest DISTINCT long values per group —
+  * the state of a KMV (k-minimum-values) sketch when fed hash values.
+  * Same partial-aggregation shape as [[TopKAggregator]] (bounded ≤ k
+  * buffer, map-side combine, O(groups × k) shuffle), with in-buffer dedup:
+  * duplicates of a value (same member hashing identically) collapse inside
+  * the buffer, so no distinct() pre-shuffle of the raw pairs is needed —
+  * the one property that keeps KMV a one-pass sketch. Deterministic and
+  * merge-order-independent by construction (a sorted set is).
+  */
+final case class BottomKDistinctAggregator(k: Int)
+  extends Aggregator[Long, Vector[Long], Vector[Long]] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def zero: Vector[Long] = Vector.empty
+
+  override def reduce(buf: Vector[Long], v: Long): Vector[Long] = {
+    if (buf.length == k && v >= buf.last) buf
+    else {
+      val i = buf.search(v)(Ordering.Long) match {
+        case scala.collection.Searching.Found(_) => return buf // already present
+        case scala.collection.Searching.InsertionPoint(p) => p
+      }
+      buf.patch(i, Vector(v), 0).take(k)
+    }
+  }
+
+  override def merge(a: Vector[Long], b: Vector[Long]): Vector[Long] =
+    (a ++ b).distinct.sorted.take(k)
+
+  override def finish(buf: Vector[Long]): Vector[Long] = buf
+
+  override def bufferEncoder: Encoder[Vector[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Vector[Long]]()
+
+  override def outputEncoder: Encoder[Vector[Long]] = bufferEncoder
+}
+
 final case class TopKAggregator(k: Int)
   extends Aggregator[(Double, Long), Vector[(Double, Long)], Vector[(Double, Long)]] {
 

@@ -462,6 +462,6 @@ object QueriesRelational {
     Q("q12_pivot_daily", q12, Some(q12Sql)),
     Q("q13_exact_quantiles", q13, Some(q13Sql)),
     Q("q14_topk_per_group", q14, Some(q14Sql)),
-    Q("j5_range_join", j5, Some(j5Sql))
+    Q("j5_range_join", j5, Some(j5Sql), headline = true)
   )
 }

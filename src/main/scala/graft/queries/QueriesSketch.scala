@@ -241,8 +241,69 @@ object QueriesSketch {
        |FROM lineitem l JOIN kp ON l.l_orderkey = kp.pk""".stripMargin
   }
 
+  // ---------------------------------------------------------------- KMV --
+
+  private val KmvK = 64
+  /** (k−1)·M61 as one double literal shared by both engines (same trick as
+    * [[HllK]]): the estimate is then a single correctly-rounded division.
+    */
+  private val KmvNumer: Double = (KmvK - 1).toDouble * Sketches.M61.toDouble
+
+  /** KMV (k-minimum-values) distinct sketch, k=64: per event type, the k
+    * smallest distinct 61-bit hashes of user_id — simultaneously a
+    * mergeable distinct-count estimator (est = (k−1)·M61 / h_(k), the
+    * classic KMV unbiased form) and a DETERMINISTIC uniform sample of
+    * distinct users (bottom-k hashing), reproducible on any rerun or
+    * partitioning, unlike reservoir sampling. State rides the typed
+    * [[graft.operators.BottomKDistinctAggregator]]: bounded ≤ k longs per
+    * group with in-buffer dedup, partial-aggregated map-side — the shuffle
+    * carries O(groups × k) values, never the data, and no distinct()
+    * pre-pass. `hk` and `xor_bottomk` pin the exact sample content; the
+    * small-cardinality branch (fewer than k distinct hashes → the count
+    * itself) is exercised for real at sf0.001 (15 users < 64 < 150).
+    */
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val hashed = ev.select(col("event_type"),
+      Sketches.hash61(col("user_id"), Sketches.KmvParams._1, Sketches.KmvParams._2).as("h"))
+    val bk = hashed.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.operators.BottomKDistinctAggregator(KmvK).toColumn.name("bk"))
+      .toDF("event_type", "bk")
+    val exact = ev.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n_exact"))
+    bk.join(exact, "event_type")
+      .select(
+        col("event_type"), col("n_exact"),
+        size(col("bk")).cast("long").as("k_used"),
+        element_at(col("bk"), size(col("bk"))).as("hk"),
+        aggregate(col("bk"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("xor_bottomk"))
+      .withColumn("kmv_est",
+        round(when(col("k_used") < KmvK, col("k_used").cast("double"))
+          .otherwise(lit(KmvNumer) / col("hk").cast("double"))).cast("long"))
+  }
+
+  private val kmvDistinctSql = {
+    val h = hSql("user_id", Sketches.KmvParams)
+    s"""WITH e AS (SELECT event_type, user_id FROM events),
+       |h AS (SELECT DISTINCT event_type, $h AS h FROM e),
+       |r AS (SELECT event_type, h,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |b AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS k_used, MAX(h) AS hk,
+       |    CAST(bit_xor(h) AS BIGINT) AS xor_bottomk
+       |  FROM r WHERE rn <= $KmvK GROUP BY 1),
+       |ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM e GROUP BY 1)
+       |SELECT b.event_type, n_exact, k_used, hk, xor_bottomk,
+       |  CAST(ROUND(CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
+       |       ELSE $KmvNumer / CAST(hk AS DOUBLE) END) AS BIGINT) AS kmv_est
+       |FROM b JOIN ex USING (event_type)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("sk_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     Q("sk_cms_heavy", cmsHeavy, Some(cmsHeavySql)),
-    Q("sk_bloom_prune", bloomPrune, Some(bloomPruneSql)))
+    Q("sk_bloom_prune", bloomPrune, Some(bloomPruneSql)),
+    Q("sk_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)))
 }

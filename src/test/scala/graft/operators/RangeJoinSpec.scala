@@ -56,6 +56,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(!got.exists(_._1 == 5L), "empty interval matches nothing")
   }
 
+  test("randomized intervals: bucket rewrite ≡ naive join at several widths") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(42)
+    val points = (0 until 300).map { i =>
+      (new Timestamp(t0 + rnd.nextInt(86400) * 1000L), i.toLong)
+    }.toDF("ts", "point_id")
+    // random starts; spans from sub-second to 9 h, plus some empty/backward
+    val intervals = (0 until 60).map { i =>
+      val ws = t0 + rnd.nextInt(86400) * 1000L
+      val span = rnd.nextInt(6) match {
+        case 0 => 0L                       // empty
+        case 1 => -3600000L                // backward (end < start)
+        case _ => rnd.nextInt(9 * 3600) * 1000L + rnd.nextInt(1000)
+      }
+      (i.toLong, new Timestamp(ws), new Timestamp(ws + span))
+    }.toDF("iv_id", "ws", "we")
+    val want = points.join(intervals, col("ts") >= col("ws") && col("ts") < col("we"))
+      .select("iv_id", "point_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (width <- Seq(60L, 3600L, 7 * 3600L)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "ts", "ws", "we", width)
+        .select("iv_id", "point_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"bucketSeconds=$width")
+    }
+    assert(want.size > 100, "fixture should produce a dense match set")
+  }
+
   test("plan is an equi-join on the bucket, not a nested-loop join") {
     val (points, intervals) = mkData
     val joined = RangeJoin

@@ -37,6 +37,29 @@ class TopKSpec extends SparkSpec {
     assert(got === Vector((2.0, 5L), (1.0, 3L)))
   }
 
+  test("BottomKDistinctAggregator keeps the k smallest DISTINCT values across merges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // heavy duplication: 3000 draws over only 120 distinct values
+    val rows = Seq.fill(3000)((s"g${rnd.nextInt(3)}", rnd.nextInt(120).toLong * 7919L))
+    val expected = rows.groupBy(_._1).view.mapValues(
+      _.map(_._2).distinct.sorted.take(10).toVector).toMap
+    val got = rows.toDF("g", "h").repartition(17)
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(BottomKDistinctAggregator(10).toColumn.name("bk"))
+      .collect().toMap
+    assert(got === expected)
+    got.values.foreach(v => assert(v == v.distinct.sorted && v.length <= 10))
+  }
+
+  test("BottomKDistinct reduce dedups and respects the bound") {
+    val a = BottomKDistinctAggregator(3)
+    val buf = Seq(5L, 2L, 5L, 9L, 1L, 2L, 7L).foldLeft(a.zero)(a.reduce)
+    assert(buf === Vector(1L, 2L, 5L))
+    assert(a.merge(buf, Vector(0L, 1L, 4L)) === Vector(0L, 1L, 2L))
+  }
+
   test("q14 plans as a partial+final object aggregate (map-side combine)") {
     val df = graft.queries.Registry.queries("q14_topk_per_group")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.sparkPlan.toString
