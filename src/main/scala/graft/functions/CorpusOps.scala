@@ -178,6 +178,94 @@ object CorpusOps {
       .withColumn("n_dup_chunks", coalesce(col("n_dup_chunks"), lit(0L)))
   }
 
+  /** Integer square root as a column expression: `floor(sqrt(n))` with a
+    * one-step correction in each direction, so the result is the true
+    * isqrt for any non-negative BIGINT even if the double `sqrt` rounds
+    * across an integer boundary. Pure integer output — bit-stable in any
+    * engine that has IEEE `sqrt` (all of them).
+    */
+  def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    when((s0 + 1) * (s0 + 1) <= n, s0 + 1)
+      .when(s0 * s0 > n, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** Temperature-weighted source-mixing targets (α = 1/2): the per-source
+    * document budget for a training mixture that upweights small sources —
+    * the standard multinomial-with-temperature scheme (e.g. the
+    * mBERT/XLM-R exponent-smoothed sampling rule). Source `s` with `c_s`
+    * docs gets weight `w_s = isqrt(c_s)` (= c^α at α = ½, exact integer)
+    * and target `k_s = (B · w_s) div Σw` docs, where the global budget `B`
+    * is `Σc div budgetDiv`. All integer math — targets are bit-identical
+    * in any engine, unlike a float `c^α / Σc^α` rule whose ulps could
+    * flip a floor.
+    *
+    * Distributed shape: one tiny aggregate (#sources rows), a 1-row total,
+    * and a broadcastable result — the corpus itself is not touched beyond
+    * the counting scan.
+    */
+  def sourceMixTargets(
+      docs: DataFrame,
+      budgetDiv: Long = 4L,
+      srcCol: String = "source"): DataFrame = {
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("wgt", isqrt(col("n_docs")))
+    val totals = counts.agg(
+      sum(col("n_docs")).as("total_docs"),
+      sum(col("wgt")).as("total_wgt"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn(
+        "k_target",
+        expr(s"((total_docs div ${budgetDiv}L) * wgt) div total_wgt"))
+  }
+
+  /** Materializes a source mix: per source, keep the `k_target` documents
+    * with the smallest deterministic [[sampleKey]] (ties broken by id) —
+    * reproducible membership, no `rand()`. The rank window partitions by
+    * source; at 100 TB, replace the full per-source sort with a bottom-k
+    * selection (the [[graft.operators.TopK]] aggregator shape: O(k) state
+    * per source instead of a sort over c_s rows) — the manifest contract
+    * (smallest k keys per source) is identical.
+    */
+  def sourceMixSample(
+      docs: DataFrame,
+      targets: DataFrame,
+      srcCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(sampleKey(col(idCol)).asc, col(idCol).asc)
+    docs
+      .join(broadcast(targets.select(col(srcCol), col("k_target"))), srcCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("k_target"))
+      .drop("__rn")
+  }
+
+  /** Redaction policy: named (category, regex) scrub rules — PII shapes
+    * (emails, North-American phone numbers) plus a term blocklist. Only
+    * constructs with identical semantics in Java regex and RE2 (literal
+    * classes, bounded quantifiers, `\b`, alternation), so hit counts and
+    * replacements are oracle-checkable cross-engine.
+    */
+  val ScrubRules: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b",
+    "blocklist" -> "\\b(slow|big)\\b")
+
+  /** Number of non-overlapping matches of `pattern` in `text`. */
+  def scrubHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Text with every [[ScrubRules]] match replaced by `[REDACTED]`,
+    * applied in rule order (same order as any oracle replay). Pure
+    * map-side column expression — scales as a scan.
+    */
+  def scrubbed(text: Column): Column =
+    ScrubRules.foldLeft(text) { case (t, (_, pat)) =>
+      regexp_replace(t, pat, "[REDACTED]")
+    }
+
   /** Training-example packing plan, GPT-style concat-and-chunk: documents
     * are concatenated in (stream, position) order and split into
     * fixed-`budget` token bins; a document whose token span crosses a bin

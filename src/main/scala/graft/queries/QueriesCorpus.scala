@@ -252,6 +252,148 @@ object QueriesCorpus {
       |SELECT token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
       |FROM t GROUP BY token ORDER BY n_occ DESC, token LIMIT 20""".stripMargin
 
+  /** Temperature-weighted source mixing (α = ½,
+    * [[CorpusOps.sourceMixTargets]] / [[CorpusOps.sourceMixSample]]): the
+    * per-source manifest — count, integer weight, target, actually-kept
+    * count and the kept-id sum (pins exact membership of the deterministic
+    * hash-ordered sample).
+    */
+  private def mixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val targets = CorpusOps.sourceMixTargets(docs, budgetDiv = 4L)
+    CorpusOps.sourceMixSample(docs, targets)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("sum_kept_ids"))
+      .join(
+        targets.select(col("source"), col("n_docs"), col("wgt"), col("k_target")),
+        Seq("source"))
+      .select(
+        col("source"), col("n_docs"), col("wgt"), col("k_target"),
+        col("n_kept"), col("sum_kept_ids"))
+  }
+
+  private val mixTemperatureSql =
+    """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |w0 AS (SELECT source, n_docs,
+      |         CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0 FROM c),
+      |w AS (SELECT source, n_docs,
+      |        CASE WHEN (s0 + 1) * (s0 + 1) <= n_docs THEN s0 + 1
+      |             WHEN s0 * s0 > n_docs THEN s0 - 1 ELSE s0 END AS wgt FROM w0),
+      |t AS (SELECT SUM(n_docs) AS total_docs, SUM(wgt) AS total_wgt FROM w),
+      |k AS (SELECT source, n_docs, wgt,
+      |        ((total_docs // 4) * wgt) // total_wgt AS k_target FROM w, t),
+      |r AS (SELECT d.source, d.doc_id,
+      |        row_number() OVER (PARTITION BY d.source ORDER BY
+      |          CAST(concat('0x', substr(md5(concat('graft', CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000 ASC,
+      |          d.doc_id ASC) AS rn
+      |      FROM documents d),
+      |kept AS (SELECT r.source, COUNT(*) AS n_kept, CAST(SUM(r.doc_id) AS BIGINT) AS sum_kept_ids
+      |         FROM r JOIN k ON r.source = k.source AND r.rn <= k.k_target
+      |         GROUP BY r.source)
+      |SELECT k.source, k.n_docs, k.wgt, CAST(k.k_target AS BIGINT) AS k_target,
+      |       kept.n_kept, kept.sum_kept_ids
+      |FROM k JOIN kept ON k.source = kept.source""".stripMargin
+
+  /** Per-source top-5 characteristic terms by an integer-scaled
+    * rarity-weighted frequency `score = (tf · 10^6) div df` (tf = in-source
+    * occurrences, df = corpus-wide document frequency) — the TF-IDF shape
+    * with an exact integer idf surrogate so the ranking (and the top-5
+    * boundary, tie-broken on token) is bit-stable cross-engine; production
+    * would use log-idf doubles, identical plan.
+    *
+    * Distributed shape: token df and (source, token) tf are two-phase
+    * aggregates (map-side partials absorb the Zipf head before either
+    * exchange); the df side joins in broadcast (a vocabulary is MBs even
+    * for TB corpora — degrade to a shuffled join on the uniform token key
+    * if it ever isn't); the final top-5 windows over #sources partitions
+    * of ≤|vocab| rows (bottom-k aggregator shape at extreme vocab sizes).
+    */
+  private def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(graft.functions.TextOps.normalized(col("text")), " ")).as("token"))
+    val dfreq = toks.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val tf = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("source")).orderBy(col("score").desc, col("token").asc)
+    tf.join(broadcast(dfreq), "token")
+      .withColumn("score", expr("(tf * 1000000L) div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("source"), col("rnk"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
+  private val tfidfTermsSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |t AS (SELECT doc_id, source, unnest(string_split(norm, ' ')) AS token FROM d),
+      |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY token),
+      |tf AS (SELECT source, token, COUNT(*) AS tf FROM t GROUP BY source, token),
+      |scored AS (
+      |  SELECT tf.source, tf.token, tf.tf, dfreq.df,
+      |    (tf.tf * 1000000) // dfreq.df AS score
+      |  FROM tf JOIN dfreq USING (token)),
+      |ranked AS (
+      |  SELECT source, token, tf, df, score,
+      |    row_number() OVER (PARTITION BY source ORDER BY score DESC, token ASC) AS rnk
+      |  FROM scored)
+      |SELECT source, rnk, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |  CAST(score AS BIGINT) AS score
+      |FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** PII / blocklist scrubbing audit ([[CorpusOps.ScrubRules]]): per
+    * source, docs and total matches per rule category plus the total
+    * scrubbed-text length after `[REDACTED]` replacement — the compliance
+    * report a redaction pass emits. Pure map-side regex expressions; the
+    * only shuffle is the final tiny per-source aggregate.
+    */
+  private def scrubRedact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val withHits = CorpusOps.ScrubRules.foldLeft(docs) { case (d, (cat, pat)) =>
+      d.withColumn(s"h_$cat", CorpusOps.scrubHits(col("text"), pat).cast("long"))
+    }
+    withHits
+      .withColumn("len_scrubbed", length(CorpusOps.scrubbed(col("text"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("h_email") > 0).cast("long")).as("docs_email"),
+        sum(col("h_email")).as("hits_email"),
+        sum((col("h_phone") > 0).cast("long")).as("docs_phone"),
+        sum(col("h_phone")).as("hits_phone"),
+        sum((col("h_blocklist") > 0).cast("long")).as("docs_block"),
+        sum(col("h_blocklist")).as("hits_block"),
+        sum(col("len_scrubbed")).as("sum_len_scrubbed"))
+  }
+
+  private val scrubRedactSql = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+    val block = "\\b(slow|big)\\b"
+    s"""WITH h AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text, '$email')) AS h_email,
+       |    len(regexp_extract_all(text, '$phone')) AS h_phone,
+       |    len(regexp_extract_all(text, '$block')) AS h_block,
+       |    length(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '[REDACTED]', 'g'),
+       |      '$phone', '[REDACTED]', 'g'),
+       |      '$block', '[REDACTED]', 'g')) AS len_scrubbed
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN h_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+       |  CAST(SUM(h_email) AS BIGINT) AS hits_email,
+       |  CAST(SUM(CASE WHEN h_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+       |  CAST(SUM(h_phone) AS BIGINT) AS hits_phone,
+       |  CAST(SUM(CASE WHEN h_block > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_block,
+       |  CAST(SUM(h_block) AS BIGINT) AS hits_block,
+       |  CAST(SUM(len_scrubbed) AS BIGINT) AS sum_len_scrubbed
+       |FROM h GROUP BY source""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("llm_repetition_quality", repetition, Some(repetitionSql)),
@@ -259,5 +401,8 @@ object QueriesCorpus {
     Q("llm_pack_sequences", packing, Some(packingSql)),
     Q("llm_shard_manifest", shards, Some(shardsSql)),
     Q("llm_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
-    Q("llm_vocab_topk", vocabTopk, Some(vocabTopkSql)))
+    Q("llm_vocab_topk", vocabTopk, Some(vocabTopkSql)),
+    Q("llm_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
+    Q("llm_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
+    Q("llm_scrub_redact", scrubRedact, Some(scrubRedactSql)))
 }

@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.ZOrder
+
+/** Data-layout operators: the Z-order clustering manifest over `events`.
+  *
+  * The query computes each event's Morton z-value over (user bucket, hour
+  * bucket) and aggregates per z-prefix "file" — exactly the min/max footer
+  * stats a z-ordered parquet write would produce. The manifest itself IS
+  * the data-skipping proof: every bucket's span in BOTH dimensions is
+  * ≤ 2^(bits−prefixBits/2) wide (asserted in `ZOrderSpec`), so a predicate
+  * on either `user_id` or time prunes ~15/16 of the files, where a 1-D
+  * time-sorted layout prunes nothing for user predicates.
+  */
+object QueriesLayout {
+
+  private val Bits = 8        // per-dimension bucket width (256 buckets)
+  private val PrefixDiv = 256 // keep the top 8 of 16 z-bits → 256 "files"
+
+  /** Z-order layout manifest: per z-prefix bucket, row count and the
+    * min/max of both dimension buckets — tight on both by the Morton
+    * property. `repartitionByRange(z).sortWithinPartitions(z)` before a
+    * parquet write gives real files with exactly these stats; the
+    * manifest form keeps the operator engine-checkable.
+    */
+  private def zorder(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("xb", pmod(col("user_id"), lit(1L << Bits)))
+      .withColumn("yb", pmod(expr("unix_micros(ts) div 3600000000"), lit(1L << Bits)))
+    ev.withColumn("z", ZOrder.zValue(col("xb"), col("yb"), Bits))
+      .withColumn("file_id", expr(s"z div ${PrefixDiv}L"))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("xb")).as("min_user_bucket"),
+        max(col("xb")).as("max_user_bucket"),
+        min(col("yb")).as("min_hour_bucket"),
+        max(col("yb")).as("max_hour_bucket"),
+        min(col("z")).as("min_z"),
+        max(col("z")).as("max_z"))
+  }
+
+  private val zorderSql = {
+    val z = ZOrder.zValueSql("xb", "yb", Bits)
+    s"""WITH b AS (
+       |  SELECT ((user_id % ${1L << Bits}) + ${1L << Bits}) % ${1L << Bits} AS xb,
+       |    ((epoch_us(ts::TIMESTAMP) // 3600000000 % ${1L << Bits}) + ${1L << Bits}) % ${1L << Bits} AS yb
+       |  FROM events),
+       |zv AS (SELECT xb, yb, $z AS z FROM b)
+       |SELECT z // $PrefixDiv AS file_id, COUNT(*) AS n_rows,
+       |  CAST(MIN(xb) AS BIGINT) AS min_user_bucket,
+       |  CAST(MAX(xb) AS BIGINT) AS max_user_bucket,
+       |  CAST(MIN(yb) AS BIGINT) AS min_hour_bucket,
+       |  CAST(MAX(yb) AS BIGINT) AS max_hour_bucket,
+       |  CAST(MIN(z) AS BIGINT) AS min_z,
+       |  CAST(MAX(z) AS BIGINT) AS max_z
+       |FROM zv GROUP BY 1""".stripMargin
+  }
+
+  def all: Seq[Q] = Seq(
+    Q("layout_zorder", zorder, Some(zorderSql)))
+}

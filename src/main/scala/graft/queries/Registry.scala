@@ -17,6 +17,7 @@ object Registry {
       QueriesLlm.all ++
       QueriesCorpus.all ++
       QueriesSketch.all ++
+      QueriesLayout.all ++
       QueriesStreaming.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
