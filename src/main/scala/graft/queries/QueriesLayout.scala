@@ -61,6 +61,41 @@ object QueriesLayout {
        |FROM zv GROUP BY 1""".stripMargin
   }
 
+  /** Co-located bucketed join: write orders and customer as catalog-backed
+    * bucketed tables ([[graft.sources.Sinks.writeBucketed]], 8 buckets on
+    * the customer key, sorted within buckets) and join them WITHOUT any
+    * exchange — the shuffle is paid ONCE at ingest, then every join on the
+    * key is exchange-free (pinned in `PlanSpec`'s bucketed-join test; this
+    * row proves result parity end-to-end through the write→catalog→read
+    * path). At 100 TB this is the difference between re-shuffling two fact
+    * tables per query and a merge of pre-sorted co-located files; the only
+    * exchange left in the plan is the tiny final per-segment aggregate.
+    * Money sums ride DECIMAL ([[Det.dsum]]) so the result is partitioning-
+    * independent and engine-exact.
+    */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Det._
+    graft.sources.Sinks.writeBucketed(
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice")),
+      "layout_orders_b", 8, Seq("o_custkey"), Seq("o_custkey"))
+    graft.sources.Sinks.writeBucketed(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+      "layout_customer_b", 8, Seq("c_custkey"), Seq("c_custkey"))
+    s.table("layout_orders_b")
+      .join(s.table("layout_customer_b"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+  }
+
+  private val bucketedJoinSql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   def all: Seq[Q] = Seq(
-    Q("layout_zorder", zorder, Some(zorderSql)))
+    Q("layout_zorder", zorder, Some(zorderSql)),
+    Q("layout_bucketed_join", bucketedJoin, Some(bucketedJoinSql)))
 }

@@ -301,9 +301,131 @@ object QueriesSketch {
        |FROM b JOIN ex USING (event_type)""".stripMargin
   }
 
+  // -------------------------------------------------------------- theta --
+
+  private val ThetaK = 64
+
+  /** Theta-sketch set operations across two tables (k=64): per event type,
+    * estimate |A ∪ B| and |A ∩ B| where A = distinct event users of that
+    * type and B = distinct order customers — WITHOUT ever co-shuffling the
+    * two tables. Each side builds its bottom-k-distinct-hash sketch
+    * independently (bounded ≤ k state, map-side partials, O(groups × k)
+    * shuffle; B's one-row sketch broadcasts); the set algebra then runs on
+    * ≤ 2k longs per group: θ = min(θ_A, θ_B) with θ_side = k-th smallest
+    * hash (M61 when under-full — everything retained), retained = hashes
+    * < θ, and est = M61 · |retained| / θ (the standard theta-sketch
+    * estimator, Dasgupta et al., "Theta-Sketch Framework"). At 100 TB this
+    * is THE way to answer audience-overlap questions: the exact companions
+    * computed alongside need a distinct + join over both key sets, the
+    * sketch answers from two constant-size states. Every register is
+    * replayed exactly by the DuckDB oracle (same 61-bit hash), so the gate
+    * hash-checks θ, both retained counts, and both estimates.
+    */
+  private def thetaSetops(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m61d = Sketches.M61.toDouble
+    val h = (c: Column) =>
+      Sketches.hash61(c, Sketches.KmvParams._1, Sketches.KmvParams._2)
+
+    val aKeys = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+    val bKeys = Tables.orders(s, dir).select(col("o_custkey"))
+
+    val bkA = aKeys.select(col("event_type"), h(col("user_id")).as("h"))
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(graft.operators.BottomKDistinctAggregator(ThetaK).toColumn.name("bka"))
+      .toDF("event_type", "bka")
+    val bkB = bKeys.select(h(col("o_custkey")).as("h"))
+      .as[Long].groupByKey(_ => 0).mapValues(identity)
+      .agg(graft.operators.BottomKDistinctAggregator(ThetaK).toColumn.name("bkb"))
+      .toDF("g", "bkb").drop("g")
+
+    def theta(bk: Column): Column =
+      when(size(bk) < ThetaK, lit(Sketches.M61)).otherwise(element_at(bk, ThetaK))
+    def estimate(ret: Column): Column =
+      round(lit(m61d) * ret.cast("double") / col("theta").cast("double")).cast("long")
+
+    val sketched = bkA.crossJoin(broadcast(bkB))
+      .withColumn("theta", least(theta(col("bka")), theta(col("bkb"))))
+      .select(col("event_type"), col("theta"),
+        size(filter(array_union(col("bka"), col("bkb")), _ < col("theta")))
+          .cast("long").as("union_ret"),
+        size(filter(array_intersect(col("bka"), col("bkb")), _ < col("theta")))
+          .cast("long").as("inter_ret"))
+      .withColumn("union_est", estimate(col("union_ret")))
+      .withColumn("inter_est", estimate(col("inter_ret")))
+
+    val nA = aKeys.distinct().groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact_a"))
+    val nB = bKeys.distinct().agg(count(lit(1)).as("n_exact_b"))
+    val inter = aKeys.distinct()
+      .join(bKeys.distinct(), col("user_id") === col("o_custkey"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_exact_inter"))
+    val exact = nA.crossJoin(broadcast(nB))
+      .join(inter, Seq("event_type"), "left")
+      .withColumn("n_exact_inter", coalesce(col("n_exact_inter"), lit(0L)))
+      .withColumn("n_exact_union",
+        col("n_exact_a") + col("n_exact_b") - col("n_exact_inter"))
+
+    sketched.join(exact, "event_type")
+      .select(col("event_type"),
+        col("n_exact_a"), col("n_exact_b"), col("n_exact_union"), col("n_exact_inter"),
+        col("theta"), col("union_ret"), col("inter_ret"),
+        col("union_est"), col("inter_est"))
+  }
+
+  private val thetaSetopsSql = {
+    val m61d = Sketches.M61.toDouble
+    val ha = hSql("user_id", Sketches.KmvParams)
+    val hb = hSql("o_custkey", Sketches.KmvParams)
+    s"""WITH ah AS (SELECT DISTINCT event_type, $ha AS h FROM events),
+       |ar AS (SELECT event_type, h,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM ah),
+       |bka AS (SELECT event_type, h FROM ar WHERE rn <= $ThetaK),
+       |tha AS (SELECT event_type,
+       |    CASE WHEN COUNT(*) = $ThetaK THEN MAX(h) ELSE $M61s END AS theta_a
+       |  FROM bka GROUP BY 1),
+       |bh AS (SELECT DISTINCT $hb AS h FROM orders),
+       |br AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM bh),
+       |bkb AS (SELECT h FROM br WHERE rn <= $ThetaK),
+       |thb AS (SELECT CASE WHEN COUNT(*) = $ThetaK THEN MAX(h) ELSE $M61s END AS theta_b
+       |  FROM bkb),
+       |th AS (SELECT event_type, LEAST(theta_a, theta_b) AS theta FROM tha, thb),
+       |uni AS (SELECT u.event_type, CAST(COUNT(DISTINCT u.h) AS BIGINT) AS union_ret
+       |  FROM (SELECT event_type, h FROM bka
+       |        UNION ALL
+       |        SELECT t.event_type, b.h
+       |        FROM (SELECT DISTINCT event_type FROM events) t, bkb b) u
+       |  JOIN th ON u.event_type = th.event_type AND u.h < th.theta
+       |  GROUP BY 1),
+       |ints AS (SELECT bka.event_type, CAST(COUNT(*) AS BIGINT) AS inter_ret
+       |  FROM bka JOIN bkb USING (h)
+       |  JOIN th ON bka.event_type = th.event_type AND bka.h < th.theta
+       |  GROUP BY 1),
+       |na AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact_a
+       |  FROM events GROUP BY 1),
+       |nb AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact_b FROM orders),
+       |ni AS (SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_exact_inter
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events) e
+       |  JOIN (SELECT DISTINCT o_custkey FROM orders) o ON e.user_id = o.o_custkey
+       |  GROUP BY 1)
+       |SELECT na.event_type, n_exact_a, n_exact_b,
+       |  n_exact_a + n_exact_b - COALESCE(n_exact_inter, 0) AS n_exact_union,
+       |  COALESCE(n_exact_inter, 0) AS n_exact_inter,
+       |  th.theta, COALESCE(union_ret, 0) AS union_ret, COALESCE(inter_ret, 0) AS inter_ret,
+       |  CAST(ROUND($m61d * CAST(COALESCE(union_ret, 0) AS DOUBLE) / CAST(th.theta AS DOUBLE)) AS BIGINT) AS union_est,
+       |  CAST(ROUND($m61d * CAST(COALESCE(inter_ret, 0) AS DOUBLE) / CAST(th.theta AS DOUBLE)) AS BIGINT) AS inter_est
+       |FROM na
+       |JOIN th ON na.event_type = th.event_type
+       |LEFT JOIN uni ON na.event_type = uni.event_type
+       |LEFT JOIN ints ON na.event_type = ints.event_type
+       |CROSS JOIN nb
+       |LEFT JOIN ni ON na.event_type = ni.event_type""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("sk_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     Q("sk_cms_heavy", cmsHeavy, Some(cmsHeavySql)),
     Q("sk_bloom_prune", bloomPrune, Some(bloomPruneSql)),
-    Q("sk_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)))
+    Q("sk_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
+    Q("sk_theta_setops", thetaSetops, Some(thetaSetopsSql)))
 }
