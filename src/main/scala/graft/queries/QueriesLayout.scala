@@ -95,7 +95,41 @@ object QueriesLayout {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  private val CompactTargetRows = 2000L
+
+  /** Compaction planner: the per-day file manifest a small-files compactor
+    * executes. Per event day: row count, planned file count at a fixed
+    * rows-per-file target (`ceil(n / target)` in pure integer math), and
+    * the resulting max rows per file (`ceil(n / n_files)` — balanced
+    * split). The plan is what `repartitionByRange(day).sortWithin...
+    * .write` turns into physical files; keeping it a manifest keeps the
+    * operator engine-checkable. At 100 TB the small-files problem IS a
+    * first-order cost (every file is a task + a footer read + an object
+    * store request); this manifest is the driver-side plan that bounds
+    * both file count and file size, computed from a pure aggregate —
+    * one tiny shuffle of (day, count) partials, never the data.
+    */
+  private def compaction(s: SparkSession, dir: String): DataFrame = {
+    val t = CompactTargetRows
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("n_files", expr(s"(n_rows + ${t - 1}L) div ${t}L"))
+      .withColumn("max_rows_per_file", expr("(n_rows + n_files - 1L) div n_files"))
+  }
+
+  private val compactionSql =
+    s"""WITH d AS (
+       |  SELECT CAST(ts::TIMESTAMP AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM events GROUP BY 1),
+       |f AS (SELECT day, n_rows,
+       |    (n_rows + ${CompactTargetRows - 1}) // $CompactTargetRows AS n_files FROM d)
+       |SELECT day, n_rows, n_files,
+       |  (n_rows + n_files - 1) // n_files AS max_rows_per_file
+       |FROM f""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("layout_zorder", zorder, Some(zorderSql)),
-    Q("layout_bucketed_join", bucketedJoin, Some(bucketedJoinSql)))
+    Q("layout_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
+    Q("layout_compaction", compaction, Some(compactionSql)))
 }

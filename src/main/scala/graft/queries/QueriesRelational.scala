@@ -444,6 +444,63 @@ object QueriesRelational {
       |FROM w JOIN e ON e.ts >= w.ws AND e.ts < w.we
       |GROUP BY win_id""".stripMargin
 
+  /** Cohort retention matrix: users bucketed by the epoch-week of their
+    * FIRST event (the cohort), then per (cohort, week-offset) the count of
+    * users still active and its share of the cohort's size. Weeks are
+    * epoch-based (`unix_micros div 7-day-µs`) — a pure integer bucket both
+    * engines compute identically, with no week-of-year/locale semantics.
+    *
+    * Distributed shape: (user, week) pairs dedupe in a partial-aggregating
+    * groupBy (map-side combine absorbs each user's intra-week events before
+    * the exchange), the per-user first week is a window min over the user
+    * partition, and everything after operates on ≤ users × weeks rows —
+    * at 100 TB the heavy exchange is the first dedupe, carrying one row
+    * per (user, active-week), never the raw events. The cohort-size
+    * denominator is a second tiny window over the cohort partition
+    * (offset 0 is the cohort size by construction: every user is active
+    * in their first week).
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weekUs = 7L * 86400L * 1000000L
+    val uw = Tables.events(s, dir)
+      .select(col("user_id"), (unix_micros(col("ts")) / weekUs).cast("long").as("week"))
+      .groupBy(col("user_id"), col("week")).agg(count(lit(1)).as("_n")).drop("_n")
+    val withCohort = uw.withColumn("cohort_week",
+      min(col("week")).over(Window.partitionBy(col("user_id"))))
+    val cells = withCohort
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset_weeks"))
+      .agg(count(lit(1)).as("n_users"))
+    cells
+      .withColumn("cohort_size",
+        sum(when(col("offset_weeks") === 0, col("n_users")).otherwise(0L))
+          .over(Window.partitionBy(col("cohort_week"))))
+      .withColumn("retention_pct",
+        col("n_users").cast("double") * lit(100.0) / col("cohort_size").cast("double"))
+      .select(col("cohort_week"), col("offset_weeks"), col("n_users"),
+        col("cohort_size"), col("retention_pct"))
+  }
+
+  private val q15Sql = {
+    val weekUs = 7L * 86400L * 1000000L
+    s"""WITH uw AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts::TIMESTAMP) // $weekUs AS week
+       |  FROM events),
+       |c AS (SELECT user_id, week,
+       |    MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw),
+       |cells AS (SELECT cohort_week, week - cohort_week AS offset_weeks,
+       |    CAST(COUNT(*) AS BIGINT) AS n_users
+       |  FROM c GROUP BY 1, 2),
+       |sized AS (SELECT *,
+       |    SUM(CASE WHEN offset_weeks = 0 THEN n_users ELSE 0 END)
+       |      OVER (PARTITION BY cohort_week) AS cohort_size
+       |  FROM cells)
+       |SELECT cohort_week, offset_weeks, n_users,
+       |  CAST(cohort_size AS BIGINT) AS cohort_size,
+       |  CAST(n_users AS DOUBLE) * 100.0 / CAST(cohort_size AS DOUBLE) AS retention_pct
+       |FROM sized""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true, benchRun = Some(q01Bench)),
     Q("j4_salted_join", j4, Some(j4Sql)),
@@ -462,6 +519,7 @@ object QueriesRelational {
     Q("q12_pivot_daily", q12, Some(q12Sql)),
     Q("q13_exact_quantiles", q13, Some(q13Sql)),
     Q("q14_topk_per_group", q14, Some(q14Sql)),
-    Q("j5_range_join", j5, Some(j5Sql), headline = true)
+    Q("j5_range_join", j5, Some(j5Sql), headline = true),
+    Q("q15_retention_cohorts", q15, Some(q15Sql))
   )
 }
