@@ -1066,11 +1066,80 @@ object QueriesDomain {
        |  close IS NULL AS is_gap
        |FROM j""".stripMargin
 
+  /** Resample with LINEAR interpolation — pandas `resample('1min')
+    * .interpolate('linear')`: gap buckets take
+    * `prev + (next − prev) · (b − pb)/(nb − pb)` between the nearest real
+    * closes. Same tick-count-independent grid as [[g8]]; the two extra
+    * windows (backward last-non-null carrying (close, bucket), forward
+    * first-non-null) share g8's single per-symbol sort — Spark plans ONE
+    * exchange+sort for all four window functions. Both grid ends are real
+    * candles (bounds come from the data), so prev/next always exist.
+    * The interpolation arithmetic is the same IEEE expression tree in both
+    * engines: one integer-ratio division, one multiply, one add.
+    */
+  private def g9(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.ticks(s, dir)
+    val c1m = t.groupBy(col("symbol"),
+        expr("unix_micros(timestamp) div 60000000").as("bucket"))
+      .agg(max_by(col("price"), col("timestamp")).as("close"))
+    val bounds = c1m.groupBy(col("symbol"))
+      .agg(min(col("bucket")).as("mnb"), max(col("bucket")).as("mxb"))
+    val grid = bounds.select(col("symbol"),
+      explode(sequence(col("mnb"), col("mxb"))).as("bucket"))
+    val back = Window.partitionBy(col("symbol")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("symbol")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val j = grid.join(c1m, Seq("symbol", "bucket"), "left")
+      .select(col("symbol"), col("bucket"), col("close"),
+        last(col("close"), ignoreNulls = true).over(back).as("pc"),
+        last(when(col("close").isNotNull, col("bucket")), ignoreNulls = true)
+          .over(back).as("pb"),
+        first(col("close"), ignoreNulls = true).over(fwd).as("nc"),
+        first(when(col("close").isNotNull, col("bucket")), ignoreNulls = true)
+          .over(fwd).as("nb"))
+    val frac = (col("bucket") - col("pb")).cast("double") /
+      (col("nb") - col("pb")).cast("double")
+    j.select(col("symbol"),
+      tsSec(timestamp_micros(col("bucket") * lit(60000000L))).as("ts"),
+      when(col("close").isNotNull, col("close"))
+        .otherwise(col("pc") + (col("nc") - col("pc")) * frac).as("close_interp"),
+      col("close").isNull.as("is_gap"))
+  }
+
+  private val g9Sql =
+    s"""$withTicks,
+       |c AS (SELECT symbol, epoch_us(tstamp) // 60000000 AS bucket,
+       |    arg_max(price, tstamp) AS close
+       |  FROM ticks GROUP BY 1, 2),
+       |b AS (SELECT symbol, min(bucket) AS mnb, max(bucket) AS mxb FROM c GROUP BY 1),
+       |g AS (SELECT symbol, unnest(generate_series(mnb, mxb)) AS bucket FROM b),
+       |j AS (SELECT g.symbol, g.bucket, c.close
+       |  FROM g LEFT JOIN c USING (symbol, bucket)),
+       |w AS (SELECT symbol, bucket, close,
+       |    last_value(close IGNORE NULLS) OVER bw AS pc,
+       |    last_value(CASE WHEN close IS NOT NULL THEN bucket END IGNORE NULLS) OVER bw AS pb,
+       |    first_value(close IGNORE NULLS) OVER fw AS nc,
+       |    first_value(CASE WHEN close IS NOT NULL THEN bucket END IGNORE NULLS) OVER fw AS nb
+       |  FROM j
+       |  WINDOW bw AS (PARTITION BY symbol ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    fw AS (PARTITION BY symbol ORDER BY bucket
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT symbol,
+       |  strftime(make_timestamp(bucket * 60000000), '%Y-%m-%d %H:%M:%S') AS ts,
+       |  CASE WHEN close IS NOT NULL THEN close
+       |       ELSE pc + (nc - pc) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+       |  END AS close_interp,
+       |  close IS NULL AS is_gap
+       |FROM w""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
     Q("g1_candles_1s", g1, Some(g1Sql), headline = true),
     Q("g8_resample_ffill", g8, Some(g8Sql)),
+    Q("g9_resample_interp", g9, Some(g9Sql)),
     Q("g2_rollup_60s", g2, Some(g2Sql)),
     Q("g2_rollup_chain", g2chain, Some(g2chainSql)),
     Q("w15_time_range_avg", w15, Some(w15Sql)),

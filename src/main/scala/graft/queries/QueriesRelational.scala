@@ -501,6 +501,65 @@ object QueriesRelational {
        |FROM sized""".stripMargin
   }
 
+  /** Ordered 3-step funnel (view → click → purchase): per user, the first
+    * view, the first click strictly after it, the first purchase strictly
+    * after that; reported as per-step reached-user counts and conversion
+    * shares. The classic product-analytics query, Spark-first:
+    *
+    * Distributed shape: three conditional-min aggregations chained by
+    * co-partitioned joins — every groupBy and join keys on `user_id`, so
+    * after the first exchange the chain reuses the same hash
+    * partitioning; each pass scans only its step's events (the
+    * `event_type` equality is pushed to the parquet scan). Per-user state
+    * is one timestamp per step — never an event list — so the shape holds
+    * when one user has millions of events. The final count is a single
+    * partial+final aggregate to one row.
+    */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+      .agg(
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_after"),
+        count(col("t3")).as("n_purchase_after"))
+      .withColumn("pct_click",
+        col("n_click_after").cast("double") * lit(100.0) / col("n_view").cast("double"))
+      .withColumn("pct_purchase",
+        col("n_purchase_after").cast("double") * lit(100.0) / col("n_view").cast("double"))
+  }
+
+  private val q16Sql =
+    """WITH t1 AS (
+      |  SELECT user_id, MIN(ts::TIMESTAMP) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS t2 FROM events e
+      |  JOIN t1 ON e.user_id = t1.user_id AND e.ts::TIMESTAMP > t1.t1
+      |  WHERE e.event_type = 'click' GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS t3 FROM events e
+      |  JOIN t2 ON e.user_id = t2.user_id AND e.ts::TIMESTAMP > t2.t2
+      |  WHERE e.event_type = 'purchase' GROUP BY 1),
+      |f AS (SELECT
+      |    CAST(COUNT(t1.t1) AS BIGINT) AS n_view,
+      |    CAST(COUNT(t2.t2) AS BIGINT) AS n_click_after,
+      |    CAST(COUNT(t3.t3) AS BIGINT) AS n_purchase_after
+      |  FROM t1
+      |  LEFT JOIN t2 ON t1.user_id = t2.user_id
+      |  LEFT JOIN t3 ON t1.user_id = t3.user_id)
+      |SELECT n_view, n_click_after, n_purchase_after,
+      |  CAST(n_click_after AS DOUBLE) * 100.0 / CAST(n_view AS DOUBLE) AS pct_click,
+      |  CAST(n_purchase_after AS DOUBLE) * 100.0 / CAST(n_view AS DOUBLE) AS pct_purchase
+      |FROM f""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true, benchRun = Some(q01Bench)),
     Q("j4_salted_join", j4, Some(j4Sql)),
@@ -520,6 +579,7 @@ object QueriesRelational {
     Q("q13_exact_quantiles", q13, Some(q13Sql)),
     Q("q14_topk_per_group", q14, Some(q14Sql)),
     Q("j5_range_join", j5, Some(j5Sql), headline = true),
-    Q("q15_retention_cohorts", q15, Some(q15Sql))
+    Q("q15_retention_cohorts", q15, Some(q15Sql)),
+    Q("q16_funnel_steps", q16, Some(q16Sql))
   )
 }
