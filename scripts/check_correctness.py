@@ -113,6 +113,9 @@ def main():
             elif args.linear_replay and name == "llm_dup_clusters":
                 want_cols, want_rows = linear_replay.dup_clusters_replay(con)
                 detail = "(prefix-filter replay)"
+            elif args.linear_replay and name == "llm_leakage_split":
+                want_cols, want_rows = linear_replay.leakage_split_replay(con)
+                detail = "(prefix-filter replay)"
             elif args.linear_replay and name == "llm_corpus_pipeline":
                 want_cols, want_rows = linear_replay.corpus_pipeline_replay(con, sql)
                 detail = "(prefix-filter replay)"

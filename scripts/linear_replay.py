@@ -787,6 +787,41 @@ def dup_clusters_replay(con):
             [(r, n, s) for r, (n, s) in sorted(groups.items())])
 
 
+def leakage_split_replay(con):
+    """llm_leakage_split: clusters from the same union-find as
+    dup_clusters_replay, singletons cluster to themselves; split by the
+    md5-permille sampleKey of the cluster representative (train<800,
+    val<900, else test)."""
+    import hashlib
+    docs = _shingle_docs(con)
+    pairs = _true_jaccard_pairs(docs)
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    agg = {}
+    for doc_id, _, _ in docs:
+        cluster = find(doc_id)
+        key = int(hashlib.md5(b"graft" + str(cluster).encode()).hexdigest()[:8], 16) % 1000
+        split = "train" if key < 800 else ("val" if key < 900 else "test")
+        n, cl, s = agg.get(split, (0, set(), 0))
+        cl.add(cluster)
+        agg[split] = (n + 1, cl, s + doc_id)
+    return (["split", "n_docs", "n_clusters", "sum_doc_ids"],
+            [(sp, n, len(cl), s) for sp, (n, cl, s) in sorted(agg.items())])
+
+
 def is_h_query(name):
     return name in H_QUERIES
 

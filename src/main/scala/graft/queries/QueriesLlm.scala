@@ -179,6 +179,78 @@ object QueriesLlm {
         sum(col("id")).as("sum_members"))
   }
 
+  /** Leakage-safe train/val/test split: assignment is a deterministic hash
+    * of the document's near-dup CLUSTER representative, not of the document
+    * itself — so a near-duplicate pair can never straddle train and test
+    * (the classic eval-contamination bug that per-document hashing causes
+    * by construction). Singleton docs are their own cluster. 80/10/10 by
+    * the same permille [[graft.functions.CorpusOps.sampleKey]] the sampling
+    * ops use (md5-derived, engine-replayable).
+    *
+    * Shape: the LSH→Jaccard→connected-components chain of
+    * [[dupClusters]] produces the (id → representative) map — tiny next to
+    * the corpus (only docs WITH a near-dup appear); the split itself is a
+    * left join on doc_id + one map-side hash, and the report is a 3-row
+    * aggregate carrying membership-pinning id sums.
+    */
+  private def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CorpusOps
+    val docs = Tables.documents(s, dir)
+    val edges = MinHash.withExactJaccard(MinHash.candidatePairs(docs), docs)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val comp = graft.operators.ConnectedComponents.components(edges)
+    val withCluster = docs.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("cluster"))
+    val key = CorpusOps.sampleKey(col("cluster"))
+    withCluster
+      .withColumn("split",
+        when(key < 800, "train").when(key < 900, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(col("doc_id")).as("sum_doc_ids"))
+  }
+
+  private val leakageSplitSql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(norm, ' ')) <= 3 THEN [norm]
+      |         ELSE list_transform(range(1, len(string_split(norm, ' ')) - 1),
+      |           i -> array_to_string(list_slice(string_split(norm, ' '), i, i + 2), ' '))
+      |    END AS sh
+      |  FROM d),
+      |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh)) AS ni,
+      |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS nu
+      |  FROM ds a, ds b WHERE a.doc_id < b.doc_id),
+      |e AS (SELECT id_a, id_b FROM p WHERE ni::DOUBLE / nu >= 0.8),
+      |sym AS (SELECT id_a AS a, id_b AS b FROM e
+      |        UNION ALL SELECT id_b, id_a FROM e),
+      |nodes AS (SELECT DISTINCT a AS id FROM sym),
+      |cc AS (SELECT id, id AS comp FROM nodes
+      |       UNION
+      |       SELECT sy.b, cc.comp FROM cc JOIN sym sy ON sy.a = cc.id),
+      |asg AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+      |wc AS (SELECT d.doc_id, COALESCE(asg.comp, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN asg ON d.doc_id = asg.id),
+      |k AS (SELECT doc_id, cluster,
+      |    CAST(concat('0x', substr(md5(concat('graft', CAST(cluster AS VARCHAR))), 1, 8)) AS BIGINT) % 1000 AS key
+      |  FROM wc)
+      |SELECT CASE WHEN key < 800 THEN 'train'
+      |            WHEN key < 900 THEN 'val' ELSE 'test' END AS split,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids
+      |FROM k GROUP BY 1""".stripMargin
+
   private val dupClustersSql =
     """WITH RECURSIVE d AS (
       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
@@ -810,6 +882,7 @@ object QueriesLlm {
     Q("llm_minhash_dedup_verified", minhashVerified, Some(minhashVerifiedSql)),
     Q("llm_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
     Q("llm_dup_clusters", dupClusters, Some(dupClustersSql)),
+    Q("llm_leakage_split", leakageSplit, Some(leakageSplitSql)),
     Q("llm_simhash_neardup", simhash, Some(LlmHashOracles.simhashSql)),
     Q("llm_simhash_recovery", simhashRecovery, Some(simhashRecoverySql)),
     Q("llm_cosine_topk", cosine, Some(cosineSql), headline = true),

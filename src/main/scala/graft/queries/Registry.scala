@@ -18,6 +18,7 @@ object Registry {
       QueriesCorpus.all ++
       QueriesSketch.all ++
       QueriesLayout.all ++
+      QueriesQuality.all ++
       QueriesStreaming.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
