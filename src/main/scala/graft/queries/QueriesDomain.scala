@@ -1134,12 +1134,64 @@ object QueriesDomain {
        |  close IS NULL AS is_gap
        |FROM w""".stripMargin
 
+  /** W16 — hourly TWAP (time-weighted average price): each tick's price
+    * weighted by how long it stood, `Σ price·Δt / Σ Δt`, with Δt clipped at
+    * the hour boundary and the symbol's final tick extending to its hour
+    * end. The duration-weighting complement to the candle VWAP (execution
+    * benchmarking weights quiet-period prices by TIME, not volume).
+    *
+    * Shape: the `lead` window and the (symbol, hour) aggregate share the
+    * per-symbol exchange+sort; sums are decimal-exact and — the part that
+    * survives scale — BOUNDED BY TIME, not rows: Σ price·Δt per group ≤
+    * max_price × 1 hour regardless of tick count, so the scale-2 decimal
+    * numerator stays far under 2^53 and the final decimal→double cast is
+    * exact in both engines at any SF (cf. [[Det.centsDouble]]).
+    */
+  private def w16(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("symbol")).orderBy(col("us"), col("seq"))
+    val base = ticks(s, dir)
+      .select(col("symbol"), unix_micros(col("timestamp")).as("us"),
+        col("price"), col("seq"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .withColumn("hour", expr("us div 3600000000"))
+      .withColumn("hend", (col("hour") + 1) * lit(3600000000L))
+      .withColumn("dt_us",
+        least(coalesce(col("next_us"), col("hend")), col("hend")) - col("us"))
+    base.groupBy(col("symbol"), col("hour"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        sum(col("dt_us")).as("sum_dt_us"),
+        sum(dec(col("price"), 12) * col("dt_us").cast(DecimalType(18, 0))).as("pdt"))
+      .select(col("symbol"), col("hour"), col("n_ticks"), col("sum_dt_us"),
+        (col("pdt").cast("double") / col("sum_dt_us").cast("double")).as("twap"))
+  }
+
+  private val w16Sql =
+    s"""$withTicks,
+       |x AS (SELECT symbol, epoch_us(tstamp) AS us, price,
+       |    lead(epoch_us(tstamp)) OVER (PARTITION BY symbol ORDER BY tstamp, seq) AS next_us
+       |  FROM ticks),
+       |h AS (SELECT symbol, us, price, next_us,
+       |    us // 3600000000 AS hour,
+       |    (us // 3600000000 + 1) * 3600000000 AS hend
+       |  FROM x),
+       |d AS (SELECT symbol, hour, price,
+       |    LEAST(COALESCE(next_us, hend), hend) - us AS dt_us
+       |  FROM h)
+       |SELECT symbol, hour, CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       |  CAST(SUM(dt_us) AS BIGINT) AS sum_dt_us,
+       |  CAST(SUM(CAST(price AS DECIMAL(12,2)) * CAST(dt_us AS DECIMAL(18,0))) AS DOUBLE)
+       |    / CAST(SUM(dt_us) AS DOUBLE) AS twap
+       |FROM d GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
     Q("g1_candles_1s", g1, Some(g1Sql), headline = true),
     Q("g8_resample_ffill", g8, Some(g8Sql)),
     Q("g9_resample_interp", g9, Some(g9Sql)),
+    Q("w16_twap", w16, Some(w16Sql)),
     Q("g2_rollup_60s", g2, Some(g2Sql)),
     Q("g2_rollup_chain", g2chain, Some(g2chainSql)),
     Q("w15_time_range_avg", w15, Some(w15Sql)),
