@@ -422,10 +422,98 @@ object QueriesSketch {
        |LEFT JOIN ni ON na.event_type = ni.event_type""".stripMargin
   }
 
+  // ---------------------------------------------- histogram quantiles --
+
+  private val QPermille = Seq(500, 950, 990)
+
+  /** Mergeable histogram quantiles — the one-pass, bounded-state answer to
+    * "p95 per group" that a 100 TB unsorted scan permits: a fixed-width
+    * histogram (1-dollar bins over the 2-decimal value domain, ≤ ~500
+    * cells) partial-aggregates map-side exactly like HLL/CMS registers, so
+    * the shuffle carries groups × bins cells, never rows; the quantile is
+    * then read off the cumulative histogram with within-bin linear
+    * interpolation. Ranks use the integer form `ceil(q·n) = (n·q + 999)
+    * div 1000` — no float rank, so bin selection is bit-stable. The exact
+    * companion (rank-selection over the full sort, the q13 machinery) runs
+    * alongside, making the estimate's error an oracle-checked column.
+    * Completes the sketch family: distinct (HLL/KMV), frequency (CMS),
+    * membership (Bloom), set algebra (theta), quantiles (histogram).
+    */
+  private def histQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("cents", (col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
+    val hist = ev.withColumn("bin", expr("cents div 100L"))
+      .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val histC = hist
+      .withColumn("cum", sum(col("cnt")).over(wcum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val qCol = explode(array(QPermille.map(lit): _*)).as("q")
+    val est = histC.select(col("event_type"), col("bin"), col("cnt"), col("cum"), col("n"), qCol)
+      .withColumn("rank_q", expr("(n * q + 999L) div 1000L"))
+      .filter(col("cum") >= col("rank_q"))
+      .groupBy(col("event_type"), col("q"))
+      .agg(max(col("n")).as("n"), max(col("rank_q")).as("rank_q"),
+        min(col("bin")).as("bin"),
+        min_by(col("cnt"), col("bin")).as("bcnt"),
+        min_by(col("cum"), col("bin")).as("bcum"))
+      .withColumn("est_q",
+        col("bin").cast("double") +
+          (col("rank_q") - col("bcum") + col("bcnt")).cast("double") /
+            col("bcnt").cast("double"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val ranked = ev.withColumn("rn", row_number().over(wv))
+    val exact = est.select(col("event_type"), col("q"), col("rank_q"))
+      .join(ranked, Seq("event_type"))
+      .filter(col("rn") === col("rank_q"))
+      .select(col("event_type"), col("q"), col("value").as("exact_q"))
+    est.join(exact, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("n"), col("rank_q"),
+        col("est_q"), col("exact_q"),
+        (col("est_q") - col("exact_q")).as("err"))
+  }
+
+  private val histQuantilesSql = {
+    val qvals = QPermille.map(q => s"SELECT $q AS q").mkString(" UNION ALL ")
+    s"""WITH ev AS (SELECT event_type, value, event_id,
+       |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |hist AS (SELECT event_type, cents // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ev GROUP BY 1, 2),
+       |hc AS (SELECT event_type, bin, cnt,
+       |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM hist),
+       |qs AS ($qvals),
+       |cand AS (SELECT hc.*, qs.q, (n * q + 999) // 1000 AS rank_q
+       |  FROM hc CROSS JOIN qs
+       |  WHERE cum >= (n * q + 999) // 1000),
+       |est AS (SELECT event_type, q,
+       |    CAST(MAX(n) AS BIGINT) AS n, CAST(MAX(rank_q) AS BIGINT) AS rank_q,
+       |    MIN(bin) AS bin, arg_min(cnt, bin) AS bcnt, arg_min(cum, bin) AS bcum
+       |  FROM cand GROUP BY 1, 2),
+       |est2 AS (SELECT event_type, q, n, rank_q,
+       |    CAST(bin AS DOUBLE) +
+       |      CAST(rank_q - bcum + bcnt AS DOUBLE) / CAST(bcnt AS DOUBLE) AS est_q
+       |  FROM est),
+       |rk AS (SELECT event_type, value,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+       |  FROM ev),
+       |ex AS (SELECT e.event_type, e.q, r.value AS exact_q
+       |  FROM est2 e JOIN rk r ON e.event_type = r.event_type AND r.rn = e.rank_q)
+       |SELECT e.event_type, e.q, e.n, e.rank_q, e.est_q, ex.exact_q,
+       |  e.est_q - ex.exact_q AS err
+       |FROM est2 e JOIN ex ON e.event_type = ex.event_type AND e.q = ex.q""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("sk_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     Q("sk_cms_heavy", cmsHeavy, Some(cmsHeavySql)),
     Q("sk_bloom_prune", bloomPrune, Some(bloomPruneSql)),
     Q("sk_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
-    Q("sk_theta_setops", thetaSetops, Some(thetaSetopsSql)))
+    Q("sk_theta_setops", thetaSetops, Some(thetaSetopsSql)),
+    Q("sk_hist_quantiles", histQuantiles, Some(histQuantilesSql)))
 }
