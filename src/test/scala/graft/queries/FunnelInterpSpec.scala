@@ -52,6 +52,26 @@ class FunnelInterpSpec extends SparkSpec {
     assert(r.getLong(2) === 1L) // only u1 purchased after the click
   }
 
+  test("TWAP clips intervals at the hour boundary and extends the last tick") {
+    // one symbol, hour 0: ticks at t=0s (price 10) and t=1800s (price 20);
+    // next tick is in hour 1 at t=3600+1800 (price 30, extends to hour end).
+    // hour 0: 10*1800 + 20*1800 over 3600 -> 15.0 (second interval CLIPPED
+    // at the boundary); hour 1: single tick from 1800 to hour end -> 30.0
+    val us = (s: Long) => s * 1000000L
+    val t = Seq((us(0), 10.0), (us(1800), 20.0), (us(3600 + 1800), 30.0))
+      .toDF("us", "price").withColumn("symbol", lit("A")).withColumn("seq", col("us"))
+    val w = Window.partitionBy(col("symbol")).orderBy(col("us"), col("seq"))
+    val base = t.withColumn("next_us", lead(col("us"), 1).over(w))
+      .withColumn("hour", expr("us div 3600000000"))
+      .withColumn("hend", (col("hour") + 1) * lit(3600000000L))
+      .withColumn("dt_us",
+        least(coalesce(col("next_us"), col("hend")), col("hend")) - col("us"))
+    val out = base.groupBy(col("hour"))
+      .agg((sum(col("price") * col("dt_us")) / sum(col("dt_us"))).as("twap"))
+      .orderBy("hour").as[(Long, Double)].collect().toSeq
+    assert(out === Seq((0L, 15.0), (1L, 30.0)))
+  }
+
   test("linear interpolation fills interior gaps exactly") {
     // closes at buckets 0 and 4: 10.0 -> 20.0; gaps at 1,2,3 interpolate
     // to 12.5, 15.0, 17.5
