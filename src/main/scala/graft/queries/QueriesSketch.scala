@@ -475,7 +475,10 @@ object QueriesSketch {
         (col("est_q") - col("exact_q")).as("err"))
   }
 
-  private val histQuantilesSql = {
+  /** Shared with `stream_hist_quantiles`: the streaming histogram emits
+    * rows that hash-match this same oracle (batch ≡ stream ≡ oracle, the
+    * stream_hll_distinct pattern). */
+  val histQuantilesSql: String = {
     val qvals = QPermille.map(q => s"SELECT $q AS q").mkString(" UNION ALL ")
     s"""WITH ev AS (SELECT event_type, value, event_id,
        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents

@@ -456,6 +456,48 @@ object QueriesStreaming {
         (col("hll_est") - col("n_exact")).cast("double") * lit(100.0) / col("n_exact").cast("double"))
   }
 
+  /** Streaming histogram quantiles ([[graft.streaming.StreamingSketch
+    * .histQuantileStream]]): the batch `sk_hist_quantiles` estimates from
+    * bounded per-group bin-count state, flushed by sentinel rows; the
+    * exact rank-selection companion joins in batch-side, so the full row —
+    * estimate, exact, error — hash-matches the batch query's own oracle.
+    */
+  private def streamHistQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.types.DecimalType
+
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"),
+        (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+    val feed = ev.select(col("event_type"), col("cents"))
+      .orderBy(col("event_type"), col("cents")).as[(String, Long)]
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+    val name = s"graft_stream_hq_${System.nanoTime}"
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = graft.streaming.StreamingSketch.histQuantileStream(
+        in.toDF().toDF("event_type", "cents", "is_sentinel"), Seq(500, 950, 990))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      feedSorted(feed) { sl => in.addData(sl.map { case (t, c) => (t, c, false) }); q.processAllAvailable() }
+      in.addData(types.map(t => (t, 0L, true)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val ranked = ev.select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(wv))
+    val est = spark.table(name)
+    est.join(ranked, Seq("event_type"))
+      .filter(col("rn") === col("rank_q"))
+      .select(col("event_type"), col("q"), col("n"), col("rank_q"),
+        col("est_q"), col("value").as("exact_q"),
+        (col("est_q") - col("value")).as("err"))
+  }
+
   /** Stream-stream interval join with watermarked state: clicks within the
     * hour BEFORE a purchase by the same user (the classic attribution
     * join), both sides branches of one event stream. The inner join emits
@@ -556,6 +598,7 @@ object QueriesStreaming {
     Q("stream_equiv", streamEquiv, Some(streamEquivSql)),
     Q("stream_restart_equiv", streamRestartEquiv, Some(streamRestartEquivSql)),
     Q("stream_hll_distinct", streamHllDistinct, Some(QueriesSketch.hllDistinctSql)),
+    Q("stream_hist_quantiles", streamHistQuantiles, Some(QueriesSketch.histQuantilesSql)),
     Q("stream_topk", streamTopK, Some(QueriesRelational.q14Sql)),
     Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql)),

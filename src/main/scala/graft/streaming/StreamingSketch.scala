@@ -100,4 +100,60 @@ object StreamingSketch {
     */
   private def halfUp(x: Double): Long =
     BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Streaming histogram quantiles: per-group fixed-width bin counts as
+    * `flatMapGroupsWithState` state — bounded by the value domain's bin
+    * count (≤ ~500 here), independent of stream length, the same sketch
+    * trade as [[hllDistinctStream]]. Input carries `cents` (the batch
+    * query's exact DECIMAL(12,2)·100 integerization, computed BEFORE the
+    * stream boundary so bin assignment is bit-identical) and the
+    * `is_sentinel` flush flag. On flush each requested permille quantile is
+    * read off the cumulative histogram with the batch query's integer
+    * ceil-rank `(n·q + 999) div 1000` and within-bin interpolation
+    * `bin + (rank − cum_before)/cnt` — the identical IEEE expression, so
+    * emitted rows hash-match the SAME oracle as `sk_hist_quantiles`
+    * (batch ≡ stream ≡ oracle).
+    */
+  def histQuantileStream(events: DataFrame, qPermille: Seq[Int]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val flagged =
+      if (events.columns.contains("is_sentinel")) events
+      else events.withColumn("is_sentinel", lit(false))
+    val ds: Dataset[(String, Long, Boolean)] = flagged
+      .select(col("event_type"), col("cents").cast("long"), col("is_sentinel"))
+      .as[(String, Long, Boolean)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, Long], (String, Int, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Boolean)], state: GroupState[Map[Long, Long]]) =>
+          var bins = state.getOption.getOrElse(Map.empty[Long, Long])
+          var emit = false
+          rows.foreach { case (_, cents, sentinel) =>
+            if (sentinel) emit = true
+            else {
+              val b = cents / 100L // cents > 0: same as the batch `div`
+              bins = bins.updated(b, bins.getOrElse(b, 0L) + 1L)
+            }
+          }
+          state.update(bins)
+          if (!emit) Iterator.empty
+          else {
+            val sorted = bins.toSeq.sortBy(_._1)
+            val n = sorted.iterator.map(_._2).sum
+            qPermille.iterator.map { q =>
+              val rank = (n * q + 999L) / 1000L
+              var cum = 0L
+              var bin = 0L; var cnt = 0L; var bcum = 0L; var found = false
+              val it = sorted.iterator
+              while (!found && it.hasNext) {
+                val (b, c) = it.next(); cum += c
+                if (cum >= rank) { bin = b; cnt = c; bcum = cum; found = true }
+              }
+              val est = bin.toDouble + (rank - bcum + cnt).toDouble / cnt.toDouble
+              (key, q, n, rank, est)
+            }
+          }
+      }.toDF("event_type", "q", "n", "rank_q", "est_q")
+  }
 }
