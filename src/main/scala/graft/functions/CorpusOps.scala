@@ -183,10 +183,20 @@ object CorpusOps {
     * isqrt for any non-negative BIGINT even if the double `sqrt` rounds
     * across an integer boundary. Pure integer output — bit-stable in any
     * engine that has IEEE `sqrt` (all of them).
+    *
+    * Overflow safety: the upward correction squares `s0 + 1`, which for
+    * n ≥ 3037000499² (near Long.MaxValue) would wrap; it is guarded by
+    * `s0 + 1 ≤ 3037000499` (the largest long whose square fits), which is
+    * also semantically exact — when the guard fails, (s0+1)² > Long.Max ≥ n,
+    * so the +1 correction could never apply anyway. Spark's `And`
+    * short-circuits in both eval and codegen, so the product is never
+    * computed (no ANSI-mode throw). `s0` itself cannot exceed 3037000499:
+    * `sqrt(double(Long.Max)) < 3037000500` after both roundings, so the
+    * downward branch's `s0 * s0` is always in range.
     */
   def isqrt(n: Column): Column = {
     val s0 = floor(sqrt(n.cast("double"))).cast("long")
-    when((s0 + 1) * (s0 + 1) <= n, s0 + 1)
+    when(s0 + 1 <= lit(3037000499L) && (s0 + 1) * (s0 + 1) <= n, s0 + 1)
       .when(s0 * s0 > n, s0 - 1)
       .otherwise(s0)
   }

@@ -261,17 +261,21 @@ object QueriesCorpus {
   private def mixTemperature(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val targets = CorpusOps.sourceMixTargets(docs, budgetDiv = 4L)
-    CorpusOps.sourceMixSample(docs, targets)
+    val kept = CorpusOps.sourceMixSample(docs, targets)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_kept"),
         sum(col("doc_id")).as("sum_kept_ids"))
-      .join(
-        targets.select(col("source"), col("n_docs"), col("wgt"), col("k_target")),
-        Seq("source"))
+    // LEFT join from targets, n_kept coalesced to 0: a source whose integer
+    // k_target floors to 0 keeps no rows and produces no `kept` row — an
+    // inner join would silently drop it from the manifest, when the honest
+    // answer is "present, n_kept = 0". Every source appears exactly once.
+    targets.select(col("source"), col("n_docs"), col("wgt"), col("k_target"))
+      .join(kept, Seq("source"), "left")
       .select(
         col("source"), col("n_docs"), col("wgt"), col("k_target"),
-        col("n_kept"), col("sum_kept_ids"))
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sum_kept_ids"), lit(0L)).as("sum_kept_ids"))
   }
 
   private val mixTemperatureSql =
@@ -293,8 +297,9 @@ object QueriesCorpus {
       |         FROM r JOIN k ON r.source = k.source AND r.rn <= k.k_target
       |         GROUP BY r.source)
       |SELECT k.source, k.n_docs, k.wgt, CAST(k.k_target AS BIGINT) AS k_target,
-      |       kept.n_kept, kept.sum_kept_ids
-      |FROM k JOIN kept ON k.source = kept.source""".stripMargin
+      |       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(COALESCE(kept.sum_kept_ids, 0) AS BIGINT) AS sum_kept_ids
+      |FROM k LEFT JOIN kept ON k.source = kept.source""".stripMargin
 
   /** Per-source top-5 characteristic terms by an integer-scaled
     * rarity-weighted frequency `score = (tf · 10^6) div df` (tf = in-source

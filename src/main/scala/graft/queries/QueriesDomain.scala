@@ -1140,6 +1140,16 @@ object QueriesDomain {
     * end. The duration-weighting complement to the candle VWAP (execution
     * benchmarking weights quiet-period prices by TIME, not volume).
     *
+    * NO CARRY-FORWARD, by contract: a tick's interval is clipped at its OWN
+    * hour's end and never re-attributed to later hours, so the span between
+    * an hour's start and its first tick — and any tick-free hour — carries
+    * zero weight (such hours produce no row at all; `sum_dt_us` < 3600 s is
+    * the visible footprint). Conventional carry-forward TWAP would instead
+    * hold the last price across the boundary; that variant needs an
+    * interval-split (explode each interval over the hours it spans) and is
+    * deliberately NOT what this operator computes — the oracle and the
+    * hour-boundary fixture test pin the clipped semantics.
+    *
     * Shape: the `lead` window and the (symbol, hour) aggregate share the
     * per-symbol exchange+sort; sums are decimal-exact and — the part that
     * survives scale — BOUNDED BY TIME, not rows: Σ price·Δt per group ≤

@@ -414,9 +414,13 @@ object QueriesRelational {
     * (users in the `% 10` stratum, so the interval side SCALES with the
     * data instead of broadcasting away) matched against every event whose
     * ts falls inside the window. A naive `BETWEEN` join here is a
-    * BroadcastNestedLoopJoin; the rewrite is an equi-join on the hour
-    * bucket (each window replicated ≤ 5×). All-integer aggregates per
-    * window pin exact match membership.
+    * BroadcastNestedLoopJoin; the rewrite is an equi-join on the time
+    * bucket, with the width PROBED from the interval-span distribution
+    * ([[graft.operators.RangeJoin.adaptiveBucketSeconds]]: p75 span
+    * rounded up to a power of two — here 4-hour spans → 16384 s buckets,
+    * ≤ 2 copies per window) instead of a hardcoded constant that only
+    * suits one span shape. All-integer aggregates per window pin exact
+    * match membership; the bucket width never changes the result.
     */
   private def j5(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -424,9 +428,9 @@ object QueriesRelational {
       .groupBy(col("user_id").as("win_id"))
       .agg(min(col("ts")).as("win_start"))
       .withColumn("win_end", col("win_start") + expr("INTERVAL 4 HOURS"))
-    graft.operators.RangeJoin.pointInInterval(
+    graft.operators.RangeJoin.pointInIntervalAuto(
       ev.select(col("ts"), col("event_id"), col("user_id")),
-      wins, "ts", "win_start", "win_end", bucketSeconds = 3600L)
+      wins, "ts", "win_start", "win_end")
       .groupBy(col("win_id"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -442,6 +446,64 @@ object QueriesRelational {
       |  CAST(SUM(e.event_id) AS BIGINT) AS sum_event_ids,
       |  COUNT(DISTINCT e.user_id) AS n_users
       |FROM w JOIN e ON e.ts >= w.ws AND e.ts < w.we
+      |GROUP BY win_id""".stripMargin
+
+  /** J5-hot — the range join under deliberate time skew (the J4 treatment
+    * applied to J5, closing the operator's own scaladoc concession that
+    * bucket keys inherit the time distribution): every event timestamp is
+    * folded into ONE hot hour (`hot0 + us % 1h` — a flash-crash shape), so
+    * with an hour-wide bucket the equi-join collapses to a single bucket
+    * key and one reducer drags the stage. Windows are six staggered 10-min
+    * slots keyed by `user_id % 6`. The `salted` variant replicates each
+    * window across 8 salt lanes while points hash-pick one
+    * ([[graft.operators.RangeJoin.pointInIntervalSalted]]) — 8× the key
+    * space at 8× a SMALL interval side, the right trade in exactly this
+    * shape. Both variants are bit-identical and replay against the one
+    * oracle; the bench rows make the skew cost visible the way
+    * `j4_hot_plain`/`j4_hot_salted` do.
+    */
+  private val hot0Us = 1705320000000000L // 2024-01-15T12:00:00Z, µs
+
+  private def j5Hot(salted: Boolean)(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(lit(hot0Us) +
+          pmod(unix_micros(col("ts")), lit(3600000000L))).as("hts"))
+    val wins = Tables.events(s, dir)
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id").as("win_id")).distinct()
+      .withColumn("win_start",
+        timestamp_micros(lit(hot0Us) + (col("win_id") % 6) * lit(600000000L)))
+      .withColumn("win_end",
+        timestamp_micros(lit(hot0Us) + (col("win_id") % 6 + 1) * lit(600000000L)))
+    val joined =
+      if (salted)
+        graft.operators.RangeJoin.pointInIntervalSalted(
+          ev, wins, "hts", "win_start", "win_end",
+          bucketSeconds = 3600L, salt = 8)
+      else
+        graft.operators.RangeJoin.pointInInterval(
+          ev, wins, "hts", "win_start", "win_end", bucketSeconds = 3600L)
+    joined.groupBy(col("win_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_event_ids"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private val j5HotSql =
+    """WITH e AS (SELECT event_id, user_id,
+      |    1705320000000000 + (epoch_us(ts::TIMESTAMP) % 3600000000) AS hus
+      |  FROM events),
+      |u AS (SELECT DISTINCT user_id AS win_id FROM events WHERE user_id % 10 = 0),
+      |w AS (SELECT win_id,
+      |    1705320000000000 + (win_id % 6) * 600000000 AS ws,
+      |    1705320000000000 + (win_id % 6 + 1) * 600000000 AS we
+      |  FROM u)
+      |SELECT win_id, COUNT(*) AS n_events,
+      |  CAST(SUM(e.event_id) AS BIGINT) AS sum_event_ids,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM w JOIN e ON e.hus >= w.ws AND e.hus < w.we
       |GROUP BY win_id""".stripMargin
 
   /** Cohort retention matrix: users bucketed by the epoch-week of their
@@ -579,6 +641,8 @@ object QueriesRelational {
     Q("q13_exact_quantiles", q13, Some(q13Sql)),
     Q("q14_topk_per_group", q14, Some(q14Sql)),
     Q("j5_range_join", j5, Some(j5Sql), headline = true),
+    Q("j5_hot_plain", j5Hot(salted = false), Some(j5HotSql), headline = true),
+    Q("j5_hot_salted", j5Hot(salted = true), Some(j5HotSql), headline = true),
     Q("q15_retention_cohorts", q15, Some(q15Sql)),
     Q("q16_funnel_steps", q16, Some(q16Sql))
   )

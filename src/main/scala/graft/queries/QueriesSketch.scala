@@ -443,7 +443,11 @@ object QueriesSketch {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, dir).select(col("event_type"), col("value"), col("event_id"))
       .withColumn("cents", (col("value").cast(DecimalType(12, 2)) * 100).cast("long"))
-    val hist = ev.withColumn("bin", expr("cents div 100L"))
+    // Floor division (via pmod), NOT `div`: `div` truncates toward zero, so
+    // a negative value would bin differently from the DuckDB oracle's `//`
+    // (floor) and silently break batch/stream/oracle parity. The generator
+    // keeps value ≥ 0, but the operator shouldn't depend on that.
+    val hist = ev.withColumn("bin", expr("(cents - pmod(cents, 100L)) div 100L"))
       .groupBy(col("event_type"), col("bin")).agg(count(lit(1)).as("cnt"))
     val wcum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -113,6 +113,14 @@ object StreamingSketch {
     * `bin + (rank − cum_before)/cnt` — the identical IEEE expression, so
     * emitted rows hash-match the SAME oracle as `sk_hist_quantiles`
     * (batch ≡ stream ≡ oracle).
+    *
+    * Sentinel contract: flush flags are processed per-BATCH, not
+    * positionally — any data rows that share a micro-batch with a group's
+    * sentinel are folded into the state BEFORE the histogram is emitted
+    * (the iterator is drained first). Callers wanting an exact cut must
+    * place the sentinel in a later batch, as the harness does. A sentinel
+    * for a group with no accumulated data emits nothing (see the
+    * empty-state guard below), never a NaN row.
     */
   def histQuantileStream(events: DataFrame, qPermille: Seq[Int]): DataFrame = {
     val spark = events.sparkSession
@@ -132,12 +140,18 @@ object StreamingSketch {
           rows.foreach { case (_, cents, sentinel) =>
             if (sentinel) emit = true
             else {
-              val b = cents / 100L // cents > 0: same as the batch `div`
+              // floorDiv, matching the batch query's pmod-floor binning and
+              // the DuckDB oracle's `//` — consistent even for negatives
+              val b = Math.floorDiv(cents, 100L)
               bins = bins.updated(b, bins.getOrElse(b, 0L) + 1L)
             }
           }
           state.update(bins)
-          if (!emit) Iterator.empty
+          // Empty-state flush guard: a sentinel for a group that has seen no
+          // data rows would otherwise interpolate 0/0 → NaN rows. Emit
+          // nothing instead — "no data" is the absence of a quantile row,
+          // not a NaN one.
+          if (!emit || bins.isEmpty) Iterator.empty
           else {
             val sorted = bins.toSeq.sortBy(_._1)
             val n = sorted.iterator.map(_._2).sum

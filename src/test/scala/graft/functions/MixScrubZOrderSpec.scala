@@ -28,6 +28,21 @@ class MixScrubZOrderSpec extends SparkSpec {
     }
   }
 
+  test("isqrt near Long.MaxValue: +1 correction must not overflow") {
+    // 3037000499 is the largest long whose square fits; its square is
+    // 9223372030926249001 and (3037000499+1)^2 wraps negative — the
+    // unguarded form would wrongly return s0+1 (or throw under ANSI).
+    val big = 3037000499L * 3037000499L
+    val rows = Seq(big - 1, big, big + 1, Long.MaxValue - 1, Long.MaxValue).toDF("n")
+    val out = rows.select(col("n"), CorpusOps.isqrt(col("n")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(big - 1) === 3037000498L)
+    assert(out(big) === 3037000499L)
+    assert(out(big + 1) === 3037000499L)
+    assert(out(Long.MaxValue - 1) === 3037000499L)
+    assert(out(Long.MaxValue) === 3037000499L)
+  }
+
   test("sourceMixTargets: sqrt weighting upweights small sources") {
     // 100 vs 400 docs: weights 10 vs 20 (1:2), raw counts 1:4 — the small
     // source gets 2× its proportional share.

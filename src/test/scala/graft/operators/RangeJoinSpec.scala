@@ -83,6 +83,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(want.size > 100, "fixture should produce a dense match set")
   }
 
+  test("auto + salted variants ≡ naive join; adaptive width is a sane power of two") {
+    val (points, intervals) = mkData
+    val want = points.join(intervals, col("ts") >= col("ws") && col("ts") < col("we"))
+      .select("iv_id", "point_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = RangeJoin.pointInIntervalAuto(points, intervals, "ts", "ws", "we")
+      .select("iv_id", "point_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === want, "adaptive-width output must be bit-identical")
+    for (salt <- Seq(1, 3, 8)) {
+      val got = RangeJoin
+        .pointInIntervalSalted(points, intervals, "ts", "ws", "we", 3600L, salt)
+        .select("iv_id", "point_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"salt=$salt")
+    }
+    // spans here: 3.5 h, 20 min, 2 h, 2 h (+ empty dropped) → p75 = 2 h
+    // rows to 8192 s; power-of-two and within the clamp
+    val w = RangeJoin.adaptiveBucketSeconds(intervals, "ws", "we")
+    assert(w >= 1L && w <= 86400L && java.lang.Long.bitCount(w) == 1,
+      s"adaptive width must be a clamped power of two, got $w")
+    // probe is cached by canonicalized plan: second call = no new scan
+    assert(RangeJoin.spanStatsCached(
+      intervals.filter(col("we") > col("ws"))
+        .select(((unix_micros(col("we")) - unix_micros(col("ws"))) / lit(1000000L))
+          .cast("long").as("__span_s"))))
+  }
+
   test("plan is an equi-join on the bucket, not a nested-loop join") {
     val (points, intervals) = mkData
     val joined = RangeJoin

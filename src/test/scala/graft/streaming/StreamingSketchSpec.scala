@@ -65,4 +65,29 @@ class StreamingSketchSpec extends SparkSpec {
     assert(rows(0).getLong(0) === 254L,
       "both the positive AND the negative id must have populated a register")
   }
+
+  test("hist quantiles: empty-state flush emits nothing; negatives bin by floor") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val name = s"hist_empty_${System.nanoTime}"
+    val in = MemoryStream[(String, Long, Boolean)]
+    val q = StreamingSketch.histQuantileStream(
+        in.toDF().toDF("event_type", "cents", "is_sentinel"), Seq(500))
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      // group "empty" gets ONLY a sentinel — must emit zero rows, not NaN
+      in.addData(Seq(("empty", 0L, true))); q.processAllAvailable()
+      // group "neg": cents -150 must land in bin -2 (floor), not -1
+      // (truncation) — four rows all in bin -2 make p50 interpolate inside
+      // it: est = -2 + rank/cnt = -2 + 2/4 = -1.5
+      in.addData(Seq(("neg", -150L, false), ("neg", -140L, false),
+        ("neg", -130L, false), ("neg", -120L, false)))
+      q.processAllAvailable()
+      in.addData(Seq(("neg", 0L, true))); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+    assert(!rows.exists(_.getString(0) == "empty"), "empty-state flush must be silent")
+    val negP50 = rows.find(_.getString(0) == "neg").get
+    assert(negP50.getDouble(4) === -1.5, "floor binning: all four in bin -2")
+  }
 }
