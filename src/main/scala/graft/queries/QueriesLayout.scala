@@ -128,8 +128,70 @@ object QueriesLayout {
        |  (n_rows + n_files - 1) // n_files AS max_rows_per_file
        |FROM f""".stripMargin
 
+  /** Executed compaction — the half of the operator a user actually runs
+    * (the planner above only emits the manifest). Each event gets a
+    * deterministic file index `(rank_in_day − 1) div max_rows_per_file`
+    * (rank by (ts, event_id) — total order, so retries assign identically),
+    * the frame is repartitioned on (day, file_idx) so each planned file
+    * lives in exactly ONE task, and `partitionBy(day, file_idx)` writes it
+    * as exactly ONE physical parquet file. The read-back then audits the
+    * LAYOUT, not the plan: physical files per day counted via
+    * `input_file_name()` (a second file in any dir would break the count),
+    * per-file row max/min, and the per-day `sum(event_id)` content pin —
+    * all predicted in closed form by the oracle from the raw table alone
+    * (`k = ceil(n/target)`, `mx = ceil(n/k)`, min = `n − (k−1)·mx`; the
+    * identity `ceil(n/ceil(n/k)) = k` holds for every k of the form
+    * `ceil(n/t)`, so measured file count always equals planned). At scale
+    * the shape is one window + one shuffle on (day, file_idx) — the data
+    * rides the exchange once, and the written layout bounds both file
+    * count and file size, which is the entire point of compaction.
+    */
+  private lazy val compactPath: String =
+    QueriesIngest.stageRoot.resolve("layout_compacted").toString
+
+  private def compactionExec(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val plan = compaction(s, dir).select(col("day"), col("max_rows_per_file"))
+    val w = Window.partitionBy(col("day")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .join(broadcast(plan), Seq("day"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("file_idx", expr("(rn - 1L) div max_rows_per_file"))
+      .select(col("day"), col("file_idx"), col("event_id"))
+      .repartition(col("day"), col("file_idx"))
+      .write.mode("overwrite").partitionBy("day", "file_idx")
+      .parquet(compactPath)
+    val perFile = s.read.parquet(compactPath)
+      .groupBy(col("day"), col("file_idx"), input_file_name().as("fname"))
+      .agg(count(lit(1)).as("rows_in_file"), sum(col("event_id")).as("sum_ids"))
+    perFile.groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_physical_files"),
+        sum(col("rows_in_file")).as("n_rows"),
+        max(col("rows_in_file")).as("max_file_rows"),
+        min(col("rows_in_file")).as("min_file_rows"),
+        sum(col("sum_ids")).as("sum_event_ids"))
+  }
+
+  private val compactionExecSql =
+    s"""WITH d AS (
+       |  SELECT CAST(ts::TIMESTAMP AS DATE) AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(event_id) AS BIGINT) AS sum_event_ids
+       |  FROM events GROUP BY 1),
+       |f AS (SELECT day, n_rows, sum_event_ids,
+       |    (n_rows + ${CompactTargetRows - 1}) // $CompactTargetRows AS k FROM d),
+       |m AS (SELECT *, (n_rows + k - 1) // k AS mx FROM f)
+       |SELECT day, k AS n_physical_files, n_rows,
+       |  mx AS max_file_rows,
+       |  n_rows - (k - 1) * mx AS min_file_rows,
+       |  sum_event_ids
+       |FROM m""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("layout_zorder", zorder, Some(zorderSql)),
     Q("layout_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
-    Q("layout_compaction", compaction, Some(compactionSql)))
+    Q("layout_compaction", compaction, Some(compactionSql)),
+    Q("layout_compaction_exec", compactionExec, Some(compactionExecSql)))
 }
