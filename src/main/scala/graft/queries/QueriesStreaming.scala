@@ -594,6 +594,164 @@ object QueriesStreaming {
     spark.table(name)
   }
 
+  /** Bounded-state PROOF for the streaming sketches — the state-store
+    * numbers themselves, not just output equality. Three operators, three
+    * claims, every one read from `StreamingQueryProgress.stateOperators
+    * .numRowsTotal` (the engine's own state-row accounting) and replayed
+    * by the oracle in closed form:
+    *
+    *  - HLL distinct: run through a REAL file source + on-disk checkpoint,
+    *    STOPPED mid-input and resumed twice (the `stream_restart_equiv`
+    *    harness) — state rows after the full feed = exactly one row per
+    *    group (registers live INSIDE the row; 256 ints regardless of
+    *    stream length), and the bound held on every micro-batch of every
+    *    phase, including across both restarts.
+    *  - top-k: state rows = one per group (each holding ≤ k pairs),
+    *    bounded on every batch.
+    *  - watermarked dedup: state GROWS to `n_base + 1` keys (every
+    *    distinct norm + the watermark-advancing sentinel), then watermark
+    *    eviction SHRINKS it to exactly 2 (the two post-watermark entries:
+    *    sentinel + readmitted duplicate) — `dedup_state_max` vs
+    *    `dedup_state_final` is the eviction, measured. A dedup whose state
+    *    never shrank would hold every key ever seen; this row is the
+    *    10000-row-buffer-cap analog (candle_to_calcs.py:42,771-772) with
+    *    the cap enforced by event time instead of row count.
+    *
+    * Per-batch ≤-bound violations throw inside the query (red row), so a
+    * transient overshoot between captures cannot hide.
+    */
+  private def streamStateBounds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def stateTotals(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[Long] =
+      q.recentProgress.toSeq.flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+
+    // ---- HLL through file source + checkpoint, restarted twice ----
+    val ev = graft.core.Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id").cast("long").as("user_id"))
+    val nTypes = ev.select(col("event_type")).distinct().count()
+    val types = ev.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_state_")
+    val inDir = s"$root/in"; val ckpt = s"$root/ckpt"; val sinkDir = s"$root/out"
+    val feedDf = ev.withColumn("is_sentinel", lit(false))
+    def runPhase(): Seq[Long] = {
+      val src = spark.readStream.schema(feedDf.schema).parquet(inDir)
+      val q = graft.streaming.StreamingSketch.hllDistinctStream(src)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { q.processAllAvailable(); stateTotals(q) } finally q.stop()
+    }
+    feedDf.filter(pmod(col("user_id"), lit(2)) === 0).write.mode("append").parquet(inDir)
+    val p1 = runPhase() // phase 1: half the users, then STOP
+    feedDf.filter(pmod(col("user_id"), lit(2)) === 1).write.mode("append").parquet(inDir)
+    val p2 = runPhase() // phase 2: resume from checkpoint, rest arrives, STOP
+    types.map(t => (t, 0L, true)).toDF("event_type", "user_id", "is_sentinel")
+      .write.mode("append").parquet(inDir)
+    val p3 = runPhase() // phase 3: resume again, sentinels flush
+    val hllAll = p1 ++ p2 ++ p3
+    require(hllAll.nonEmpty && hllAll.forall(_ <= nTypes),
+      s"HLL state rows must stay <= $nTypes on every batch, got $hllAll")
+    val hllStateRows = hllAll.last
+    val hllRowsOut = spark.read.parquet(sinkDir).count()
+
+    // ---- top-k: one state row per group, bounded every batch ----
+    val evk = graft.core.Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val feedK = evk.orderBy(col("event_id")).as[(String, Double, Long)]
+    val agg = graft.operators.TopKAggregator(3)
+    val nameK = s"graft_state_topk_${System.nanoTime}"
+    val inK = MemoryStream[(String, Double, Long, Boolean)]
+    val qK = inK.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Vector[(Double, Long)], (String, Int, Double, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double, Long, Boolean)],
+         state: org.apache.spark.sql.streaming.GroupState[Vector[(Double, Long)]]) =>
+          var buf = state.getOption.getOrElse(agg.zero)
+          var emit = false
+          rows.foreach { case (_, v, id, sentinel) =>
+            if (sentinel) emit = true else buf = agg.reduce(buf, (v, id))
+          }
+          state.update(buf)
+          if (!emit) Iterator.empty
+          else buf.iterator.zipWithIndex.map { case ((v, id), i) => (key, i + 1, v, id) }
+      }
+      .toDF("event_type", "rank", "value", "event_id")
+      .writeStream.format("memory").queryName(nameK).outputMode("append").start()
+    val topkTotals = try {
+      feedSorted(feedK) { sl => inK.addData(sl.map { case (t, v, id) => (t, v, id, false) }); qK.processAllAvailable() }
+      inK.addData(types.map(t => (t, 0.0, 0L, true)))
+      qK.processAllAvailable()
+      stateTotals(qK)
+    } finally qK.stop()
+    require(topkTotals.nonEmpty && topkTotals.forall(_ <= nTypes),
+      s"top-k state rows must stay <= $nTypes on every batch, got $topkTotals")
+    val topkStateRows = topkTotals.last
+
+    // ---- watermarked dedup: growth, then measured eviction ----
+    val docs = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+      .collect().sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getString(1))).toSeq
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 11:00:00")
+    val sentinel = "the quick brown fox jumps over the lazy dog in the morning"
+    val nameD = s"graft_state_dedup_${System.nanoTime}"
+    val inD = MemoryStream[(Long, String, Timestamp)]
+    val qD = graft.streaming.StreamingCorpus.dedupExactStreamBounded(
+        inD.toDF().toDF("doc_id", "text", "arrival_ts"), delay = "10 minutes")
+      .writeStream.format("memory").queryName(nameD).outputMode("append").start()
+    val (dedupMax, dedupFinal) = try {
+      inD.addData(docs.map { case (id, t) => (id, t, t0) })
+      qD.processAllAvailable()
+      val base = spark.table(nameD).select(col("doc_id"), col("text")).collect()
+      require(base.nonEmpty, "stream_state_bounds: need >= 1 batch-1 survivor")
+      inD.addData(Seq((-1L, sentinel, t1)))
+      qD.processAllAvailable()
+      val dup = base.map(r => (r.getLong(0), r.getString(1))).minBy(_._1)
+      inD.addData(Seq((dup._1 + 100000L, dup._2, t1)))
+      qD.processAllAvailable()
+      val totals = stateTotals(qD)
+      (totals.max, totals.last)
+    } finally qD.stop()
+
+    Seq((hllStateRows, hllRowsOut, topkStateRows, dedupMax, dedupFinal))
+      .toDF("hll_state_rows", "hll_rows_out", "topk_state_rows",
+        "dedup_state_max", "dedup_state_final")
+  }
+
+  /** Replays every state count in closed form: one state row per group for
+    * the flatMapGroupsWithState sketches; for the dedup, peak = distinct
+    * gated norms + the sentinel, and post-eviction exactly the two
+    * post-watermark entries.
+    */
+  private val streamStateBoundsSql = {
+    val en = graft.functions.TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH g AS (SELECT COUNT(DISTINCT event_type) AS n_types FROM events),
+       |base AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents WHERE doc_id < 50),
+       |scored AS (
+       |  SELECT doc_id, norm,
+       |    CASE WHEN len(list_filter(toks, t -> t SIMILAR TO '\\S+')) BETWEEN 5 AND 100000
+       |      THEN 1.0 ELSE 0.0 END *
+       |    (0.5 * (length(text) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')))::DOUBLE / greatest(length(text), 1) +
+       |     0.5 * least(len(list_filter(toks, t -> t IN ($en)))::DOUBLE / greatest(len(toks), 1) * 5, 1.0)) AS q
+       |  FROM base),
+       |nb AS (SELECT COUNT(DISTINCT norm) AS n_base FROM scored WHERE q >= 0.3)
+       |SELECT g.n_types AS hll_state_rows, g.n_types AS hll_rows_out,
+       |  g.n_types AS topk_state_rows,
+       |  nb.n_base + 1 AS dedup_state_max,
+       |  CAST(2 AS BIGINT) AS dedup_state_final
+       |FROM g, nb""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("stream_equiv", streamEquiv, Some(streamEquivSql)),
     Q("stream_restart_equiv", streamRestartEquiv, Some(streamRestartEquivSql)),
@@ -603,6 +761,7 @@ object QueriesStreaming {
     Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql)),
     Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql)),
-    Q("stream_anchored_vwap", streamAnchoredVwap, Some(streamAnchoredVwapSql))
+    Q("stream_anchored_vwap", streamAnchoredVwap, Some(streamAnchoredVwapSql)),
+    Q("stream_state_bounds", streamStateBounds, Some(streamStateBoundsSql))
   )
 }
