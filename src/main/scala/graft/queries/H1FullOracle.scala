@@ -19,8 +19,13 @@ object H1FullOracle {
     ((13 to 1 by -1).map(k => s"lag(${QueriesH.ieeeAtrNorm}, $k) OVER w")
       :+ s"(${QueriesH.ieeeAtrNorm})").mkString(" + ")
 
-  val sql: String =
-    s"""${QueriesH.recPreamble}
+  val sql: String = sqlFrom(QueriesH.recPreamble)
+
+  /** Same oracle over a caller-supplied preamble (must define `base`): the
+    * pipeline-full row feeds the validated+deduped variant through here.
+    */
+  def sqlFrom(preamble: String): String =
+    s"""$preamble
        |${QueriesH.macdAtrCte("rma")},
        |${QueriesH.adxCte("radx")},
        |${QueriesH.t3Cte("rt3")},

@@ -315,8 +315,13 @@ object H2FullOracle {
   private val sumExpr = "CAST(" + patterns.map(_._1).mkString(" + ") +
     " AS BIGINT) AS candle_pattern_sum"
 
-  val sql: String =
-    s"""${QueriesDomain.withCandles},
+  val sql: String = sqlFrom(QueriesDomain.withCandles)
+
+  /** Same oracle over a caller-supplied preamble (must end in a `candles`
+    * CTE): the pipeline-full row feeds the validated+deduped variant.
+    */
+  def sqlFrom(preamble: String): String =
+    s"""$preamble,
        |g AS (
        |  SELECT symbol, tstamp, open, high, low, close,
        |    ABS(close - open) AS body,

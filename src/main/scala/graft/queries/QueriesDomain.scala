@@ -27,34 +27,63 @@ object QueriesDomain {
     * truncates the parquet ns timestamps to µs exactly like the Spark-side
     * `div 1000` (verified: DuckDB truncates, not rounds).
     */
-  private val ticksCte =
-    """ticks AS (
-      |  SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price,
-      |         CAST(user_id + 1 AS DOUBLE) AS volume, event_id AS seq
-      |  FROM events
+  private def ticksCteWhere(where: String) =
+    s"""ticks AS (
+       |  SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price,
+       |         CAST(user_id + 1 AS DOUBLE) AS volume, event_id AS seq
+       |  FROM events $where
+       |)""".stripMargin
+
+  private val ticksCte = ticksCteWhere("")
+
+  /** Stage-1 CTEs for the end-to-end pipeline oracle: the P1 validity
+    * predicate in ticks terms (price > 0, non-null volume source and ts —
+    * `value > 0` is NULL-rejecting on its own) and the exact-timestamp
+    * keep-last dedup (QUALIFY keep max seq per (symbol, µs-tstamp)).
+    */
+  private[queries] val pipelineTickWhere =
+    "WHERE value > 0 AND user_id IS NOT NULL AND ts IS NOT NULL"
+
+  private[queries] val pipelineDedupCte =
+    """tdd AS (
+      |  SELECT * FROM ticks
+      |  QUALIFY row_number() OVER (PARTITION BY symbol, tstamp
+      |    ORDER BY seq DESC) = 1
       |)""".stripMargin
 
   /** G1 candles (1-second) as a CTE. arg_min/arg_max pin open/close by time —
     * (symbol, tstamp) is unique in the testdata so ties cannot occur.
     */
-  private val candlesCte =
-    """candles AS (
-      |  SELECT symbol,
-      |    min(tstamp) AS tstamp,
-      |    arg_min(price, tstamp) AS open,
-      |    max(price) AS high,
-      |    min(price) AS low,
-      |    arg_max(price, tstamp) AS close,
-      |    CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS volume,
-      |    COUNT(*) AS number_of_trades,
-      |    CASE WHEN SUM(CAST(volume AS DECIMAL(18,4))) > 0 THEN
-      |      CAST(SUM(CAST(price AS DECIMAL(18,4)) * CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
-      |        / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) END AS vwap
-      |  FROM ticks GROUP BY symbol, date_trunc('second', tstamp)
-      |)""".stripMargin
+  private def candlesCteFrom(src: String) =
+    s"""candles AS (
+       |  SELECT symbol,
+       |    min(tstamp) AS tstamp,
+       |    arg_min(price, tstamp) AS open,
+       |    max(price) AS high,
+       |    min(price) AS low,
+       |    arg_max(price, tstamp) AS close,
+       |    CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) AS volume,
+       |    COUNT(*) AS number_of_trades,
+       |    CASE WHEN SUM(CAST(volume AS DECIMAL(18,4))) > 0 THEN
+       |      CAST(SUM(CAST(price AS DECIMAL(18,4)) * CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+       |        / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE) END AS vwap
+       |  FROM $src GROUP BY symbol, date_trunc('second', tstamp)
+       |)""".stripMargin
+
+  private val candlesCte = candlesCteFrom("ticks")
 
   private[queries] val withTicks = s"WITH $ticksCte"
   private[queries] val withCandles = s"WITH $ticksCte, $candlesCte"
+
+  /** `withCandles` with stage 1 in front: validated ticks → keep-last
+    * dedup → candles — the pipeline-full preamble (plain and RECURSIVE
+    * forms; the latter feeds the recursive H-state-machine CTEs).
+    */
+  private[queries] val withCandlesPipeline =
+    s"WITH ${ticksCteWhere(pipelineTickWhere)}, $pipelineDedupCte, ${candlesCteFrom("tdd")}"
+
+  private[queries] val withCandlesPipelineRec =
+    s"WITH RECURSIVE ${ticksCteWhere(pipelineTickWhere)}, $pipelineDedupCte, ${candlesCteFrom("tdd")}"
 
   private[queries] val fmt = "%Y-%m-%d %H:%M:%S.%f"
 
@@ -896,8 +925,8 @@ object QueriesDomain {
        |  FROM (SELECT * FROM trig UNION ALL SELECT * FROM ext UNION ALL SELECT * FROM pk) a
        |  JOIN last_rows l ON a.symbol = l.lsym AND a.chunk = l.lchunk)""".stripMargin
 
-  private val w14fullSql =
-    s"""WITH RECURSIVE $ticksCte, $candlesCte,
+  private[queries] def w14fullSqlFrom(preamble: String): String =
+    s"""$preamble,
        |$w14CommonCtes,
        |$w14DailyAnchorCtes,
        |$w14JoinedCtes
@@ -908,6 +937,9 @@ object QueriesDomain {
        |FROM joined
        |QUALIFY row_number() OVER (PARTITION BY symbol, timeframe, ats
        |  ORDER BY snap_ts DESC, prio DESC) = 1""".stripMargin
+
+  private val w14fullSql =
+    w14fullSqlFrom(s"WITH RECURSIVE $ticksCte, $candlesCte")
 
   /** Anchored-VWAP extension (SURVEY M4): the deduped W14 snapshot rows
     * with `anchored_vwap` actually computed — exact-decimal suffix sums per
@@ -942,6 +974,61 @@ object QueriesDomain {
        |  CASE WHEN t.tail_v > 0 THEN CAST(t.tail_pv AS DOUBLE) / CAST(t.tail_v AS DOUBLE)
        |    END AS anchored_vwap
        |FROM dedup d JOIN tails t ON d.symbol = t.vsym AND d.ats = t.vts""".stripMargin
+
+  /** PIPELINE — the reference's full stage 1→2→3 composition as ONE job:
+    * raw ticks → P1 validity filter → exact-timestamp keep-last dedup →
+    * G1 1-second candles → the fused H1+H2 indicator/pattern pass → W14
+    * anchor emission, the end-to-end chain of
+    * fetch_historical_trades_nvda.py → aggregator_candles.py:181-226 →
+    * candle_to_calcs.py:560-575. Output: one row per candle carrying all
+    * 20 H1 indicator columns, `candle_pattern_sum` (pinning the 59-pattern
+    * layer), and `n_anchors` (whether a deduped W14 anchor lands on this
+    * candle) — so every cross-operator contract (schema, ordering, the
+    * µs-truncation/dedup handoff into candling, candle order into the
+    * state machines, chunk arithmetic into anchors) is exercised in one
+    * verified result.
+    *
+    * The oracle is the existing H1/H2/W14 full machinery re-rooted on the
+    * validated+deduped tick set ([[QueriesH.recPreambleFrom]] /
+    * [[withCandlesPipeline]]) — three independent DuckDB replays joined
+    * per (symbol, ts), so the composition is checked against composed
+    * single-operator oracles, not against itself.
+    *
+    * Scale shape: stage 1 is map-side until the one (symbol, µs) dedup
+    * shuffle; candling reuses that exchange's hash layout; the H pass is
+    * the native single-exchange Catalyst operator; anchors add one
+    * per-(symbol, chunk) pass over the SAME candle frame (cached — each
+    * branch would otherwise recompute the whole upstream chain) and a
+    * broadcast-sized join back. No branch re-reads the raw ticks.
+    */
+  private def pipelineFull(s: SparkSession, dir: String): DataFrame = {
+    val valid = TickOps.validate(ticks(s, dir)).valid
+    val deduped = TickOps.dedupKeepLast(
+      valid, Seq("symbol", "timestamp"), Seq(col("seq")))
+    val c = CandleAggregator.aggregate(deduped).cache()
+    val calcs = IndicatorPass.withIndicators(c, patterns = true)
+    val anchors = AnchorSnapshots.anchoredVwapPoints(c)
+      .groupBy(col("symbol"), tsMicros(col("anchor_timestamp")).as("ts"))
+      .agg(count(lit(1)).as("n_anchors"))
+    calcs.select((col("symbol") +: tsMicros(col("timestamp")).as("ts") +:
+        (IndicatorPass.indicatorFields.map(f => col(f.name))
+          :+ col("candle_pattern_sum"))): _*)
+      .join(anchors, Seq("symbol", "ts"), "left")
+      .withColumn("n_anchors", coalesce(col("n_anchors"), lit(0L)))
+  }
+
+  private val pipelineFullSql = {
+    val h1 = H1FullOracle.sqlFrom(
+      QueriesH.recPreambleFrom(pipelineTickWhere, dedup = true))
+    val h2 = H2FullOracle.sqlFrom(withCandlesPipeline)
+    val w14 = w14fullSqlFrom(withCandlesPipelineRec)
+    s"""SELECT h1.*, h2.candle_pattern_sum,
+       |  CAST(COALESCE(a.n_anchors, 0) AS BIGINT) AS n_anchors
+       |FROM ($h1) h1
+       |JOIN (SELECT symbol, ts, candle_pattern_sum FROM ($h2)) h2 USING (symbol, ts)
+       |LEFT JOIN (SELECT symbol, anchor_timestamp AS ts, COUNT(*) AS n_anchors
+       |           FROM ($w14) GROUP BY 1, 2) a USING (symbol, ts)""".stripMargin
+  }
 
   /** W14 peak subset, oracle-checked: every (symbol, chunk)-local find_peaks
     * flag becomes an anchor crossed with the chunk's last row — the peak half
@@ -1236,6 +1323,7 @@ object QueriesDomain {
     Q("w11_peak_flags", w11, Some(w11Sql)),
     Q("w14_anchor_points", w14, Some(w14fullSql)),
     Q("anchored_vwap_real", avr, Some(avrSql)),
+    Q("pipeline_full", pipelineFull, Some(pipelineFullSql), headline = true),
     Q("session_window_agg", sessw, Some(sesswSql)),
     Q("w14_daily_snapshots", w14d, Some(w14dSql)),
     Q("w14_peak_anchors", w14p, Some(w14pSql))

@@ -125,18 +125,35 @@ object QueriesH {
   /** Shared recursion preamble: trimmed candle CTEs + per-symbol row
     * numbering.
     */
-  private[queries] val recPreamble =
-    """WITH RECURSIVE ticks AS MATERIALIZED (
-      |  SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price
-      |  FROM events),
-      |candles AS MATERIALIZED (
-      |  SELECT symbol, min(tstamp) AS tstamp, max(price) AS high,
-      |    min(price) AS low, arg_max(price, tstamp) AS close
-      |  FROM ticks GROUP BY symbol, date_trunc('second', tstamp)),
-      |base AS MATERIALIZED (
-      |  SELECT symbol, tstamp, high, low, close,
-      |    row_number() OVER (PARTITION BY symbol ORDER BY tstamp) AS rn
-      |  FROM candles),""".stripMargin
+  /** The minimal recursive-oracle preamble, parameterized on the stage-1
+    * front end: `tickWhere` filters raw events (P1 validity for the
+    * pipeline oracle; empty for the plain H rows) and `dedup` inserts the
+    * exact-timestamp keep-last pass between ticks and candles.
+    */
+  private[queries] def recPreambleFrom(tickWhere: String, dedup: Boolean): String = {
+    val dedupCte = if (dedup)
+      """tdd AS MATERIALIZED (
+        |  SELECT * FROM ticks
+        |  QUALIFY row_number() OVER (PARTITION BY symbol, tstamp
+        |    ORDER BY seq DESC) = 1),
+        |""".stripMargin
+    else ""
+    val src = if (dedup) "tdd" else "ticks"
+    s"""WITH RECURSIVE ticks AS MATERIALIZED (
+       |  SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price,
+       |    event_id AS seq
+       |  FROM events $tickWhere),
+       |${dedupCte}candles AS MATERIALIZED (
+       |  SELECT symbol, min(tstamp) AS tstamp, max(price) AS high,
+       |    min(price) AS low, arg_max(price, tstamp) AS close
+       |  FROM $src GROUP BY symbol, date_trunc('second', tstamp)),
+       |base AS MATERIALIZED (
+       |  SELECT symbol, tstamp, high, low, close,
+       |    row_number() OVER (PARTITION BY symbol ORDER BY tstamp) AS rn
+       |  FROM candles),""".stripMargin
+  }
+
+  private[queries] val recPreamble = recPreambleFrom("", dedup = false)
 
   /** The MACD(12,26,9) + Wilder-ATR(14) state machine as a named recursive
     * CTE over `base` — name-parameterized so the standalone h1_recurrences
