@@ -41,9 +41,13 @@ object Bench {
     // canonicalized plan, so rep 2 of a query with an internal .cache()
     // boundary would otherwise reuse rep 1's materialization and report a
     // fantasy time.
-    // SPARK_GRAFT_BENCH_ONLY=a,b,c: spot-bench subset (sf10 scale runs)
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c: spot-bench subset (sf10 scale runs).
+    // An explicit list selects from the FULL registry — a spot-bench may
+    // name a non-headline query (llm_dup_clusters); the default run stays
+    // the headline set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
-    val results = Registry.headline
+    val pool = if (only.isDefined) Registry.all else Registry.headline
+    val results = pool
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
       // production-path variant where one exists (codegen'd doubles); the

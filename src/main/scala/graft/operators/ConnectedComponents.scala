@@ -65,6 +65,14 @@ object ConnectedComponents {
     * frame distributed; swap in `checkpoint` (reliable storage) for runs
     * where losing an executor mid-iteration must be recoverable.
     */
+  /** Star-rounds taken by the most recent [[components]] call on this JVM —
+    * a measurement hook for the scale bench (rounds-to-fixpoint is THE
+    * scaling number for CC: work is rounds × edge shuffles, and
+    * Kiveris-style alternation converges in O(log² n) rounds). Not part of
+    * any query result.
+    */
+  @volatile var lastRounds: Int = -1
+
   def components(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     // (count, Σa, Σb) fingerprint in ONE action per round: star ops only
     // ever lower partner ids, so an unchanged fingerprint is a near-certain
@@ -90,6 +98,7 @@ object ConnectedComponents {
       n = m
       it += 1
     }
+    lastRounds = it
     // at the fixpoint every edge is (member, root); roots map to themselves
     cur.select(col("a").as("id"), col("b").as("component"))
       .union(cur.select(col("b").as("id"), col("b").as("component")))

@@ -1232,10 +1232,10 @@ object QueriesDomain {
     * an hour's start and its first tick — and any tick-free hour — carries
     * zero weight (such hours produce no row at all; `sum_dt_us` < 3600 s is
     * the visible footprint). Conventional carry-forward TWAP would instead
-    * hold the last price across the boundary; that variant needs an
-    * interval-split (explode each interval over the hours it spans) and is
-    * deliberately NOT what this operator computes — the oracle and the
-    * hour-boundary fixture test pin the clipped semantics.
+    * hold the last price across the boundary; that variant IS implemented
+    * as [[w16carry]] (`w16_twap_carry` — interval split across spanned
+    * hours) and is deliberately NOT what this operator computes — the
+    * oracle and the hour-boundary fixture test pin the clipped semantics.
     *
     * Shape: the `lead` window and the (symbol, hour) aggregate share the
     * per-symbol exchange+sort; sums are decimal-exact and — the part that
@@ -1282,6 +1282,61 @@ object QueriesDomain {
        |    / CAST(SUM(dt_us) AS DOUBLE) AS twap
        |FROM d GROUP BY 1, 2""".stripMargin
 
+  /** W16 carry-forward variant — conventional TWAP: each tick's price
+    * stands until the NEXT tick (the symbol's final tick until its hour
+    * end), and the standing interval is SPLIT across every hour it spans
+    * (explode over the hour range, clip both ends), so a quiet hour is
+    * weighted by the carried price instead of dropped — the exact
+    * complement of [[w16]]'s clipped no-carry contract; `sum_dt_us` here
+    * covers each interior hour completely. Replication per tick is
+    * `span/hour + 1` exploded rows — bounded by total covered TIME, not
+    * tick count (Σ rows ≤ Σ span / 1 h + n_ticks), the same math as the
+    * [[graft.operators.RangeJoin]] bucket explode, and skew answers are
+    * the same too.
+    */
+  private def w16carry(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val hUs = 3600000000L
+    val w = Window.partitionBy(col("symbol")).orderBy(col("us"), col("seq"))
+    val segs = ticks(s, dir)
+      .select(col("symbol"), unix_micros(col("timestamp")).as("us"),
+        col("price"), col("seq"))
+      .withColumn("end_us",
+        coalesce(lead(col("us"), 1).over(w), (expr(s"us div ${hUs}L") + 1) * lit(hUs)))
+      .filter(col("end_us") > col("us"))
+      .withColumn("hour", explode(sequence(
+        expr(s"us div ${hUs}L"), expr(s"(end_us - 1) div ${hUs}L"))))
+      .withColumn("seg_start", greatest(col("us"), col("hour") * lit(hUs)))
+      .withColumn("seg_end", least(col("end_us"), (col("hour") + 1) * lit(hUs)))
+      .withColumn("dt_us", col("seg_end") - col("seg_start"))
+    segs.groupBy(col("symbol"), col("hour"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(col("dt_us")).as("sum_dt_us"),
+        sum(dec(col("price"), 12) * col("dt_us").cast(DecimalType(18, 0))).as("pdt"))
+      .select(col("symbol"), col("hour"), col("n_segments"), col("sum_dt_us"),
+        (col("pdt").cast("double") / col("sum_dt_us").cast("double")).as("twap"))
+  }
+
+  private val w16carrySql =
+    s"""$withTicks,
+       |x AS (SELECT symbol, epoch_us(tstamp) AS us, price, seq,
+       |    COALESCE(lead(epoch_us(tstamp)) OVER (PARTITION BY symbol ORDER BY tstamp, seq),
+       |      (epoch_us(tstamp) // 3600000000 + 1) * 3600000000) AS end_us
+       |  FROM ticks),
+       |e AS (SELECT symbol, us, price, end_us,
+       |    unnest(generate_series(us // 3600000000, (end_us - 1) // 3600000000)) AS hour
+       |  FROM x WHERE end_us > us),
+       |d AS (SELECT symbol, hour, price,
+       |    LEAST(end_us, (hour + 1) * 3600000000)
+       |      - GREATEST(us, hour * 3600000000) AS dt_us
+       |  FROM e)
+       |SELECT symbol, hour, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(SUM(dt_us) AS BIGINT) AS sum_dt_us,
+       |  CAST(SUM(CAST(price AS DECIMAL(12,2)) * CAST(dt_us AS DECIMAL(18,0))) AS DOUBLE)
+       |    / CAST(SUM(dt_us) AS DOUBLE) AS twap
+       |FROM d GROUP BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
@@ -1289,6 +1344,7 @@ object QueriesDomain {
     Q("g8_resample_ffill", g8, Some(g8Sql)),
     Q("g9_resample_interp", g9, Some(g9Sql)),
     Q("w16_twap", w16, Some(w16Sql)),
+    Q("w16_twap_carry", w16carry, Some(w16carrySql)),
     Q("g2_rollup_60s", g2, Some(g2Sql)),
     Q("g2_rollup_chain", g2chain, Some(g2chainSql)),
     Q("w15_time_range_avg", w15, Some(w15Sql)),
