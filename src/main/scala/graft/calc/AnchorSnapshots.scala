@@ -1,6 +1,6 @@
 package graft.calc
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,41 +98,57 @@ object AnchorSnapshots {
       col("timestamp").as("current_snapshot_timestamp"),
       col("cidx").as("current_idx"))
 
-    def anchorFrame(df: DataFrame, anchorType: String, price: String) = df.select(
-      col("symbol"), col("chunk"), lit(anchorType).as("anchor_type"),
-      col("timestamp").as("anchor_timestamp"), col("cidx").as("anchor_idx"),
-      col(price).as("price_at_anchor"))
+    // ONE pass over `base` for all 27 anchor kinds. The first cut of this
+    // operator built a filtered frame per kind and unioned them — 27
+    // recomputations of the whole candles→peaks upstream (measured: 6.8 s
+    // of the w14 row's cost at sf0.1 was exactly that replay). Instead,
+    // every per-kind "row_number() == 1 among the hits" rank collapses to a
+    // cumulative-sum-of-hits flag computed on base once, each row builds an
+    // array of its anchor candidates, and one explode+filter emits them.
+    // The last-among-hits rank deliberately uses partition-total − strict
+    // prefix, not an UnboundedFollowing frame (which Spark re-aggregates
+    // per row — see the anchoredVwapReal note).
+    val wDayCum = Window.partitionBy("symbol", "local_date").orderBy("timestamp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wChunkPre = Window.partitionBy("symbol", "chunk").orderBy("timestamp")
+      .rowsBetween(Window.unboundedPreceding, -1)
 
-    // peak/valley anchors: every flagged row in the chunk
-    val peakFrames = PeaksPass.configs.flatMap { case (name, _, _) =>
+    def firstHitOfDay(hit: Column): Column =
+      hit && sum(hit.cast("int")).over(wDayCum) === 1 && col("local_date") === col("last_date")
+    def lastHitOfChunk(hit: Column): Column = {
+      val h = hit.cast("int")
+      hit && (sum(h).over(wChunk) - coalesce(sum(h).over(wChunkPre), lit(0))) === 1
+    }
+
+    def candidate(cond: Column, anchorType: String, price: String): Column =
+      when(cond, struct(lit(anchorType).as("anchor_type"),
+        col(price).as("price_at_anchor"))).otherwise(lit(null))
+
+    val peakCands = PeaksPass.configs.flatMap { case (name, _, _) =>
       Seq(
-        anchorFrame(base.filter(col(s"is_${name}_peak") === 1), s"${name}_peak", "high"),
-        anchorFrame(base.filter(col(s"is_${name}_valley") === 1), s"${name}_valley", "low"))
+        candidate(col(s"is_${name}_peak") === 1, s"${name}_peak", "high"),
+        candidate(col(s"is_${name}_valley") === 1, s"${name}_valley", "low"))
     }
-
-    // time triggers: the day's first trigger row, in its own chunk only,
-    // and only when that day is the chunk's last
-    val wDay = Window.partitionBy("symbol", "local_date").orderBy("timestamp")
-    val triggerFrames = Triggers.map { case (name, h, m) =>
-      val hits = base.filter(col("local_hour") === h && col("local_minute") === m)
-        .withColumn("__r", row_number().over(wDay))
-        .filter(col("__r") === 1 && col("local_date") === col("last_date"))
-      anchorFrame(hits, name, "close")
+    val triggerCands = Triggers.map { case (name, h, m) =>
+      candidate(
+        firstHitOfDay(col("local_hour") === h && col("local_minute") === m),
+        name, "close")
     }
+    val extremeCands = Seq(
+      candidate(
+        lastHitOfChunk(col("is_new_daily_high") === 1 && col("local_date") === col("last_date")),
+        "daily_high", "high"),
+      candidate(
+        lastHitOfChunk(col("is_new_daily_low") === 1 && col("local_date") === col("last_date")),
+        "daily_low", "low"))
 
-    // daily extremes: last new-extreme row in the chunk for its last day
-    val wChunkDesc = Window.partitionBy("symbol", "chunk").orderBy(col("timestamp").desc)
-    def extremeFrame(flag: String, anchorType: String, price: String) = {
-      val hits = base.filter(col(flag) === 1 && col("local_date") === col("last_date"))
-        .withColumn("__r", row_number().over(wChunkDesc))
-        .filter(col("__r") === 1)
-      anchorFrame(hits, anchorType, price)
-    }
-    val extremeFrames = Seq(
-      extremeFrame("is_new_daily_high", "daily_high", "high"),
-      extremeFrame("is_new_daily_low", "daily_low", "low"))
-
-    val anchors = (peakFrames ++ triggerFrames ++ extremeFrames).reduce(_ unionByName _)
+    val anchors = base
+      .withColumn("__cands", array(peakCands ++ triggerCands ++ extremeCands: _*))
+      .withColumn("__a", explode(filter(col("__cands"), _.isNotNull)))
+      .select(
+        col("symbol"), col("chunk"), col("__a.anchor_type").as("anchor_type"),
+        col("timestamp").as("anchor_timestamp"), col("cidx").as("anchor_idx"),
+        col("__a.price_at_anchor").as("price_at_anchor"))
 
     anchors
       .join(lastRows, anchors("symbol") === lastRows("ls") && anchors("chunk") === lastRows("lc"))

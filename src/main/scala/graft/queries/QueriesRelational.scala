@@ -454,8 +454,13 @@ object QueriesRelational {
     * folded into ONE hot hour (`hot0 + us % 1h` — a flash-crash shape), so
     * with an hour-wide bucket the equi-join collapses to a single bucket
     * key and one reducer drags the stage. Windows are six staggered 10-min
-    * slots keyed by `user_id % 6`. The `salted` variant replicates each
-    * window across 8 salt lanes while points hash-pick one
+    * slots keyed by `win_id % 6`. Windows come from a FIXED stratum
+    * (`user_id % 29` — ≤ 29 windows at ANY scale factor), so total match
+    * volume is `n_events × ~29/6` — LINEAR in the data, where a
+    * per-user window set would grow matches quadratically with SF and the
+    * fixture would stop measuring skew and start measuring its own output.
+    * The `salted` variant replicates each window across 8 salt lanes while
+    * points hash-pick one
     * ([[graft.operators.RangeJoin.pointInIntervalSalted]]) — 8× the key
     * space at 8× a SMALL interval side, the right trade in exactly this
     * shape. Both variants are bit-identical and replay against the one
@@ -470,8 +475,7 @@ object QueriesRelational {
         timestamp_micros(lit(hot0Us) +
           pmod(unix_micros(col("ts")), lit(3600000000L))).as("hts"))
     val wins = Tables.events(s, dir)
-      .filter(col("user_id") % 10 === 0)
-      .select(col("user_id").as("win_id")).distinct()
+      .select((col("user_id") % 29).as("win_id")).distinct()
       .withColumn("win_start",
         timestamp_micros(lit(hot0Us) + (col("win_id") % 6) * lit(600000000L)))
       .withColumn("win_end",
@@ -495,7 +499,7 @@ object QueriesRelational {
     """WITH e AS (SELECT event_id, user_id,
       |    1705320000000000 + (epoch_us(ts::TIMESTAMP) % 3600000000) AS hus
       |  FROM events),
-      |u AS (SELECT DISTINCT user_id AS win_id FROM events WHERE user_id % 10 = 0),
+      |u AS (SELECT DISTINCT user_id % 29 AS win_id FROM events),
       |w AS (SELECT win_id,
       |    1705320000000000 + (win_id % 6) * 600000000 AS ws,
       |    1705320000000000 + (win_id % 6 + 1) * 600000000 AS we
