@@ -96,7 +96,12 @@ def main():
         spark_path = args.out_dir / name
         status, detail = "PASS", ""
         try:
-            if args.linear_replay and "RECURSIVE" in sql \
+            if args.linear_replay and name == "pipeline_full":
+                # must route BEFORE the peak check: the composite embeds the
+                # find_peaks CTE chain AND a recursive H1 block
+                want_cols, want_rows = linear_replay.pipeline_full_replay(con, sql)
+                detail = "(composite replay)"
+            elif args.linear_replay and "RECURSIVE" in sql \
                     and linear_replay.is_h_query(name):
                 want_cols, want_rows = linear_replay.h_family(con, name)
                 detail = "(linear replay)"

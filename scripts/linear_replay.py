@@ -822,6 +822,58 @@ def leakage_split_replay(con):
             [(sp, n, len(cl), s) for sp, (n, cl, s) in sorted(agg.items())])
 
 
+def pipeline_full_replay(con, sql):
+    """Composite replay for the end-to-end pipeline row: the H1 block runs
+    through the SymbolState linear machinery over VALIDATED+DEDUPED candles,
+    the H2 block (marker-extracted, non-recursive) runs in DuckDB as-is, and
+    the W14 block goes through peak_hybrid (linear find_peaks, rest in
+    DuckDB). Joined per (symbol, ts) in Python exactly like the composite
+    SQL's USING joins."""
+    data = con.execute(f"""
+        WITH ticks AS (
+          SELECT event_type AS symbol, ts::TIMESTAMP AS tstamp, value AS price,
+            event_id AS seq
+          FROM events
+          WHERE value > 0 AND user_id IS NOT NULL AND ts IS NOT NULL),
+        tdd AS (
+          SELECT * FROM ticks QUALIFY row_number() OVER (
+            PARTITION BY symbol, tstamp ORDER BY seq DESC) = 1),
+        candles AS (
+          SELECT symbol, min(tstamp) AS tstamp, max(price) AS high,
+            min(price) AS low, arg_max(price, tstamp) AS close
+          FROM tdd GROUP BY symbol, date_trunc('second', tstamp))
+        SELECT symbol, strftime(tstamp, '{FMT}') AS ts, high, low, close
+        FROM candles ORDER BY symbol, tstamp""").fetchall()
+    h1_rows = []
+    st = None
+    cur = None
+    for sym, ts, h, l, c in data:
+        if sym != cur:
+            cur = sym
+            st = SymbolState()
+        out = st.next(h, l, c)
+        h1_rows.append((sym, ts) + tuple(out))
+
+    def between(a, b):
+        return sql.split(a, 1)[1].split(b, 1)[0]
+
+    h2_sql = between("/*H2*/", "/*ENDH2*/")
+    h2_rows = con.execute(
+        f"SELECT symbol, ts, candle_pattern_sum FROM ({h2_sql})").fetchall()
+    h2_map = {(r[0], r[1]): r[2] for r in h2_rows}
+
+    w14_cols, w14_rows = peak_hybrid(con, between("/*W14*/", "/*ENDW14*/"))
+    i_sym = w14_cols.index("symbol")
+    i_ats = w14_cols.index("anchor_timestamp")
+    from collections import Counter
+    anchors = Counter((r[i_sym], r[i_ats]) for r in w14_rows)
+
+    cols = ["symbol", "ts"] + INDICATOR_COLS + ["candle_pattern_sum", "n_anchors"]
+    rows = [r + (h2_map[(r[0], r[1])], anchors.get((r[0], r[1]), 0))
+            for r in h1_rows]
+    return cols, rows
+
+
 def is_h_query(name):
     return name in H_QUERIES
 

@@ -1022,12 +1022,16 @@ object QueriesDomain {
       QueriesH.recPreambleFrom(pipelineTickWhere, dedup = true))
     val h2 = H2FullOracle.sqlFrom(withCandlesPipeline)
     val w14 = w14fullSqlFrom(withCandlesPipelineRec)
+    // The /*H1*/ /*H2*/ /*W14*/ markers are load-bearing for the scale
+    // sweep: scripts/linear_replay.py extracts each sub-oracle by marker
+    // and substitutes its linear replay (recursive state machines and the
+    // quadratic peak-prominence subqueries don't finish at sf1 in DuckDB).
     s"""SELECT h1.*, h2.candle_pattern_sum,
        |  CAST(COALESCE(a.n_anchors, 0) AS BIGINT) AS n_anchors
-       |FROM ($h1) h1
-       |JOIN (SELECT symbol, ts, candle_pattern_sum FROM ($h2)) h2 USING (symbol, ts)
+       |FROM (/*H1*/ $h1 /*ENDH1*/) h1
+       |JOIN (SELECT symbol, ts, candle_pattern_sum FROM (/*H2*/ $h2 /*ENDH2*/)) h2 USING (symbol, ts)
        |LEFT JOIN (SELECT symbol, anchor_timestamp AS ts, COUNT(*) AS n_anchors
-       |           FROM ($w14) GROUP BY 1, 2) a USING (symbol, ts)""".stripMargin
+       |           FROM (/*W14*/ $w14 /*ENDW14*/) GROUP BY 1, 2) a USING (symbol, ts)""".stripMargin
   }
 
   /** W14 peak subset, oracle-checked: every (symbol, chunk)-local find_peaks
