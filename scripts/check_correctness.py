@@ -124,6 +124,15 @@ def main():
             elif args.linear_replay and name == "llm_corpus_pipeline":
                 want_cols, want_rows = linear_replay.corpus_pipeline_replay(con, sql)
                 detail = "(prefix-filter replay)"
+            elif args.linear_replay and name == "emb_pca_project":
+                want_cols, want_rows = linear_replay.gram_pca_replay(con)
+                detail = "(gram-pca replay)"
+            elif args.linear_replay and name == "llm_incremental_dedup":
+                want_cols, want_rows = linear_replay.incremental_dedup_replay(con, sql)
+                detail = "(numpy band replay)"
+            elif args.linear_replay and name == "llm_cluster_canonical":
+                want_cols, want_rows = linear_replay.cluster_canonical_replay(con)
+                detail = "(prefix-filter replay)"
             elif args.linear_replay and name in linear_replay.COSINE_DEDUP_QUERIES:
                 want_cols, want_rows = linear_replay.cosine_dedup_replay(con, name)
                 detail = "(screened-cosine replay)"

@@ -1192,3 +1192,237 @@ def hash_oracle_replay(con, name, sql):
     if name == "llm_ann_recall":
         return ann_replay(con)
     raise KeyError(name)
+
+
+# ------------------------------------------- round-10 rows: pca / incremental
+
+def gram_pca_replay(con):
+    """emb_pca_project: quantized integer gram (numpy int64 — exact and
+    order-free, same sums as the engine's Long aggregator), then the
+    fixed-order power iteration in pure-Python doubles mirroring
+    graft.functions.GramPca statement-for-statement, then sequential-order
+    projections. Bit-exact at any SF; the SQL oracle's n×4096 gram explode
+    is the only part that gets slow, and it is replaced here by one exact
+    matmul."""
+    import numpy as np
+    from decimal import Decimal, ROUND_HALF_UP
+    DIM, ITERS = 64, 40
+    rows = con.execute(
+        "SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) "
+        "FROM embeddings ORDER BY vec_id").fetchall()
+    # round-half-away on the exact double value == Spark BigDecimal HALF_UP
+    # == DuckDB round(): all three compare the same double to the
+    # representable .5 boundary (see GramPca.quantize doc)
+    def rnd(v):
+        return int(Decimal(v).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    Q = np.asarray([[rnd(x * 10000.0) for x in e] for _, _, e in rows],
+                   dtype=np.int64)
+    n = Q.shape[0]
+    nd = float(n)
+    G = Q.T @ Q  # exact int64 (|q| <= ~1e4 -> headroom to ~9e10 rows)
+    M = [[(float(G[i][j]) / nd) / 1e8 for j in range(DIM)] for i in range(DIM)]
+
+    def matvec(m, v):
+        out = []
+        for i in range(DIM):
+            s = 0.0
+            row = m[i]
+            for j in range(DIM):
+                s += row[j] * v[j]
+            out.append(s)
+        return out
+
+    def power(m):
+        v = [1.0 / math.sqrt(float(DIM))] * DIM
+        for _ in range(ITERS):
+            u = matvec(m, v)
+            s = 0.0
+            for x in u:
+                s += x * x
+            nrm = math.sqrt(s)
+            v = [x / nrm for x in u]
+        w = matvec(m, v)
+        lam = 0.0
+        for i in range(DIM):
+            lam += v[i] * w[i]
+        return v, lam
+
+    v1, lam1 = power(M)
+    M2 = [[M[i][j] - lam1 * v1[i] * v1[j] for j in range(DIM)] for i in range(DIM)]
+    v2, lam2 = power(M2)
+    l1r, l2r = _round6(lam1), _round6(lam2)
+    out = []
+    for (vid, lab, _), q in zip(rows, Q):
+        p1 = 0.0
+        for i in range(DIM):
+            p1 += q[i] / 10000.0 * v1[i]
+        p2 = 0.0
+        for i in range(DIM):
+            p2 += q[i] / 10000.0 * v2[i]
+        out.append((vid, lab, _round6(p1), _round6(p2), l1r, l2r))
+    return (["vec_id", "label", "p1", "p2", "lam1", "lam2"], out)
+
+
+def _incremental_frames(con):
+    """(corpus, batch) doc lists for llm_incremental_dedup: corpus =
+    doc_id % 5 != 0, batch = doc_id % 5 == 0 plus each corpus doc with
+    doc_id % 50 == 1 re-arriving as id+2000000 with the ' zqx zqy zqz'
+    suffix. Returns [(doc_id, source, norm_text)] per frame."""
+    import re
+    rows = con.execute(
+        "SELECT doc_id, source, text FROM documents ORDER BY doc_id").fetchall()
+
+    def norm(text):
+        return re.sub(r"\s+", " ", text.strip(" ").lower())
+
+    corpus, batch = [], []
+    for doc_id, source, text in rows:
+        if doc_id % 5 != 0:
+            corpus.append((doc_id, source, norm(text)))
+            if doc_id % 50 == 1:
+                batch.append((doc_id + 2000000, source, norm(text + " zqx zqy zqz")))
+        else:
+            batch.append((doc_id, source, norm(text)))
+    batch.sort(key=lambda r: r[0])
+    return corpus, batch
+
+
+def _shingle_set(norm_text):
+    toks = norm_text.split(" ")
+    if len(toks) <= 3:
+        return frozenset([norm_text])
+    return frozenset(" ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+
+
+def incremental_dedup_replay(con, sql):
+    """llm_incremental_dedup: the full probe-vs-index LSH band pipeline in
+    numpy — xxhash64 shingles, affine signatures, Murmur3 band keys (all
+    constants parsed from the oracle SQL so the replay cannot drift),
+    batch-band x corpus-band candidates, exact-Jaccard >= 0.7 verify over
+    the mod-prime hash sets — plus the exact-fingerprint and keep-first
+    legs, classified with the same priority."""
+    import re as _re
+    import numpy as np
+    import spark_hashes as sh
+    from collections import defaultdict
+    arrays = _re.findall(r"\[([0-9]+(?:,[0-9]+){127})\]", sql)
+    assert len(arrays) >= 2, "expected the 128-long A/B literal arrays"
+    A = np.asarray([int(x) for x in arrays[0].split(",")], dtype=np.int64)
+    B = np.asarray([int(x) for x in arrays[1].split(",")], dtype=np.int64)
+    prime_m = _re.search(r"% (\d{9,10}) AS h", sql)
+    prime = int(prime_m.group(1)) if prime_m else 2038074743
+    corpus, batch = _incremental_frames(con)
+    alldocs = corpus + batch
+    # one shared vocab so every shingle hashes once
+    vocab = {}
+    doc_sh = []
+    for doc_id, _, t in alldocs:
+        ids = sorted(vocab.setdefault(s, len(vocab)) for s in _shingle_set(t))
+        doc_sh.append((doc_id, np.asarray(ids, dtype=np.int64)))
+    vh = sh.hash_strings(list(vocab.keys()))
+    hm = np.mod(vh, prime)
+    n = len(doc_sh)
+    sigs = np.empty((n, 128), dtype=np.int64)
+    hsets = []
+    for i, (_, ids) in enumerate(doc_sh):
+        h = np.unique(hm[ids])
+        hsets.append(set(int(x) for x in h))
+        sigs[i] = ((A[:, None] * h[None, :] + B[:, None]) % prime).min(axis=1)
+    n_corpus = len(corpus)
+    buckets = defaultdict(lambda: ([], []))  # (corpus idxs, batch idxs)
+    for b in range(16):
+        bh = sh.murmur3_long_rows(sigs[:, b * 8:(b + 1) * 8])
+        for i in range(n):
+            side = 0 if i < n_corpus else 1
+            buckets[(b, int(bh[i]))][side].append(i)
+    near_ids = set()
+    seen_pairs = set()
+    for cidx, bidx in buckets.values():
+        for bi in bidx:
+            bid = doc_sh[bi][0]
+            for ci in cidx:
+                key = (bi, ci)
+                if key in seen_pairs:
+                    continue
+                seen_pairs.add(key)
+                ni = len(hsets[bi] & hsets[ci])
+                nu = len(hsets[bi]) + len(hsets[ci]) - ni
+                if nu and ni / nu >= 0.7:
+                    near_ids.add(bid)
+    corpus_norms = {t for _, _, t in corpus}
+    exact_ids = {d for d, _, t in batch if t in corpus_norms}
+    first_by_norm = {}
+    bdup_ids = set()
+    for d, _, t in batch:  # batch sorted by doc_id
+        if t in first_by_norm:
+            bdup_ids.add(d)
+        else:
+            first_by_norm[t] = d
+    agg = {}
+    for d, src, _ in batch:
+        nb, ne, nn, nbd, na, sa = agg.get(src, (0, 0, 0, 0, 0, 0))
+        nb += 1
+        if d in exact_ids:
+            ne += 1
+        elif d in near_ids:
+            nn += 1
+        elif d in bdup_ids:
+            nbd += 1
+        else:
+            na += 1
+            sa += d
+        agg[src] = (nb, ne, nn, nbd, na, sa)
+    return (["source", "n_batch", "n_exact_corpus", "n_near_corpus",
+             "n_batch_dup", "n_admitted", "sum_admitted_ids"],
+            [(src, nb, ne, nn, nbd, na, sa if na else None)
+             for src, (nb, ne, nn, nbd, na, sa) in sorted(agg.items())])
+
+
+def cluster_canonical_replay(con):
+    """llm_cluster_canonical: union-find clusters from the exact
+    prefix-filtered Jaccard pairs (same machinery as dup_clusters_replay),
+    canonical member by the quality score computed in DuckDB SQL (the
+    engine's own expression, bit-identical per row), ties to min doc_id."""
+    docs = _shingle_docs(con)
+    pairs = _true_jaccard_pairs(docs)
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b, _ in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {a for a, _, _ in pairs} | {b for _, b, _ in pairs}
+    if not nodes:
+        return (["cluster_rep", "n_members", "canonical_doc_id",
+                 "canonical_q_bucket", "sum_discarded_ids"], [])
+    en = con.execute("""
+      SELECT doc_id,
+        CASE WHEN len(list_filter(toks, t -> t SIMILAR TO '\\S+')) BETWEEN 5 AND 100000
+          THEN 1.0 ELSE 0.0 END *
+        (0.5 * (length(text) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')))::DOUBLE / greatest(length(text), 1) +
+         0.5 * least(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that','it','for','on','with','as','at','this','a','an')))::DOUBLE / greatest(len(toks), 1) * 5, 1.0)) AS q
+      FROM (SELECT doc_id, text,
+          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        FROM documents)""").fetchall()
+    qmap = dict(en)
+    groups = {}
+    for v in nodes:
+        r = find(v)
+        groups.setdefault(r, []).append(v)
+    out = []
+    for r, members in sorted(groups.items()):
+        members.sort()
+        canon = max(members, key=lambda d: (qmap[d], -d))
+        bucket = int(math.floor(qmap[canon] * 10))
+        out.append((r, len(members), canon, bucket, sum(members) - canon))
+    return (["cluster_rep", "n_members", "canonical_doc_id",
+             "canonical_q_bucket", "sum_discarded_ids"], out)

@@ -309,6 +309,49 @@ object MinHash {
           / lit(numPerms.toDouble)).as("est_jaccard"))
   }
 
+  /** Candidate pairs between a PROBE frame (a newly-arrived batch) and an
+    * INDEX frame (the existing corpus): identical signature/band
+    * construction to [[candidatePairs]], but the band join is
+    * probe-bands → index-bands instead of a self-join — the INCREMENTAL
+    * ingest shape. At 100 TB the corpus's banded table is PREBUILT and
+    * bucketed on the packed band key (a layout job, amortized over every
+    * future batch), so admitting a new batch costs one batch-sized
+    * signature pass + one shuffle of the batch bands into the index's
+    * bucketing — zero corpus-side recompute, which is the whole point of
+    * incremental dedup (re-running the self-join corpus-wide per batch
+    * would be O(corpus) per arrival).
+    *
+    * Returns distinct (probe_id, index_id, est_jaccard); ids need not be
+    * disjoint — no `<` ordering is applied across frames.
+    */
+  def crossCandidatePairs(probe: DataFrame, index: DataFrame,
+                          textCol: String = "text", idCol: String = "doc_id",
+                          numPerms: Int = 128, numBands: Int = 16,
+                          rowsPerBand: Int = 8): DataFrame = {
+    def prep(docs: DataFrame): (DataFrame, DataFrame) = {
+      val sig = withSignatures(docs, textCol, idCol, numPerms).cache()
+      sig.count()
+      val banded = sig
+        .select(col("id"), explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
+        .select(col("id"),
+          (shiftleft(col("b.band").cast("long"), 32) bitwiseOR
+            (col("b.band_hash").cast("long") bitwiseAND lit(0xFFFFFFFFL))).as("bk"))
+      (sig, banded)
+    }
+    val (sigP, bandP) = prep(probe)
+    val (sigI, bandI) = prep(index)
+    val idPairs = bandP.select(col("bk"), col("id").as("id_a"))
+      .join(bandI.select(col("bk"), col("id").as("id_b")), "bk")
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    idPairs
+      .join(sigP.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigI.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), eq => eq))
+          / lit(numPerms.toDouble)).as("est_jaccard"))
+  }
+
   /** Exact n-gram Jaccard verification on candidate pairs: the true
     * |A∩B|/|A∪B| over the (distinct) shingle-hash sets, attached to each
     * candidate pair. Only docs that appear in a pair get re-shingled (a

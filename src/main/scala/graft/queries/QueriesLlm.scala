@@ -875,8 +875,224 @@ object QueriesLlm {
       |FROM ticks t ASOF LEFT JOIN candles c
       |  ON t.symbol = c.symbol AND t.tstamp >= c.tstamp""".stripMargin
 
+  /** Incremental (delta-batch) dedup against an INDEXED corpus — the
+    * continuous-ingestion shape: a production pipeline never re-dedups
+    * 100 TB per arrival; it keeps (a) an exact-fingerprint index and (b) a
+    * banded MinHash index of the admitted corpus, and each new batch joins
+    * against both. Here corpus = `doc_id % 5 ≠ 0`, batch = `doc_id % 5 = 0`
+    * plus injected near-dups (every corpus doc with `doc_id % 50 = 1`
+    * re-arrives as `id+2 000 000` with a 3-token suffix appended — a
+    * near-dup that exact hashing CANNOT catch, Jaccard ≈ (T−2)/(T+1)).
+    *
+    * Classification per batch doc, priority-ordered and exclusive:
+    *  1. `exact_corpus` — normalized-content fingerprint already indexed
+    *     ([[TextOps.fingerprint]] semi-join);
+    *  2. `near_corpus`  — an LSH band probe into the corpus band index
+    *     ([[MinHash.crossCandidatePairs]]) yields a candidate whose EXACT
+    *     shingle-set Jaccard ≥ 0.7;
+    *  3. `batch_dup`    — an earlier (smaller-id) doc in the SAME batch has
+    *     the same fingerprint (keep-first within the delta);
+    *  4. `admitted`.
+    * Within-batch NEAR dedup is deliberately out of scope here — that is
+    * the standing self-join pass (`llm_minhash_dedup`); this row pins the
+    * batch-vs-index halves that only exist in incremental operation.
+    *
+    * The oracle replays the full production pipeline — xxhash64 shingles,
+    * affine signatures, Murmur3 band keys, band join, exact-Jaccard verify
+    * — via [[OracleHash]], so the candidate SET (not an idealized all-pairs
+    * stand-in) is what the gate hash-checks.
+    */
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    requireIdHeadroom(docs, "doc_id", 2000000L)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"), col("source"))
+    val injected = corpus.filter(col("doc_id") % 50 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" zqx zqy zqz")).as("text"), col("source"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"), col("source"))
+      .unionByName(injected)
+
+    // (a) exact-fingerprint index probe: 32-byte keys, uniform shuffle
+    val corpusFp = corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val exactIds = batch.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .join(corpusFp, Seq("fp"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(true))
+
+    // (b) banded-index probe + exact-Jaccard verify (candidate-bound)
+    val cand = MinHash.crossCandidatePairs(batch, corpus)
+    val nearIds = MinHash.withExactJaccard(cand, batch.unionByName(corpus))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("id_a").as("doc_id")).distinct()
+      .withColumn("is_near", lit(true))
+
+    // (c) keep-first within the delta itself
+    val wB = Window.partitionBy(col("__bfp")).orderBy(col("doc_id"))
+    val flagged = batch
+      .withColumn("__bfp", TextOps.fingerprint(col("text")))
+      .withColumn("is_bdup", row_number().over(wB) > 1)
+      .drop("__bfp")
+
+    flagged
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .withColumn("cls",
+        when(col("is_exact"), "exact_corpus")
+          .when(col("is_near"), "near_corpus")
+          .when(col("is_bdup"), "batch_dup")
+          .otherwise("admitted"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"),
+        count(when(col("cls") === "exact_corpus", 1)).as("n_exact_corpus"),
+        count(when(col("cls") === "near_corpus", 1)).as("n_near_corpus"),
+        count(when(col("cls") === "batch_dup", 1)).as("n_batch_dup"),
+        count(when(col("cls") === "admitted", 1)).as("n_admitted"),
+        sum(when(col("cls") === "admitted", col("doc_id"))).as("sum_admitted_ids"))
+  }
+
+  private val incrementalDedupSql = {
+    val Prime = 2038074743L
+    val (as, bs) = MinHash.affineCoeffs(128)
+    val aArr = "[" + as.mkString(",") + "]"
+    val bArr = "[" + bs.mkString(",") + "]"
+    val (chain, last, hsg, _) = OracleHash.xxh64String("shrow", "ix")
+    val elems = (1 to 8).map(i => s"sig[band * 8 + $i]")
+    val (mmChain, mmLast, bh) = OracleHash.murmur3LongArray("bandrow", "im", elems)
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM documents WHERE doc_id % 5 <> 0),
+       |batch AS MATERIALIZED (
+       |  SELECT doc_id, text, source FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' zqx zqy zqz', source
+       |  FROM corpus WHERE doc_id % 50 = 1),
+       |alls AS (SELECT doc_id, text FROM corpus UNION ALL SELECT doc_id, text FROM batch),
+       |dm AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM alls),
+       |shl AS (SELECT doc_id,
+       |    CASE WHEN len(ss) <= 3 THEN [t]
+       |         ELSE list_transform(range(1, len(ss) - 1),
+       |           i -> array_to_string(list_slice(ss, i, i + 2), ' ')) END AS sh
+       |  FROM (SELECT doc_id, t, string_split(t, ' ') AS ss FROM dm)),
+       |shrow AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM shl),
+       |$chain,
+       |hm AS (SELECT doc_id, (($hsg % $Prime) + $Prime) % $Prime AS h FROM $last),
+       |hset AS MATERIALIZED (SELECT doc_id, list(DISTINCT h) AS hs FROM hm GROUP BY doc_id),
+       |sigs AS MATERIALIZED (SELECT doc_id,
+       |  list_transform(range(0, 128),
+       |    q -> list_min(list_transform(hs, h -> ($aArr[(q + 1)::INTEGER] * h + $bArr[(q + 1)::INTEGER]) % $Prime))) AS sig
+       |  FROM hset),
+       |bandrow AS (SELECT doc_id, sig, unnest(range(0, 16)) AS band FROM sigs),
+       |$mmChain,
+       |bkey AS MATERIALIZED (SELECT doc_id, band, $bh AS bh FROM $mmLast),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bkey a JOIN bkey b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id IN (SELECT doc_id FROM batch)
+       |    AND b.doc_id IN (SELECT doc_id FROM corpus)),
+       |near AS MATERIALIZED (SELECT DISTINCT id_a FROM cand
+       |  JOIN hset ha ON ha.doc_id = id_a JOIN hset hb ON hb.doc_id = id_b
+       |  WHERE len(list_intersect(ha.hs, hb.hs))::DOUBLE /
+       |    (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) >= 0.7),
+       |bn AS MATERIALIZED (SELECT doc_id, source,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t FROM batch),
+       |cnorm AS (SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+       |  FROM corpus),
+       |ex AS MATERIALIZED (SELECT DISTINCT bn.doc_id FROM bn JOIN cnorm ON bn.t = cnorm.t),
+       |bd AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn FROM bn)
+       |  WHERE rn > 1),
+       |cls AS (SELECT bn.doc_id, bn.source,
+       |  CASE WHEN bn.doc_id IN (SELECT doc_id FROM ex) THEN 'exact_corpus'
+       |       WHEN bn.doc_id IN (SELECT id_a FROM near) THEN 'near_corpus'
+       |       WHEN bn.doc_id IN (SELECT doc_id FROM bd) THEN 'batch_dup'
+       |       ELSE 'admitted' END AS c
+       |  FROM bn)
+       |SELECT source, COUNT(*) AS n_batch,
+       |  CAST(SUM(CASE WHEN c = 'exact_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_corpus,
+       |  CAST(SUM(CASE WHEN c = 'near_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_corpus,
+       |  CAST(SUM(CASE WHEN c = 'batch_dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_batch_dup,
+       |  CAST(SUM(CASE WHEN c = 'admitted' THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       |  CAST(SUM(CASE WHEN c = 'admitted' THEN doc_id END) AS BIGINT) AS sum_admitted_ids
+       |FROM cls GROUP BY source""".stripMargin
+  }
+
+  /** Survivor-selection policy per duplicate cluster: CC clusters from the
+    * verified near-dup graph (same edges as `llm_dup_clusters`), canonical
+    * member = highest [[TextOps.qualityScore]], ties to the smallest
+    * doc_id — "keep the best copy", the policy real pipelines apply
+    * instead of keep-min-id (a near-dup cluster often mixes a clean
+    * original with mangled re-crawls; id order is arbitrary, quality is
+    * not). One extra broadcast-sized join + a struct-max aggregate on top
+    * of the cluster map; the quality bucket is emitted floor(q·10) exactly
+    * as `llm_quality_langid` pins it.
+    */
+  private def clusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = MinHash.withExactJaccard(MinHash.candidatePairs(docs), docs)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val comp = graft.operators.ConnectedComponents.components(edges)
+    comp.join(
+        docs.select(col("doc_id").as("id"), TextOps.qualityScore(col("text")).as("q")),
+        Seq("id"))
+      .groupBy(col("component").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("id")).as("nid"))).as("best"),
+        sum(col("id")).as("sum_members"))
+      .select(col("cluster_rep"), col("n_members"),
+        (-col("best.nid")).as("canonical_doc_id"),
+        floor(col("best.q") * 10).cast("int").as("canonical_q_bucket"),
+        (col("sum_members") + col("best.nid")).as("sum_discarded_ids"))
+  }
+
+  private val clusterCanonicalSql = {
+    val en = TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(string_split(norm, ' ')) <= 3 THEN [norm]
+       |         ELSE list_transform(range(1, len(string_split(norm, ' ')) - 1),
+       |           i -> array_to_string(list_slice(string_split(norm, ' '), i, i + 2), ' '))
+       |    END AS sh
+       |  FROM d),
+       |ds AS (SELECT doc_id, list_distinct(sh) AS sh FROM s),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    len(list_intersect(a.sh, b.sh)) AS ni,
+       |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS nu
+       |  FROM ds a, ds b WHERE a.doc_id < b.doc_id),
+       |e AS (SELECT id_a, id_b FROM p WHERE ni::DOUBLE / nu >= 0.8),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM e
+       |        UNION ALL SELECT id_b, id_a FROM e),
+       |nodes AS (SELECT DISTINCT a AS id FROM sym),
+       |cc AS (SELECT id, id AS comp FROM nodes
+       |       UNION
+       |       SELECT sy.b, cc.comp FROM cc JOIN sym sy ON sy.a = cc.id),
+       |asg AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+       |q AS (SELECT doc_id,
+       |    CASE WHEN len(list_filter(toks, t -> t SIMILAR TO '\\S+')) BETWEEN 5 AND 100000
+       |      THEN 1.0 ELSE 0.0 END *
+       |    (0.5 * (length(text) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')))::DOUBLE / greatest(length(text), 1) +
+       |     0.5 * least(len(list_filter(toks, t -> t IN ($en)))::DOUBLE / greatest(len(toks), 1) * 5, 1.0)) AS q
+       |  FROM (SELECT doc_id, text,
+       |      string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |    FROM documents)),
+       |r AS (SELECT asg.comp, asg.id, q.q,
+       |    row_number() OVER (PARTITION BY asg.comp ORDER BY q.q DESC, asg.id ASC) AS rn
+       |  FROM asg JOIN q ON q.doc_id = asg.id)
+       |SELECT comp AS cluster_rep, COUNT(*) AS n_members,
+       |  CAST(MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS canonical_doc_id,
+       |  CAST(floor(MAX(CASE WHEN rn = 1 THEN q END) * 10) AS INTEGER) AS canonical_q_bucket,
+       |  CAST(SUM(id) - MAX(CASE WHEN rn = 1 THEN id END) AS BIGINT) AS sum_discarded_ids
+       |FROM r GROUP BY comp""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("llm_exact_dedup", dedup, Some(dedupSql)),
+    Q("llm_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    Q("llm_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     Q("llm_text_stats", stats, Some(statsSql)),
     Q("llm_minhash_dedup", minhash, Some(LlmHashOracles.minhashSql), headline = true),
     Q("llm_minhash_dedup_verified", minhashVerified, Some(minhashVerifiedSql)),

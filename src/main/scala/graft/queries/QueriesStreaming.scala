@@ -290,6 +290,63 @@ object QueriesStreaming {
     * arithmetic AND the eviction/readmission semantics, since an unexpired
     * state row would make n_emitted one short.
     */
+  /** Streaming incremental admission vs the static corpus index — the
+    * online half of `llm_incremental_dedup`'s exact legs
+    * ([[graft.streaming.StreamingCorpus.admitIncrementalStream]]): the
+    * batch partition (`doc_id % 5 = 0`) streams in ordered slices, each
+    * micro-batch anti-joins the corpus fingerprint index (stream-static)
+    * and dedups against the stream's own admitted state. Emits the
+    * batch-vs-stream admitted-content-set diff — zero by construction
+    * (admission is a set property, independent of micro-batch boundaries
+    * and of which duplicate instance arrives first); the oracle replays
+    * the admitted count from the tables.
+    */
+  private def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.core.Tables.documents(spark, dir)
+    val corpusFp = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(graft.functions.TextOps.fingerprint(col("text")).as("__fp")).distinct()
+    val batch = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+
+    val batchNorms = batch
+      .withColumn("__fp", graft.functions.TextOps.fingerprint(col("text")))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .select(graft.functions.TextOps.normalized(col("text")).as("norm")).distinct()
+
+    val sliceSize = math.max(100L, math.min(8192L, batch.count() / 5)).toInt
+    val name = s"graft_stream_incdedup_${System.nanoTime}"
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.admitIncrementalStream(
+        in.toDF().toDF("doc_id", "text"), corpusFp)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      batch.orderBy("doc_id").as[(Long, String)].toLocalIterator().asScala
+        .grouped(sliceSize)
+        .foreach { sl => in.addData(sl.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamNorms = spark.table(name)
+      .select(graft.functions.TextOps.normalized(col("text")).as("norm"))
+
+    val (onlyBatch, onlyStream) = diffCounts(batchNorms, streamNorms)
+    Seq((batchNorms.count(), streamNorms.count(), onlyBatch, onlyStream))
+      .toDF("n_batch", "n_stream", "only_batch", "only_stream")
+  }
+
+  private val streamIncrementalDedupSql =
+    """WITH cn AS (
+      |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |bn AS (
+      |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |adm AS (SELECT t FROM bn WHERE t NOT IN (SELECT t FROM cn))
+      |SELECT COUNT(*) AS n_batch, COUNT(*) AS n_stream,
+      |  CAST(0 AS BIGINT) AS only_batch, CAST(0 AS BIGINT) AS only_stream
+      |FROM adm""".stripMargin
+
   private def streamLlmDedupWm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -761,6 +818,7 @@ object QueriesStreaming {
     Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql)),
     Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql)),
+    Q("stream_incremental_dedup", streamIncrementalDedup, Some(streamIncrementalDedupSql)),
     Q("stream_anchored_vwap", streamAnchoredVwap, Some(streamAnchoredVwapSql)),
     Q("stream_state_bounds", streamStateBounds, Some(streamStateBoundsSql))
   )

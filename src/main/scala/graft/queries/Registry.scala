@@ -17,6 +17,7 @@ object Registry {
       QueriesLlm.all ++
       QueriesCorpus.all ++
       QueriesSketch.all ++
+      QueriesPca.all ++
       QueriesLayout.all ++
       QueriesQuality.all ++
       QueriesStreaming.all

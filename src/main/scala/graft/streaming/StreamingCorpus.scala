@@ -34,6 +34,28 @@ object StreamingCorpus {
       .dropDuplicates("__norm")
       .drop("__norm")
 
+  /** Online incremental admission against a STATIC corpus index — the
+    * streaming half of `llm_incremental_dedup`'s exact legs: each arriving
+    * doc's normalized-content fingerprint is anti-joined against the
+    * admitted-corpus fingerprint index (a stream-static join; Spark
+    * re-plans the static side per micro-batch, so at scale the index is
+    * the bucketed fingerprint table and the join is hash-pruned, never a
+    * corpus scan), then deduplicated against everything THIS stream has
+    * already admitted (`dropDuplicates` on the fingerprint — that state is
+    * precisely the index delta the stream is accumulating, so its size is
+    * bounded by corpus GROWTH, not stream length). The near-dup leg stays
+    * a batch-side band probe ([[graft.functions.MinHash.crossCandidatePairs]]);
+    * online it belongs in a foreachBatch probe of the banded index — out
+    * of scope for this operator, which pins the exact legs.
+    */
+  def admitIncrementalStream(docs: DataFrame, corpusFp: DataFrame,
+                             textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .dropDuplicates("__fp")
+      .drop("__fp")
+
   /** The bounded-state dial: same funnel, but dedup state keyed on
     * normalized content is EVICTED once the watermark on `arrivalCol`
     * passes a row's arrival time + `delay`. State size is bounded by the
