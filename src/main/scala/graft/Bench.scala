@@ -24,6 +24,16 @@ object Bench {
     ()
   }
 
+  /** 1-minute load average from /proc/loadavg — recorded in the bench JSON
+    * so a run taken on a loaded box is self-labeling (round 10's recorded
+    * numbers were ~5× inflated by background load and nothing in the
+    * artifact said so). -1 if unreadable (non-Linux).
+    */
+  private def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // 5 reps: this box carries background load (observed load-avg > 5 while
@@ -47,6 +57,11 @@ object Bench {
     // the headline set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val pool = if (only.isDefined) Registry.all else Registry.headline
+    val loadBefore = loadAvg1m()
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    val cpuT0 = osBean.getProcessCpuTime
+    val wallT0 = System.nanoTime()
     val results = pool
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
@@ -71,7 +86,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val ok = results.map(_._2).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    // Contamination indicators: load average before/after, and this
+    // process's CPU-seconds over the bench wall time. On an idle local[32]
+    // run cpu/wall lands well above 1 (parallel stages); a run stolen from
+    // by other processes shows elevated loadavg relative to its own
+    // cpu/wall — the artifact carries the evidence either way.
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
+    val loadAfter = loadAvg1m()
+    val envJson = f""""load_1m_before":$loadBefore%.2f,"load_1m_after":$loadAfter%.2f,"proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,"cpu_over_wall":${cpuSec / math.max(wallSec, 1e-9)}%.2f"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,$envJson}"""
     println(json)
     // Also land the JSON in a file: the stdout line is buried in sbt [info]
     // noise and the driver's log scrape has missed it two rounds running.

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 /** Uncentered PCA over an embedding column via a distributed exact Gram
   * matrix + driver-side power iteration — the dimensionality-reduction /
   * whitening step a training-data pipeline runs before ANN indexing or
-  * redundancy scoring (cf. the reference's embedding post-processing
-  * around similarity, `dedup_embeddings.go:1-40` analog surface).
+  * redundancy scoring (motivated by SURVEY.md §2.11's embedding-pipeline
+  * north star — the reference itself has no embedding stage; this is part
+  * of the training-data extension surface, not a reference port).
   *
   * Scale shape (the 100 TB answer):
   *  - embeddings are QUANTIZED to integer grid `round(x·10⁴)` first, so the
@@ -29,9 +30,13 @@ import org.apache.spark.sql.functions._
   *    data.
   *  - per-row Long overflow headroom: |q| ≤ 10⁴·max|x|; at max|x| ≈ 1 the
   *    per-row product is ≤ 10⁸, so the Long sums hold to ~9·10¹⁰ rows. The
-  *    aggregator asserts the input bound; past that scale the same buffer
-  *    splits into per-shard partial grams merged as DECIMAL(38,0) — the
-  *    merge stays exact, only the container widens.
+  *    aggregator asserts the input grid bound AND accumulates with
+  *    `Math.addExact` in both reduce and merge, so past the headroom the
+  *    job FAILS LOUDLY with ArithmeticException instead of wrapping —
+  *    the same fail-loud convention as `requireIdHeadroom`. The recovery
+  *    at that scale is per-shard partial grams merged as DECIMAL(38,0)
+  *    (exact, only the container widens); the exception is the signal to
+  *    switch, never a silent wrong answer.
   *
   * Determinism contract (what makes the row oracle-checkable): every
   * floating-point statement below is a fixed-order sequential reduction
@@ -75,14 +80,18 @@ object GramPca {
         require(math.abs(a(i)) <= 100000L, s"quantized value ${a(i)} out of grid")
         i += 1
       }
-      buf(0) += 1L
+      buf(0) = Math.addExact(buf(0), 1L)
       var idx = 1
       i = 0
       while (i < dim) {
         val qi = a(i)
         var j = i
         while (j < dim) {
-          buf(idx) += qi * a(j)
+          // addExact: past the documented ~9·10¹⁰-row headroom the sums must
+          // FAIL LOUDLY (ArithmeticException), not wrap silently — same
+          // contract as requireIdHeadroom elsewhere. The per-term product
+          // qi*a(j) ≤ 10¹⁰ cannot itself overflow (grid bound above).
+          buf(idx) = Math.addExact(buf(idx), qi * a(j))
           idx += 1
           j += 1
         }
@@ -93,7 +102,7 @@ object GramPca {
 
     override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < a.length) { a(i) += b(i); i += 1 }
+      while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
       a
     }
 

@@ -1025,6 +1025,16 @@ object QueriesLlm {
     * not). One extra broadcast-sized join + a struct-max aggregate on top
     * of the cluster map; the quality bucket is emitted floor(q·10) exactly
     * as `llm_quality_langid` pins it.
+    *
+    * Oracle-recall assumption (shared with `llm_dup_clusters`): the engine
+    * edge set is LSH-band CANDIDATES verified at exact Jaccard ≥ 0.8, while
+    * both oracles enumerate ALL pairs at true Jaccard ≥ 0.8. A true pair
+    * sitting exactly at J = 0.8 has ≈5% chance of missing all 16 bands;
+    * the gate is green because the TESTDATA duplicate pairs are exact or
+    * high-J (band recall ≈ 1 well above the threshold), not because band
+    * recall is 1 in general. On adversarial fixtures the oracle would need
+    * to replay the band-candidate set first (as `llm_incremental_dedup`'s
+    * oracle already does) before the exact-Jaccard filter.
     */
   private def clusterCanonical(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

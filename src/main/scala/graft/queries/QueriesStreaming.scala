@@ -290,63 +290,6 @@ object QueriesStreaming {
     * arithmetic AND the eviction/readmission semantics, since an unexpired
     * state row would make n_emitted one short.
     */
-  /** Streaming incremental admission vs the static corpus index — the
-    * online half of `llm_incremental_dedup`'s exact legs
-    * ([[graft.streaming.StreamingCorpus.admitIncrementalStream]]): the
-    * batch partition (`doc_id % 5 = 0`) streams in ordered slices, each
-    * micro-batch anti-joins the corpus fingerprint index (stream-static)
-    * and dedups against the stream's own admitted state. Emits the
-    * batch-vs-stream admitted-content-set diff — zero by construction
-    * (admission is a set property, independent of micro-batch boundaries
-    * and of which duplicate instance arrives first); the oracle replays
-    * the admitted count from the tables.
-    */
-  private def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-
-    val docs = graft.core.Tables.documents(spark, dir)
-    val corpusFp = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(graft.functions.TextOps.fingerprint(col("text")).as("__fp")).distinct()
-    val batch = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
-
-    val batchNorms = batch
-      .withColumn("__fp", graft.functions.TextOps.fingerprint(col("text")))
-      .join(corpusFp, Seq("__fp"), "left_anti")
-      .select(graft.functions.TextOps.normalized(col("text")).as("norm")).distinct()
-
-    val sliceSize = math.max(100L, math.min(8192L, batch.count() / 5)).toInt
-    val name = s"graft_stream_incdedup_${System.nanoTime}"
-    val in = MemoryStream[(Long, String)]
-    val q = graft.streaming.StreamingCorpus.admitIncrementalStream(
-        in.toDF().toDF("doc_id", "text"), corpusFp)
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try {
-      import scala.jdk.CollectionConverters._
-      batch.orderBy("doc_id").as[(Long, String)].toLocalIterator().asScala
-        .grouped(sliceSize)
-        .foreach { sl => in.addData(sl.toSeq); q.processAllAvailable() }
-    } finally q.stop()
-    val streamNorms = spark.table(name)
-      .select(graft.functions.TextOps.normalized(col("text")).as("norm"))
-
-    val (onlyBatch, onlyStream) = diffCounts(batchNorms, streamNorms)
-    Seq((batchNorms.count(), streamNorms.count(), onlyBatch, onlyStream))
-      .toDF("n_batch", "n_stream", "only_batch", "only_stream")
-  }
-
-  private val streamIncrementalDedupSql =
-    """WITH cn AS (
-      |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-      |  FROM documents WHERE doc_id % 5 <> 0),
-      |bn AS (
-      |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-      |  FROM documents WHERE doc_id % 5 = 0),
-      |adm AS (SELECT t FROM bn WHERE t NOT IN (SELECT t FROM cn))
-      |SELECT COUNT(*) AS n_batch, COUNT(*) AS n_stream,
-      |  CAST(0 AS BIGINT) AS only_batch, CAST(0 AS BIGINT) AS only_stream
-      |FROM adm""".stripMargin
-
   private def streamLlmDedupWm(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -409,6 +352,63 @@ object QueriesStreaming {
        |  CAST(1 AS BIGINT) AS n_readmitted
        |FROM scored WHERE q >= 0.3""".stripMargin
   }
+
+  /** Streaming incremental admission vs the static corpus index — the
+    * online half of `llm_incremental_dedup`'s exact legs
+    * ([[graft.streaming.StreamingCorpus.admitIncrementalStream]]): the
+    * batch partition (`doc_id % 5 = 0`) streams in ordered slices, each
+    * micro-batch anti-joins the corpus fingerprint index (stream-static)
+    * and dedups against the stream's own admitted state. Emits the
+    * batch-vs-stream admitted-content-set diff — zero by construction
+    * (admission is a set property, independent of micro-batch boundaries
+    * and of which duplicate instance arrives first); the oracle replays
+    * the admitted count from the tables.
+    */
+  private def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = graft.core.Tables.documents(spark, dir)
+    val corpusFp = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(graft.functions.TextOps.fingerprint(col("text")).as("__fp")).distinct()
+    val batch = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+
+    val batchNorms = batch
+      .withColumn("__fp", graft.functions.TextOps.fingerprint(col("text")))
+      .join(corpusFp, Seq("__fp"), "left_anti")
+      .select(graft.functions.TextOps.normalized(col("text")).as("norm")).distinct()
+
+    val sliceSize = math.max(100L, math.min(8192L, batch.count() / 5)).toInt
+    val name = s"graft_stream_incdedup_${System.nanoTime}"
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.admitIncrementalStream(
+        in.toDF().toDF("doc_id", "text"), corpusFp)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      import scala.jdk.CollectionConverters._
+      batch.orderBy("doc_id").as[(Long, String)].toLocalIterator().asScala
+        .grouped(sliceSize)
+        .foreach { sl => in.addData(sl.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val streamNorms = spark.table(name)
+      .select(graft.functions.TextOps.normalized(col("text")).as("norm"))
+
+    val (onlyBatch, onlyStream) = diffCounts(batchNorms, streamNorms)
+    Seq((batchNorms.count(), streamNorms.count(), onlyBatch, onlyStream))
+      .toDF("n_batch", "n_stream", "only_batch", "only_stream")
+  }
+
+  private val streamIncrementalDedupSql =
+    """WITH cn AS (
+      |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |bn AS (
+      |  SELECT DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |adm AS (SELECT t FROM bn WHERE t NOT IN (SELECT t FROM cn))
+      |SELECT COUNT(*) AS n_batch, COUNT(*) AS n_stream,
+      |  CAST(0 AS BIGINT) AS only_batch, CAST(0 AS BIGINT) AS only_stream
+      |FROM adm""".stripMargin
 
   /** M4 anchored VWAP, batch ≡ stream, hash-checked row-for-row: the
     * time-trigger anchor subset of anchored_vwap_real computed by
@@ -809,6 +809,198 @@ object QueriesStreaming {
        |FROM g, nb""".stripMargin
   }
 
+  /** PIPELINE, streaming twin — stage 1→2→3 of `pipeline_full` composed as
+    * a REAL multi-hop Structured Streaming pipeline over file sources with
+    * on-disk checkpoints (the bronze→silver→gold shape), STOPPED and
+    * RESUMED mid-input at every hop:
+    *
+    *   hop 1  raw tick files → P1 validity filter →
+    *          dropDuplicatesWithinWatermark (G5) → windowed G1 candles —
+    *          two chained stateful operators in ONE query → parquet sink
+    *   hop 2  candle files → flatMapGroupsWithState fused H1+H2 kernel
+    *          pass → parquet sink
+    *   hop 3  candle files → chunk-state trigger-anchor pass
+    *          ([[graft.streaming.StreamingAnchoredVwap]]) → parquet sink
+    *
+    * The composed per-candle row (symbol, ts, 20 indicators,
+    * candle_pattern_sum, n_anchors) is compared EXCEPT-exact against the
+    * same composition computed in batch (`pipeline_full`'s chain with the
+    * trigger-anchor subset — the online-computable anchor family; peak /
+    * extreme anchors need chunk-complete prominence and stay batch-side).
+    *
+    * Restart evidence: phase 1 feeds every tick before a second-aligned
+    * split S; a barrier row advances the watermark to the midpoint of
+    * (S, first-phase-2-tick) — strictly between every phase-1 window end
+    * and every phase-2 event, so window emission and late-row filtering
+    * are both safe regardless of boundary strictness — all three queries
+    * drain and STOP, then phase 2 resumes each from its checkpoint.
+    * `pre_split_ok` pins 0 < pre-restart H rows < total. Final-chunk /
+    * final-window flush via one sentinel tick per symbol a full chunk past
+    * the data plus one far-future barrier tick (sentinel symbols filtered
+    * from every compared frame).
+    *
+    * Dedup note: stream dedup is drop-first, batch keep-last by seq —
+    * equal here because duplicate (symbol, µs) ticks are byte-identical
+    * replays in this corpus (checked: zero differing-payload duplicate
+    * keys), exactly the reference's re-merge model.
+    */
+  private def streamPipelineFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+
+    val tickCols = Seq("symbol", "timestamp", "price", "volume", "seq")
+    val ticksAll = graft.core.Tables.ticks(spark, dir).select(tickCols.map(col): _*)
+
+    // ---- batch twin of the composed chain
+    val valid = graft.operators.TickOps.validate(ticksAll).valid
+    val deduped = graft.operators.TickOps.dedupKeepLast(
+      valid, Seq("symbol", "timestamp"), Seq(col("seq")))
+    val batchCandles = CandleAggregator.aggregate(deduped).cache()
+    val ohlc = batchCandles.select(col("symbol"), col("timestamp"),
+      col("open"), col("high"), col("low"), col("close"))
+    val hCols = IndicatorPass.indicatorFields.map(f => col(f.name)) :+
+      col("candle_pattern_sum")
+    val batchH = IndicatorPass.withIndicators(ohlc, patterns = true)
+      .select(col("symbol") +: col("timestamp") +: hCols: _*)
+    val trigTypes = graft.calc.AnchorSnapshots.Triggers.map(_._1)
+    val batchTrigAnchors = graft.calc.AnchorSnapshots.snapshots(batchCandles)
+      .filter(col("anchor_type").isin(trigTypes: _*)).cache()
+    val batchAnchorCounts = batchTrigAnchors
+      .groupBy(col("symbol"), col("anchor_timestamp"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .withColumnRenamed("anchor_timestamp", "timestamp")
+    val batchComposed = batchH.join(batchAnchorCounts, Seq("symbol", "timestamp"), "left")
+      .withColumn("n_anchors", coalesce(col("n_anchors"), lit(0L)))
+
+    // ---- the restart split: a second boundary S with a strict event-time
+    // gap after it, so the barrier watermark can sit safely inside the gap
+    val bounds = deduped.agg(
+      min(unix_micros(col("timestamp"))), max(unix_micros(col("timestamp")))).head()
+    val (minUs, maxUs) = (bounds.getLong(0), bounds.getLong(1))
+    val midUs0 = ((minUs + maxUs) / 2 / 1000000L) * 1000000L
+    // bounded collect: the 5000 smallest deduped tick times past the naive
+    // midpoint — a driver-side scan window for the gap search, not data
+    val after = deduped.select(unix_micros(col("timestamp")).as("us"))
+      .filter(col("us") >= midUs0).orderBy(col("us")).limit(5000)
+      .as[Long].collect()
+    require(after.length >= 2, "stream_pipeline_full: not enough ticks past midpoint")
+    // ≥4 ms of clear air after S: Spark tracks event-time watermarks at
+    // millisecond resolution, so the barrier point is ms-aligned and needs
+    // ms-scale slack on both sides of the (S, first-phase-2-tick) gap
+    val sUs = Iterator.iterate(midUs0)(_ + 1000000L)
+      .takeWhile(_ <= after.last)
+      .take(600)
+      .find(s => after.find(_ >= s).exists(t => t - s >= 4000L))
+      .getOrElse(sys.error("stream_pipeline_full: no gap-backed second boundary found"))
+    val t2min = after.find(_ >= sUs).get
+    val wmUs = sUs + (t2min - sUs) / 2 / 1000L * 1000L
+    require(wmUs > sUs && wmUs < t2min, "stream_pipeline_full: watermark gap degenerate")
+
+    def usTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
+    val root = java.nio.file.Files.createTempDirectory("graft_spipe_")
+    val inDir = s"$root/in"
+    val out1 = s"$root/candles"; val out2 = s"$root/hrows"; val out3 = s"$root/anchors"
+    val Bar = " BARRIER"
+    val delayUs = 10L * 1000000L // the 10-second default of both hop-1 operators
+
+    def runHop1(): Unit = {
+      val src = spark.readStream.schema(ticksAll.schema).parquet(inDir)
+      val q = StreamingCandles.dedupedCandles1s(
+          src.filter(graft.operators.TickOps.tickValidity))
+        .writeStream.format("parquet").option("path", out1)
+        .option("checkpointLocation", s"$root/ckpt1").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def runHop2(): Unit = {
+      val src = spark.readStream.schema(batchCandles.schema).parquet(out1)
+        .select("symbol", "timestamp", "open", "high", "low", "close")
+      val q = StreamingIndicators.indicatorStream(src, patterns = true)
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", s"$root/ckpt2").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def runHop3(): Unit = {
+      val src = spark.readStream.schema(batchCandles.schema).parquet(out1)
+        .select("symbol", "timestamp", "close", "volume")
+      val q = graft.streaming.StreamingAnchoredVwap.anchoredVwapStream(src)
+        .writeStream.format("parquet").option("path", out3)
+        .option("checkpointLocation", s"$root/ckpt3").outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // phase 1: ticks before S (nulls included — the in-stream P1 filter
+    // does the real work), then the barrier watermark advance; run + STOP
+    // each hop
+    ticksAll.filter(col("timestamp").isNull || unix_micros(col("timestamp")) < sUs)
+      .write.mode("append").parquet(inDir)
+    Seq((Bar, usTs(wmUs + delayUs), 1.0, 1.0, -1L))
+      .toDF(tickCols: _*).write.mode("append").parquet(inDir)
+    runHop1(); runHop2(); runHop3()
+    val nPre = spark.read.parquet(out2).count()
+
+    // phase 2: the rest + flush sentinels; every hop RESUMES from its
+    // checkpoint
+    ticksAll.filter(unix_micros(col("timestamp")) >= sUs)
+      .write.mode("append").parquet(inDir)
+    val s1Us = maxUs + graft.calc.AnchorSnapshots.chunkUs()
+    // bounded collect: one flush sentinel per symbol
+    val symbols = batchCandles.select(col("symbol")).distinct().as[String].collect().toSeq
+    (symbols.map(sym => (sym, usTs(s1Us), 1.0, 1.0, -1L)) :+
+        (Bar, usTs(s1Us + 3600L * 1000000L), 1.0, 1.0, -2L))
+      .toDF(tickCols: _*).write.mode("append").parquet(inDir)
+    runHop1(); runHop2(); runHop3()
+
+    // ---- composed compare
+    val streamH = spark.read.parquet(out2)
+      .filter(col("symbol") =!= Bar && unix_micros(col("timestamp")) <= maxUs)
+      .select(col("symbol") +: col("timestamp") +: hCols: _*)
+    val streamAnchorCounts = spark.read.parquet(out3)
+      .filter(col("symbol") =!= Bar)
+      .groupBy(col("symbol"), col("anchor_timestamp"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .withColumnRenamed("anchor_timestamp", "timestamp")
+    val streamComposed = streamH.join(streamAnchorCounts, Seq("symbol", "timestamp"), "left")
+      .withColumn("n_anchors", coalesce(col("n_anchors"), lit(0L)))
+
+    val (onlyBatch, onlyStream) = diffCounts(batchComposed, streamComposed)
+    val nCandles = batchCandles.count()
+    val nStream = streamComposed.count()
+    val nAnchorPoints = batchTrigAnchors.count()
+    batchTrigAnchors.unpersist()
+    batchCandles.unpersist()
+    def rmr(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    rmr(root)
+    Seq((nCandles, nStream, onlyBatch, onlyStream, nAnchorPoints,
+        nPre > 0 && nPre < nStream))
+      .toDF("n_candles", "n_stream", "only_batch", "only_stream",
+        "n_anchor_points", "pre_split_ok")
+  }
+
+  /** Replays the composed counts from the tables: pipeline candles
+    * (validated → deduped → G1) and the trigger-anchor points (first
+    * trigger hit per (symbol, day, type), last-date gate, chunk-last-row
+    * join — the same `trig` CTE the w14/stream-vwap oracles use); pins the
+    * except-counts to zero and the split flag true.
+    */
+  private val streamPipelineFullSql =
+    s"""${QueriesDomain.withCandlesPipeline},
+       |${QueriesDomain.w14CommonCtes},
+       |${QueriesDomain.w14DailyAnchorCtes}
+       |SELECT (SELECT COUNT(*) FROM candles) AS n_candles,
+       |  (SELECT COUNT(*) FROM candles) AS n_stream,
+       |  CAST(0 AS BIGINT) AS only_batch, CAST(0 AS BIGINT) AS only_stream,
+       |  (SELECT COUNT(*) FROM trig t JOIN last_rows l
+       |     ON t.symbol = l.lsym AND t.chunk = l.lchunk) AS n_anchor_points,
+       |  TRUE AS pre_split_ok""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("stream_equiv", streamEquiv, Some(streamEquivSql)),
     Q("stream_restart_equiv", streamRestartEquiv, Some(streamRestartEquivSql)),
@@ -820,6 +1012,7 @@ object QueriesStreaming {
     Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql)),
     Q("stream_incremental_dedup", streamIncrementalDedup, Some(streamIncrementalDedupSql)),
     Q("stream_anchored_vwap", streamAnchoredVwap, Some(streamAnchoredVwapSql)),
-    Q("stream_state_bounds", streamStateBounds, Some(streamStateBoundsSql))
+    Q("stream_state_bounds", streamStateBounds, Some(streamStateBoundsSql)),
+    Q("stream_pipeline_full", streamPipelineFull, Some(streamPipelineFullSql))
   )
 }

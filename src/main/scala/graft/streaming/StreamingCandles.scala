@@ -50,4 +50,21 @@ object StreamingCandles {
                            watermarkDelay: String = "10 seconds"): DataFrame =
     ticks.withWatermark("timestamp", watermarkDelay)
       .dropDuplicatesWithinWatermark("symbol", "timestamp")
+
+  /** G5 → G1 chained as TWO stateful operators in ONE streaming query —
+    * the stage-1→2 spine of the pipeline composition. One `withWatermark`
+    * only: with multiple stateful operators Spark forbids redefining the
+    * watermark mid-chain, so the dedup and the windowed aggregation share
+    * the single upstream definition (dedup state evicts at wm, windows
+    * close at wm — the one delay bounds both).
+    */
+  def dedupedCandles1s(ticks: DataFrame, watermarkDelay: String = "10 seconds",
+                       seconds: Int = 1): DataFrame = {
+    val deduped = ticks.withWatermark("timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark("symbol", "timestamp")
+    val aggs = CandleAggregator.candleAggs(ticks, "price", 4, 4)
+    deduped.groupBy(col("symbol"), window(col("timestamp"), s"$seconds seconds"))
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("window")
+  }
 }

@@ -72,6 +72,8 @@ object StreamingSinks {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         import org.apache.spark.sql.functions.col
         val spark = batch.sparkSession
+        // bounded collect: distinct PARTITION VALUES touched by this batch
+        // (1-2 trading dates / a handful of symbols), never row data
         val parts = batch.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
         if (parts.nonEmpty) {
           // cast the read-back partition column to the batch's dtype:

@@ -85,4 +85,24 @@ class GramPcaSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("accumulation past Long headroom fails loudly, never wraps") {
+    // Drive the diagonal sum to the Long boundary directly (driver-side
+    // reduce/merge calls — the distributed path runs the same methods).
+    // Each row at the grid max |q|=10^5 contributes 10^10 per cell; seed a
+    // buffer one step below Long.MaxValue and show the next reduce throws
+    // ArithmeticException instead of wrapping negative.
+    val agg = GramPca.GramAggregator(dim)
+    val nearMax = agg.zero
+    nearMax(1) = Long.MaxValue - 1L // gram(0,0) cell
+    val row = Seq(100000L, 0L, 0L, 0L) // contributes 10^10 to gram(0,0)
+    intercept[ArithmeticException] { agg.reduce(nearMax, row) }
+    // merge path: two half-full buffers whose sum overflows
+    val a = agg.zero; val b = agg.zero
+    a(2) = Long.MaxValue / 2 + 1L; b(2) = Long.MaxValue / 2 + 1L
+    intercept[ArithmeticException] { agg.merge(a, b) }
+    // sanity: a legal reduce on a fresh buffer still works after the guard
+    val fresh = agg.reduce(agg.zero, row)
+    assert(fresh(0) === 1L && fresh(1) === 10000000000L)
+  }
 }
