@@ -478,6 +478,62 @@ object QueriesStreaming {
        |JOIN last_rows l ON t.symbol = l.lsym AND t.chunk = l.lchunk
        |JOIN tails ta ON t.symbol = ta.vsym AND t.tstamp = ta.vts""".stripMargin
 
+  /** The SAME trigger-anchor VWAP rows from the `transformWithState`
+    * processor ([[graft.streaming.StreamingAnchoredVwapTws]]) — Spark 4's
+    * arbitrary-state operator with EVENT-TIME TIMER flush replacing the
+    * per-symbol sentinel rows: each chunk registers a timer at its end
+    * boundary and flushes when the watermark passes it, so quiet symbols
+    * flush too and the finite replay needs ONE barrier row total. Runs on
+    * the RocksDB state store (transformWithState requires it; conf is
+    * set/restored around the query). Checked against the identical DuckDB
+    * replay as `stream_anchored_vwap`, pinning fMGWS-with-sentinels ≡
+    * timer-flush-TWS row-for-row.
+    */
+  private def streamAnchoredVwapTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val candles = CandleAggregator.aggregate(graft.core.Tables.ticks(spark, dir))
+    val feed = candles
+      .select(col("symbol"), col("timestamp"), col("close"), col("volume"))
+      .orderBy(col("timestamp"), col("symbol"))
+      .as[(String, Timestamp, Double, Double)]
+    val maxTs = candles.agg(max(col("timestamp"))).head().getTimestamp(0)
+    // one barrier row TOTAL: its only job is pushing the global watermark
+    // past every real chunk-end boundary so all pending timers fire
+    val barrier = (" WM", new Timestamp(maxTs.getTime +
+      graft.calc.AnchorSnapshots.chunkUs() / 1000L + 3600L * 1000L), 1.0, 1.0)
+
+    val name = s"graft_stream_avwap_tws_${System.nanoTime}"
+    val in = MemoryStream[(String, Timestamp, Double, Double)]
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = graft.streaming.StreamingAnchoredVwapTws.anchoredVwapStream(
+          in.toDF().toDF("symbol", "timestamp", "close", "volume")
+            .withWatermark("timestamp", "10 seconds"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        feedSorted(feed) { sl => in.addData(sl); q.processAllAvailable() }
+        in.addData(Seq(barrier))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    spark.table(name).filter(col("symbol") =!= " WM").select(
+      col("symbol"), col("timeframe"), col("anchor_type"),
+      tsMicros(col("anchor_timestamp")).as("anchor_timestamp"),
+      col("anchor_idx"), col("price_at_anchor"),
+      tsMicros(col("current_snapshot_timestamp")).as("current_snapshot_timestamp"),
+      col("current_idx"), col("anchored_vwap"))
+  }
+
   /** Streaming HLL distinct-count ([[graft.streaming.StreamingSketch]]):
     * 256-int bounded state per group, sentinel-triggered emission, joined
     * with the batch exact counts into the EXACT row shape of
@@ -1012,6 +1068,7 @@ object QueriesStreaming {
     Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql)),
     Q("stream_incremental_dedup", streamIncrementalDedup, Some(streamIncrementalDedupSql)),
     Q("stream_anchored_vwap", streamAnchoredVwap, Some(streamAnchoredVwapSql)),
+    Q("stream_anchored_vwap_tws", streamAnchoredVwapTws, Some(streamAnchoredVwapSql)),
     Q("stream_state_bounds", streamStateBounds, Some(streamStateBoundsSql)),
     Q("stream_pipeline_full", streamPipelineFull, Some(streamPipelineFullSql))
   )
