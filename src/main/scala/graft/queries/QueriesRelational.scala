@@ -438,6 +438,32 @@ object QueriesRelational {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Bench variant of j5 — the `n_users` countDistinct is Verify-only
+    * membership pinning: its distinct EXPAND keys the partial aggregation
+    * by (win_id, user_id), a key space that grows with MATCH volume
+    * (~750M pairs at sf10 on the fixed 30-day range), and the agg hash map
+    * thrash-spills for ~30 min per task while the join itself streams
+    * (measured via jstack: FastHashMap findOrInsert +
+    * destructAndCreateExternalSorter loop). count+sum still CONSUME every
+    * matched row — the bench keeps the operator's full output volume and
+    * drops only the distinct expand, so sf-scaling measures the range
+    * join, not the oracle's membership pin.
+    */
+  private def j5Bench(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val wins = ev.filter(col("user_id") % 10 === 0)
+      .groupBy(col("user_id").as("win_id"))
+      .agg(min(col("ts")).as("win_start"))
+      .withColumn("win_end", col("win_start") + expr("INTERVAL 4 HOURS"))
+    graft.operators.RangeJoin.pointInIntervalAuto(
+      ev.select(col("ts"), col("event_id"), col("user_id")),
+      wins, "ts", "win_start", "win_end")
+      .groupBy(col("win_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("sum_event_ids"))
+  }
+
   private val j5Sql =
     """WITH e AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events),
       |w AS (SELECT user_id AS win_id, MIN(ts) AS ws, MIN(ts) + INTERVAL 4 HOUR AS we
@@ -644,7 +670,7 @@ object QueriesRelational {
     Q("q12_pivot_daily", q12, Some(q12Sql)),
     Q("q13_exact_quantiles", q13, Some(q13Sql)),
     Q("q14_topk_per_group", q14, Some(q14Sql)),
-    Q("j5_range_join", j5, Some(j5Sql), headline = true),
+    Q("j5_range_join", j5, Some(j5Sql), headline = true, benchRun = Some(j5Bench)),
     Q("j5_hot_plain", j5Hot(salted = false), Some(j5HotSql), headline = true),
     Q("j5_hot_salted", j5Hot(salted = true), Some(j5HotSql), headline = true),
     Q("q15_retention_cohorts", q15, Some(q15Sql)),
