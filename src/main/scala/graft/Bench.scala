@@ -62,6 +62,7 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val cpuT0 = osBean.getProcessCpuTime
     val wallT0 = System.nanoTime()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = pool
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
@@ -75,6 +76,10 @@ object Bench {
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+            // a -1 row without its reason made a failed sf10 run
+            // undiagnosable from the artifact — carry the message
+            errors.put(q.name,
+              (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(300))
             -1.0
         }
       }
@@ -95,7 +100,13 @@ object Bench {
     val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
     val loadAfter = loadAvg1m()
     val envJson = f""""load_1m_before":$loadBefore%.2f,"load_1m_after":$loadAfter%.2f,"proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,"cpu_over_wall":${cpuSec / math.max(wallSec, 1e-9)}%.2f"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,$envJson}"""
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replaceAll("[\\n\\r\\t]", " ") + "\""
+      }.mkString(""","errors":{""", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,$envJson$errJson}"""
     println(json)
     // Also land the JSON in a file: the stdout line is buried in sbt [info]
     // noise and the driver's log scrape has missed it two rounds running.

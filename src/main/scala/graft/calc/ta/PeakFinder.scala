@@ -1,6 +1,6 @@
 package graft.calc.ta
 
-import scala.collection.mutable.ArrayBuffer
+import scala.collection.mutable.ArrayBuilder
 
 /** Port of scipy.signal.find_peaks for the subset the reference uses —
   * distance + prominence filters (label_peaks_valleys_multi,
@@ -19,7 +19,7 @@ object PeakFinder {
 
   /** Indices of local maxima (plateau midpoints). */
   def localMaxima(x: Array[Double]): Array[Int] = {
-    val out = ArrayBuffer.empty[Int]
+    val out = new ArrayBuilder.ofInt // primitive — no boxed Integers on the hot path
     val iMax = x.length - 1
     var i = 1
     while (i < iMax) {
@@ -34,15 +34,44 @@ object PeakFinder {
         } else i = iAhead
       } else i += 1
     }
-    out.toArray
+    out.result()
   }
 
   /** Greedy distance thinning by descending priority (peak height). */
   def selectByDistance(peaks: Array[Int], priority: Array[Double], distance: Int): Array[Boolean] = {
     val n = peaks.length
     val keep = Array.fill(n)(true)
-    // stable ascending argsort, iterated from the end = highest (ties: later index) first
-    val order = peaks.indices.sortBy(priority)(Ordering.Double.TotalOrdering)
+    // Ascending argsort by (priority, index) — the composite key is unique,
+    // so an unstable primitive heapsort reproduces the old stable-sort order
+    // exactly. The previous `indices.sortBy(priority)` boxed every Double
+    // and Integer through TimSort; at sf10 (1M+ candidate peaks × 29
+    // concurrent kernel tasks) that boxing OOM'd the heap. Double.compare
+    // keeps TotalOrdering semantics (-0.0 < 0.0, NaN greatest).
+    val order = Array.tabulate(n)(identity)
+    @inline def less(a: Int, b: Int): Boolean = {
+      val c = java.lang.Double.compare(priority(a), priority(b))
+      if (c != 0) c < 0 else a < b
+    }
+    def siftDown(start: Int, end: Int): Unit = {
+      var root = start
+      var done = false
+      while (!done && 2 * root + 1 <= end) {
+        var child = 2 * root + 1
+        if (child + 1 <= end && less(order(child), order(child + 1))) child += 1
+        if (less(order(root), order(child))) {
+          val t = order(root); order(root) = order(child); order(child) = t
+          root = child
+        } else done = true
+      }
+    }
+    var s = n / 2 - 1
+    while (s >= 0) { siftDown(s, n - 1); s -= 1 }
+    var e = n - 1
+    while (e > 0) {
+      val t = order(0); order(0) = order(e); order(e) = t
+      e -= 1
+      siftDown(0, e)
+    }
     var oi = n - 1
     while (oi >= 0) {
       val j = order(oi)
@@ -73,11 +102,17 @@ object PeakFinder {
 
   /** find_peaks(x, distance=d, prominence=p) → kept peak indices, ascending. */
   def findPeaks(x: Array[Double], distance: Int, prominence: Double): Array[Int] = {
-    var peaks = localMaxima(x)
+    val peaks = localMaxima(x)
     if (peaks.isEmpty) return peaks
     val keep = selectByDistance(peaks, peaks.map(x), distance)
-    peaks = peaks.zip(keep).collect { case (pk, true) => pk }
-    val proms = prominences(x, peaks)
-    peaks.zip(proms).collect { case (pk, pr) if pr >= prominence => pk }
+    val thinned = new ArrayBuilder.ofInt
+    var i = 0
+    while (i < peaks.length) { if (keep(i)) thinned += peaks(i); i += 1 }
+    val kept = thinned.result()
+    val proms = prominences(x, kept)
+    val out = new ArrayBuilder.ofInt
+    i = 0
+    while (i < kept.length) { if (proms(i) >= prominence) out += kept(i); i += 1 }
+    out.result()
   }
 }

@@ -241,6 +241,49 @@ object QueriesSketch {
        |FROM lineitem l JOIN kp ON l.l_orderkey = kp.pk""".stripMargin
   }
 
+  /** Bloom-prefiltered semi join (J6) — the PRODUCTION twin of
+    * sk_bloom_prune's audit row. The mask built from the selective build
+    * side (urgent big-ticket orders) filters lineitem MAP-SIDE, ahead of
+    * the semi join's exchange; the exact `left_semi` then removes the
+    * false positives, so the result is bit-identical to the plain semi
+    * join the oracle runs. At 100 TB this is the shape that matters: the
+    * probe-side shuffle carries only `true_match + false_pos` rows instead
+    * of the full table, while the bitmask riding the closure is m bits
+    * regardless of build cardinality (the driver collects ≤ m DISTINCT
+    * positions, same merge shape as Spark's own InjectRuntimeFilter).
+    * No false negatives by construction — pinned by sk_bloom_prune's
+    * `false_neg` column being hash-checked at 0.
+    */
+  private def j6BloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val sel = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000.0)
+      .select(col("o_orderkey").as("k")).distinct()
+    val posCols = Sketches.BloomParams.map { case (a, b) =>
+      pmod(Sketches.hash61(col("k"), a, b), lit(BloomM.toLong))
+    }
+    val positions = sel.select(explode(array(posCols: _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0)) // bounded by m bits, not build rows
+    val mask = Sketches.maskFromPositions(positions, BloomM)
+    val li = Tables.lineitem(s, dir)
+      .filter(Sketches.bloomMightContain(col("l_orderkey"), mask, Sketches.BloomParams))
+    li.join(sel, li("l_orderkey") === sel("k"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+  }
+
+  /** Oracle: the PLAIN semi join — the bloom must be invisible in the
+    * result.
+    */
+  private val j6BloomSemiSql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000)
+      |GROUP BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- KMV --
 
   private val KmvK = 64
@@ -520,6 +563,7 @@ object QueriesSketch {
     Q("sk_hll_distinct", hllDistinct, Some(hllDistinctSql)),
     Q("sk_cms_heavy", cmsHeavy, Some(cmsHeavySql)),
     Q("sk_bloom_prune", bloomPrune, Some(bloomPruneSql)),
+    Q("j6_bloom_semi", j6BloomSemi, Some(j6BloomSemiSql)),
     Q("sk_kmv_distinct", kmvDistinct, Some(kmvDistinctSql)),
     Q("sk_theta_setops", thetaSetops, Some(thetaSetopsSql)),
     Q("sk_hist_quantiles", histQuantiles, Some(histQuantilesSql)))

@@ -34,6 +34,51 @@ class PeakFinderSpec extends AnyFunSuite {
     assert(proms(0) == 5.0 && proms(1) == 0.5)
   }
 
+  test("heapsort thinning matches the stable-sort reference, ties included") {
+    // selectByDistance replaced a boxed stable TimSort argsort with a
+    // primitive heapsort over the (priority, index) composite key. The key
+    // is unique, so the unstable sort must reproduce the stable order
+    // bit-for-bit — including on tied priorities, where stability is the
+    // only thing that disambiguates which peak wins the greedy pass.
+    def referenceSelect(peaks: Array[Int], priority: Array[Double], distance: Int): Array[Boolean] = {
+      val n = peaks.length
+      val keep = Array.fill(n)(true)
+      val order = peaks.indices.sortBy(priority)(Ordering.Double.TotalOrdering)
+      var oi = n - 1
+      while (oi >= 0) {
+        val j = order(oi)
+        if (keep(j)) {
+          var k = j - 1
+          while (k >= 0 && peaks(j) - peaks(k) < distance) { keep(k) = false; k -= 1 }
+          k = j + 1
+          while (k < n && peaks(k) - peaks(j) < distance) { keep(k) = false; k += 1 }
+        }
+        oi -= 1
+      }
+      keep
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 50) {
+      val n = 1 + rnd.nextInt(200)
+      // sorted distinct positions, as localMaxima produces
+      val peaks = Array.iterate(rnd.nextInt(3), n)(p => p + 1 + rnd.nextInt(5))
+      // quantized priorities force many exact ties; sprinkle ±0.0 and NaN
+      val priority = Array.fill(n) {
+        rnd.nextInt(10) match {
+          case 0 => -0.0
+          case 1 => 0.0
+          case 2 => Double.NaN
+          case _ => rnd.nextInt(4).toDouble
+        }
+      }
+      val distance = 1 + rnd.nextInt(8)
+      assert(
+        PeakFinder.selectByDistance(peaks, priority, distance).toSeq ==
+          referenceSelect(peaks, priority, distance).toSeq,
+        s"trial $trial: n=$n distance=$distance")
+    }
+  }
+
   test("reference parameter sets behave on a sine-like series") {
     val x = (0 until 200).map(i => math.sin(i / 6.0) * (1 + i / 200.0)).toArray
     val major = PeakFinder.findPeaks(x, 10, 0.9)
