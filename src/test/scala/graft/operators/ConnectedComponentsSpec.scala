@@ -38,6 +38,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     check((0L until 63L).map(i => (i, i + 1)), "path")
   }
 
+  test("rounds-to-fixpoint on the worst-case path is logarithmic, not linear") {
+    // A 256-node path is the adversarial shape for star contraction: naive
+    // min-propagation needs n rounds; large-star/small-star alternation is
+    // O(log² n). The bound here (≤ 16 ≈ 2·log₂ 256) is what makes
+    // cc_bench.json's `cc_rounds` meaningful at 100 TB — rounds, not
+    // edges, govern the shuffle count.
+    check((0L until 255L).map(i => (i, i + 1)), "path256")
+    val r = ConnectedComponents.lastRounds
+    assert(r >= 2 && r <= 16, s"path256 converged in $r rounds — expected O(log n)")
+  }
+
   test("disjoint cliques keep separate min representatives") {
     val cliques = Seq(Seq(10L, 11L, 12L, 13L), Seq(40L, 41L), Seq(7L, 70L, 700L))
     val edges = cliques.flatMap(c => c.combinations(2).map(p => (p(0), p(1))))
