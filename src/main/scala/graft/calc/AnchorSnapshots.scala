@@ -86,17 +86,23 @@ object AnchorSnapshots {
       .withColumn("prior_rows", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
     val base = withPeaks
       .withColumn("crn", row_number().over(wChunkOrd))
-      .withColumn("chunk_cnt", count(lit(1)).over(wChunk))
       .withColumn("last_date", max(col("local_date")).over(wChunk))
+      // the chunk's last row (the snapshot row every anchor pairs with) is
+      // carried by the SAME whole-partition window, not by filtering a
+      // second branch of this frame and self-joining: the uncached branch
+      // pair re-ran the entire candles→peaks→windows chain twice (measured
+      // at sf10: the peaks kernel alone is seconds per hot chunk) and paid
+      // an SMJ back. max(timestamp) IS the last row's timestamp; crn is
+      // timestamp-ordered so max(crn) is its row number, and cidx is
+      // crn−1+const within the chunk, so the last cidx = max(crn)−1+const.
+      .withColumn("current_snapshot_timestamp", max(col("timestamp")).over(wChunk))
+      .withColumn("last_crn", max(col("crn")).over(wChunk))
       .join(broadcast(prior), col("symbol") === col("cs") && col("chunk") === col("cc"))
       .withColumn("cidx",
         (col("crn") - 1 + least(col("prior_rows"), lit(bufferSize.toLong))).cast("long"))
+      .withColumn("current_idx",
+        (col("last_crn") - 1 + least(col("prior_rows"), lit(bufferSize.toLong))).cast("long"))
       .drop("cs", "cc", "cnt")
-
-    val lastRows = base.filter(col("crn") === col("chunk_cnt")).select(
-      col("symbol").as("ls"), col("chunk").as("lc"),
-      col("timestamp").as("current_snapshot_timestamp"),
-      col("cidx").as("current_idx"))
 
     // ONE pass over `base` for all 27 anchor kinds. The first cut of this
     // operator built a filtered frame per kind and unioned them — 27
@@ -142,19 +148,14 @@ object AnchorSnapshots {
         lastHitOfChunk(col("is_new_daily_low") === 1 && col("local_date") === col("last_date")),
         "daily_low", "low"))
 
-    val anchors = base
+    base
       .withColumn("__cands", array(peakCands ++ triggerCands ++ extremeCands: _*))
       .withColumn("__a", explode(filter(col("__cands"), _.isNotNull)))
       .select(
-        col("symbol"), col("chunk"), col("__a.anchor_type").as("anchor_type"),
+        col("symbol"), lit(timeframe).as("timeframe"),
+        col("__a.anchor_type").as("anchor_type"),
         col("timestamp").as("anchor_timestamp"), col("cidx").as("anchor_idx"),
-        col("__a.price_at_anchor").as("price_at_anchor"))
-
-    anchors
-      .join(lastRows, anchors("symbol") === lastRows("ls") && anchors("chunk") === lastRows("lc"))
-      .select(
-        col("symbol"), lit(timeframe).as("timeframe"), col("anchor_type"),
-        col("anchor_timestamp"), col("anchor_idx"), col("price_at_anchor"),
+        col("__a.price_at_anchor").as("price_at_anchor"),
         col("current_snapshot_timestamp"), col("current_idx"),
         lit(null).cast("double").as("anchored_vwap"))
   }

@@ -1,10 +1,7 @@
 package graft.calc
 
-import scala.collection.mutable.ArrayBuffer
-
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{IntegerType, StructField}
 
 import graft.calc.ta.PeakFinder
 
@@ -46,52 +43,18 @@ object PeaksPass {
 
   /** Appends the 6 flag columns; groups by symbol (+ extraGroupCols), rows
     * ordered by timestamp within a group.
+    *
+    * Physically this plans the native [[graft.plans.PeaksPassExec]]
+    * operator (strategy injected by GraftSession): the planner inserts the
+    * declared (symbol[, chunk]) exchange+sort, the kernel consumes
+    * InternalRows directly (no external-Row encode), and the exchange and
+    * sort survive the node — downstream (symbol, chunk) windows reuse them
+    * instead of re-shuffling (the old mapPartitions route paid both the
+    * Row encoder and a second wide exchange).
     */
   def withPeakFlags(df: DataFrame, extraGroupCols: Seq[String] = Nil): DataFrame = {
-    val inSchema = df.schema
-    val outSchema = StructType(inSchema.fields ++ peakFields)
-    val groupCols = "symbol" +: extraGroupCols
-    val keyIdx = groupCols.map(inSchema.fieldIndex)
-    val iH = inSchema.fieldIndex("high")
-    val iL = inSchema.fieldIndex("low")
-
-    df.repartition(groupCols.map(col): _*)
-      .sortWithinPartitions((groupCols :+ "timestamp").map(col): _*)
-      .mapPartitions { rows =>
-        new Iterator[Row] {
-          private var out: Iterator[Row] = Iterator.empty
-          private var pending: Row = null
-
-          private def key(r: Row) = keyIdx.map(r.get)
-
-          private def flush(buf: ArrayBuffer[Row]): Iterator[Row] = {
-            val high = buf.map(_.getDouble(iH)).toArray
-            val low = buf.map(_.getDouble(iL)).toArray
-            val fl = flags(high, low)
-            buf.iterator.zipWithIndex.map { case (r, i) =>
-              Row.fromSeq(r.toSeq ++ fl.map(_(i)))
-            }
-          }
-
-          private def fill(): Unit = {
-            while (!out.hasNext && (pending != null || rows.hasNext)) {
-              val buf = ArrayBuffer.empty[Row]
-              val first = if (pending != null) pending else rows.next()
-              pending = null
-              buf += first
-              val k = key(first)
-              var done = false
-              while (!done && rows.hasNext) {
-                val r = rows.next()
-                if (key(r) == k) buf += r else { pending = r; done = true }
-              }
-              out = flush(buf)
-            }
-          }
-
-          override def hasNext: Boolean = { fill(); out.hasNext }
-          override def next(): Row = { fill(); out.next() }
-        }
-      }(Encoders.row(outSchema))
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    PlanBridge.ofRows(df.sparkSession, graft.plans.PeaksPassPlan(
+      PlanBridge.analyzed(df), extraGroupCols, graft.plans.PeaksPassPlan.mkOutAttrs))
   }
 }

@@ -26,6 +26,7 @@ object GraftSession {
         graft.functions.VectorExprs.register(ext)
         graft.functions.Sketches.register(ext)
         ext.injectPlannerStrategy(_ => graft.plans.IndicatorPassStrategy)
+        ext.injectPlannerStrategy(_ => graft.plans.PeaksPassStrategy)
       }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -216,6 +216,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_hash61"), "native hash expression in the plan")
   }
 
+  test("peaks pass: native exec; downstream (symbol, chunk) window reuses its exchange") {
+    // The W11/W14 peaks kernel is a native SparkPlan that DECLARES
+    // distribution and ordering and preserves them — a (symbol, chunk)
+    // window right after it must piggyback on the kernel's exchange+sort
+    // instead of re-shuffling the wide frame (what the old mapPartitions
+    // route forced, since mapPartitions erases partitioning info).
+    val c = CandleAggregator.aggregate(Tables.ticks(spark, dir))
+      .withColumn("chunk", expr("unix_micros(timestamp) div 2592000000000L"))
+    val flagged = graft.calc.PeaksPass.withPeakFlags(c, Seq("chunk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol", "chunk").orderBy("timestamp")
+    val out = flagged.withColumn("rn", row_number().over(w))
+    // executedPlan: exchanges exist only after EnsureRequirements runs
+    val ep = out.queryExecution.executedPlan.toString
+    assert(ep.contains("PeaksPass"), s"native peaks operator must plan:\n$ep")
+    val chunkExchanges = ep.split('\n').count(l =>
+      l.contains("hashpartitioning") && l.contains("chunk"))
+    assert(chunkExchanges == 1,
+      s"the window must reuse the peaks exchange — found $chunkExchanges (symbol, chunk) exchanges:\n$ep")
+    assert(ep.indexOf("Window") < ep.indexOf("PeaksPass"),
+      "window sits directly above the peaks exec (deeper = later in toString)")
+  }
+
   test("sk_bloom production shape: bloom filter is map-side, below the join") {
     import graft.functions.Sketches
     // the audit query keeps unpruned rows to count false positives; this is

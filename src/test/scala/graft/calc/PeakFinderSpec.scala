@@ -79,6 +79,43 @@ class PeakFinderSpec extends AnyFunSuite {
     }
   }
 
+  test("stack prominences match the per-peak rescan, plateaus and NaN included") {
+    // prominences() replaced the per-peak outward rescan (superlinear on
+    // random walks) with an O(n) monotonic-stack pass. Same doubles, same
+    // comparisons — bit-identical, pinned here against the naive form.
+    def referenceProminences(x: Array[Double], peaks: Array[Int]): Array[Double] =
+      peaks.map { p =>
+        val h = x(p)
+        var leftMin = h
+        var i = p - 1
+        while (i >= 0 && x(i) <= h) { if (x(i) < leftMin) leftMin = x(i); i -= 1 }
+        var rightMin = h
+        i = p + 1
+        while (i < x.length && x(i) <= h) { if (x(i) < rightMin) rightMin = x(i); i += 1 }
+        h - math.max(leftMin, rightMin)
+      }
+    def sameBits(a: Array[Double], b: Array[Double]): Boolean =
+      a.length == b.length && a.indices.forall(i =>
+        java.lang.Double.doubleToLongBits(a(i)) == java.lang.Double.doubleToLongBits(b(i)))
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 30) {
+      val n = 50 + rnd.nextInt(500)
+      val x = new Array[Double](n)
+      var v = 10.0
+      for (i <- 0 until n) {
+        v += (rnd.nextInt(7) - 3) * 0.5 // quantized walk — many exact ties/plateaus
+        x(i) = if (rnd.nextInt(50) == 0) Double.NaN else v
+      }
+      val peaks = PeakFinder.localMaxima(x)
+      assert(sameBits(PeakFinder.prominences(x, peaks), referenceProminences(x, peaks)),
+        s"trial $trial (localMaxima peaks)")
+      // arbitrary query indices, not just true maxima — public-surface contract
+      val qs = (0 until n).filter(_ => rnd.nextInt(5) == 0).toArray
+      assert(sameBits(PeakFinder.prominences(x, qs), referenceProminences(x, qs)),
+        s"trial $trial (arbitrary queries)")
+    }
+  }
+
   test("reference parameter sets behave on a sine-like series") {
     val x = (0 until 200).map(i => math.sin(i / 6.0) * (1 + i / 200.0)).toArray
     val major = PeakFinder.findPeaks(x, 10, 0.9)
