@@ -62,7 +62,7 @@ object AnchorSnapshots {
     */
   def snapshots(candles: DataFrame, timeframe: String = "1s",
                 chunkDays: Int = DefaultChunkDays, bufferSize: Int = 10000,
-                chunkOriginUs: Long = 0L): DataFrame = {
+                chunkOriginUs: Long = 0L, withTails: Boolean = false): DataFrame = {
     val chunkWidthUs = chunkUs(chunkDays)
     val labeled = WindowCalcs.withDailyRunningExtremes(
       SessionLabels.withSessionLabels(candles))
@@ -148,22 +148,45 @@ object AnchorSnapshots {
         lastHitOfChunk(col("is_new_daily_low") === 1 && col("local_date") === col("last_date")),
         "daily_low", "low"))
 
-    base
+    // Optional per-row chunk-suffix sums for [[anchoredVwapReal]]: each
+    // anchor's VWAP range is [anchor row .. chunk's last row], i.e. the
+    // suffix AT the anchor's own row — so the sums ride these same
+    // (symbol, chunk) windows and survive the explode, instead of a second
+    // candling of the input joined back by (symbol, anchor_timestamp).
+    // Suffix = whole-partition total − strict prefix, NOT an
+    // UnboundedFollowing frame (Spark re-aggregates those per row; see the
+    // anchoredVwapReal scaladoc for the decimal-exactness contract).
+    val withTailCols = if (!withTails) base else {
+      import org.apache.spark.sql.types.DecimalType
+      val pD = col("close").cast(DecimalType(18, 2))
+      val vD = col("volume").cast(DecimalType(18, 4))
+      val pv = col("__pv")
+      base.withColumn("__pv", pD * vD)
+        .withColumn("tail_pv",
+          (sum(pv).over(wChunk) - coalesce(sum(pv).over(wChunkPre), lit(0)))
+            .cast(DecimalType(38, 2)))
+        .withColumn("tail_v",
+          (sum(vD).over(wChunk) - coalesce(sum(vD).over(wChunkPre), lit(0)))
+            .cast(DecimalType(38, 2)))
+    }
+
+    val tailCols = if (withTails) Seq(col("tail_pv"), col("tail_v")) else Nil
+    withTailCols
       .withColumn("__cands", array(peakCands ++ triggerCands ++ extremeCands: _*))
       .withColumn("__a", explode(filter(col("__cands"), _.isNotNull)))
-      .select(
+      .select(Seq(
         col("symbol"), lit(timeframe).as("timeframe"),
         col("__a.anchor_type").as("anchor_type"),
         col("timestamp").as("anchor_timestamp"), col("cidx").as("anchor_idx"),
         col("__a.price_at_anchor").as("price_at_anchor"),
         col("current_snapshot_timestamp"), col("current_idx"),
-        lit(null).cast("double").as("anchored_vwap"))
+        lit(null).cast("double").as("anchored_vwap")) ++ tailCols: _*)
   }
 
   def anchoredVwapPoints(candles: DataFrame, timeframe: String = "1s",
                          chunkDays: Int = DefaultChunkDays, bufferSize: Int = 10000,
-                         chunkOriginUs: Long = 0L): DataFrame = {
-    val snaps = snapshots(candles, timeframe, chunkDays, bufferSize, chunkOriginUs)
+                         chunkOriginUs: Long = 0L, withTails: Boolean = false): DataFrame = {
+    val snaps = snapshots(candles, timeframe, chunkDays, bufferSize, chunkOriginUs, withTails)
     // Dedup ties: different anchor TYPES can share an anchor_timestamp (a
     // peak row that is also the daily high). The reference's keep-last then
     // depends on dict-insertion order — irreproducible — so we pin a
@@ -210,41 +233,21 @@ object AnchorSnapshots {
   def anchoredVwapReal(candles: DataFrame, timeframe: String = "1s",
                        chunkDays: Int = DefaultChunkDays, bufferSize: Int = 10000,
                        chunkOriginUs: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val chunkWidthUs = chunkUs(chunkDays)
-    val pD = col("close").cast(DecimalType(18, 2))
-    val vD = col("volume").cast(DecimalType(18, 4))
-    // Suffix = partition total − strict prefix, NOT a currentRow..
-    // unboundedFollowing frame: Spark's UnboundedFollowing frame recomputes
-    // the aggregate from scratch for EVERY row — O(rows²) per partition,
-    // observed wedging the sf1 hot symbol's 500k-row chunk for 40+ minutes.
-    // The whole-partition frame is one aggregate per partition and the
-    // running prefix is incremental — both O(rows) — and decimal
-    // subtraction is exact, so the result is bit-identical.
-    val wAll = Window.partitionBy("symbol", "__chunk")
-    val wPre = Window.partitionBy("symbol", "__chunk").orderBy("timestamp")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // Scale-2 recast: lossless under the whole-number-volume precondition
-    // (scaladoc above) and keeps the scaled numerator under 2^53 so the
-    // final decimal→double casts are exact in both engines (see
-    // Det.centsDouble for the failure mode).
-    val tails = candles
-      .withColumn("__chunk",
-        expr(s"(unix_micros(timestamp) - ${chunkOriginUs}L) div ${chunkWidthUs}L"))
-      .withColumn("__pv", pD * vD)
-      .withColumn("tail_pv",
-        (sum(col("__pv")).over(wAll) - coalesce(sum(col("__pv")).over(wPre), lit(0)))
-          .cast(DecimalType(38, 2)))
-      .withColumn("tail_v",
-        (sum(vD).over(wAll) - coalesce(sum(vD).over(wPre), lit(0)))
-          .cast(DecimalType(38, 2)))
-      .select(col("symbol").as("vsym"), col("timestamp").as("vts"),
-        col("tail_pv"), col("tail_v"))
-    anchoredVwapPoints(candles, timeframe, chunkDays, bufferSize, chunkOriginUs)
+    // The suffix sums ride the snapshot pass's own (symbol, chunk) windows
+    // (`withTails` — total − strict prefix, both O(rows); an
+    // UnboundedFollowing frame re-aggregates per row, observed wedging the
+    // sf1 hot symbol's 500k-row chunk for 40+ minutes) and survive the
+    // explode on the anchor's own row — the earlier form candled the input
+    // a SECOND time for a tails frame and SMJ'd it back on
+    // (symbol, anchor_timestamp). The scale-2 recast is lossless under the
+    // whole-number-volume precondition (scaladoc above) and keeps the
+    // scaled numerator under 2^53 so the final decimal→double casts are
+    // exact in both engines (see Det.centsDouble for the failure mode).
+    anchoredVwapPoints(candles, timeframe, chunkDays, bufferSize, chunkOriginUs,
+        withTails = true)
       .drop("anchored_vwap")
-      .join(tails, col("symbol") === col("vsym") && col("anchor_timestamp") === col("vts"))
       .withColumn("anchored_vwap",
         when(col("tail_v") > 0, col("tail_pv").cast("double") / col("tail_v").cast("double")))
-      .drop("vsym", "vts", "tail_pv", "tail_v")
+      .drop("tail_pv", "tail_v")
   }
 }
