@@ -151,6 +151,138 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** REAL image resize behind the batch-kernel boundary: decode the PNG
+    * payload, box-downsample the integer raster by `factor` (each output
+    * pixel is the floor-average of its factor×factor input block; edge
+    * blocks average over the pixels actually present), re-encode as PNG —
+    * so the `resized` column is itself a decodable media payload and the
+    * whole decode → raster transform → encode chain runs inside ONE batch
+    * kernel: no intermediate raster ever leaves the task, only the
+    * recompressed payload rides the plan. The box kernel is exact integer
+    * arithmetic end to end — no interpolation-filter ambiguity — so an
+    * oracle can replay every output pixel in closed form; a production
+    * variant swaps in an interpolating kernel behind the same plumbing.
+    * Undecodable payloads degrade to a null `resized` column (the
+    * [[decodeImages]] convention). Grayscale payloads assumed (the blue
+    * channel is the sample, as everywhere in this module).
+    */
+  def resizeImages(df: DataFrame, factor: Int, mediaCol: String = "media"): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("resized", BinaryType))
+    val iM = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](iM)
+        val isPng = bytes != null && bytes.length > 8 &&
+          (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+        val decoded =
+          if (!isPng) None
+          else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val wO = (w + factor - 1) / factor
+            val hO = (h + factor - 1) / factor
+            val out = new java.awt.image.BufferedImage(
+              wO, hO, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var yO = 0
+            while (yO < hO) {
+              var xO = 0
+              while (xO < wO) {
+                var sum = 0L
+                var cnt = 0
+                var y = yO * factor
+                val yMax = math.min(y + factor, h)
+                while (y < yMax) {
+                  var x = xO * factor
+                  val xMax = math.min(x + factor, w)
+                  while (x < xMax) { sum += (img.getRGB(x, y) & 0xff); cnt += 1; x += 1 }
+                  y += 1
+                }
+                val v = (sum / cnt).toInt
+                out.setRGB(xO, yO, (v << 16) | (v << 8) | v)
+                xO += 1
+              }
+              yO += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row.fromSeq(r.toSeq :+ bos.toByteArray)
+          case None => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** REAL audio downsample behind the batch-kernel boundary: decode the WAV
+    * payload, block-average the signed 16-bit PCM by `factor` (each output
+    * sample is the truncated-toward-zero average of its `factor`-sample
+    * input block; the tail block averages over the samples actually
+    * present), re-encode as WAV at `rate / factor` — the audio twin of
+    * [[resizeImages]]: the `downsampled` column is itself a decodable media
+    * payload and the whole decode → PCM transform → encode chain runs in
+    * ONE batch kernel, so no intermediate sample buffer ever leaves the
+    * task. Truncated division (Java `/`) is used because it is what DuckDB
+    * `//` and Spark integer `div` compute for signed values — the oracle
+    * replays every output sample in closed form. Non-WAV payloads degrade
+    * to a null `downsampled` column (the [[decodeAudio]] convention).
+    */
+  def downsampleAudio(df: DataFrame, factor: Int, mediaCol: String = "media"): DataFrame = {
+    require(factor >= 1, "factor must be >= 1")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("downsampled", BinaryType))
+    val iM = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](iM)
+        val isWav = bytes != null && bytes.length > 12 &&
+          bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+        val decoded =
+          if (!isWav) None
+          else try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            Some((ais.getFormat, ais.readAllBytes()))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some((fmt, data)) =>
+            val n = data.length / 2
+            val nOut = (n + factor - 1) / factor
+            val out = new Array[Byte](nOut * 2)
+            var j = 0
+            while (j < nOut) {
+              var sum = 0L
+              var i = j * factor
+              val iMax = math.min(i + factor, n)
+              val cnt = iMax - i
+              while (i < iMax) {
+                sum += ((data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)).toShort
+                i += 1
+              }
+              // truncated (toward-zero) average: |sum| < factor * 32768 so
+              // the int result is in 16-bit range by construction, no clamp
+              val v = (sum / cnt).toInt
+              out(2 * j) = (v & 0xff).toByte
+              out(2 * j + 1) = ((v >> 8) & 0xff).toByte
+              j += 1
+            }
+            val rate = fmt.getSampleRate.toInt / factor
+            val outFmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(out), outFmt, nOut.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(
+              ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            Row.fromSeq(r.toSeq :+ bos.toByteArray)
+          case None => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Real WAV encode kernel: every row gets a genuine RIFF/WAVE payload
     * (javax.sound.sampled writer — pure JVM) holding 16-bit little-endian
     * mono PCM with deterministic length `1 + id % maxSamples` and samples

@@ -399,7 +399,65 @@ object QueriesCorpus {
        |FROM h GROUP BY source""".stripMargin
   }
 
+  /** BPE tokenizer training over the corpus ([[graft.functions.Bpe]]): one
+    * corpus-scale word-count shuffle, then 12 merge rounds over the
+    * vocab-sized table — each round one pair-count shuffle + a one-row
+    * argmax collect. The oracle replays the ENTIRE training loop in DuckDB
+    * as a recursive CTE carrying the vocab as list state in a single row:
+    * words as begin/end-delimited token strings, the greedy non-overlapping
+    * merge as a plain `replace()` (bit-identical semantics to the engine's
+    * single-scan array merge), the argmax as a lateral aggregate with the
+    * same (freq DESC, left, right) bytewise tiebreak. A wrong pair count,
+    * a tiebreak drift, or an overlap-handling bug in ANY round changes
+    * every later merge and hash-mismatches loudly.
+    */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    graft.functions.Bpe.learnMerges(s, words, 12)
+  }
+
+  private val bpeMergesSql =
+    """WITH RECURSIVE
+      |wc AS MATERIALIZED (
+      |  SELECT w, COUNT(*)::BIGINT AS c
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) u
+      |  WHERE w <> '' GROUP BY w),
+      |init AS MATERIALIZED (
+      |  SELECT list(t ORDER BY w) AS words, list(c ORDER BY w) AS cnts
+      |  FROM (SELECT w, c,
+      |          list_aggregate(list_transform(range(1, length(w) + 1),
+      |            i -> chr(1) || w[i::INTEGER] || chr(2)), 'string_agg', '')
+      |          || chr(1) || '>' || chr(2) AS t
+      |        FROM wc)),
+      |st AS (
+      |  SELECT 0 AS it, words, cnts,
+      |         []::VARCHAR[] AS ml, []::VARCHAR[] AS mr, []::BIGINT[] AS mf
+      |  FROM init
+      |  UNION ALL
+      |  SELECT st.it + 1,
+      |    list_transform(st.words, w -> replace(w,
+      |      chr(1) || best.l || chr(2) || chr(1) || best.r || chr(2),
+      |      chr(1) || best.l || best.r || chr(2))),
+      |    st.cnts,
+      |    list_append(st.ml, best.l), list_append(st.mr, best.r), list_append(st.mf, best.f)
+      |  FROM st, LATERAL (
+      |    SELECT p.l, p.r, p.f FROM (
+      |      SELECT t.tok[i::INTEGER] AS l, t.tok[(i + 1)::INTEGER] AS r, SUM(t.c)::BIGINT AS f
+      |      FROM (SELECT string_split(ltrim(rtrim(u.w, chr(2)), chr(1)), chr(2) || chr(1)) AS tok, u.c
+      |            FROM (SELECT UNNEST(st.words) AS w, UNNEST(st.cnts) AS c) u) t,
+      |           UNNEST(range(1, len(t.tok))) AS g(i)
+      |      GROUP BY 1, 2) p
+      |    ORDER BY p.f DESC, p.l, p.r LIMIT 1) best
+      |  WHERE st.it < 12)
+      |SELECT g.i::INT AS rank, fin.ml[g.i::INTEGER] AS left_tok,
+      |       fin.mr[g.i::INTEGER] AS right_tok, fin.mf[g.i::INTEGER] AS freq
+      |FROM (SELECT * FROM st WHERE it = 12) fin, UNNEST(range(1, 13)) AS g(i)""".stripMargin
+
   def all: Seq[Q] = Seq(
+    Q("llm_bpe_merges", bpeMerges, Some(bpeMergesSql)),
     Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("llm_repetition_quality", repetition, Some(repetitionSql)),
     Q("llm_stratified_sample", stratified, Some(stratifiedSql)),

@@ -695,6 +695,46 @@ object QueriesLlm {
       |  CAST(SUM(h) AS BIGINT) AS sum_height, CAST(SUM(pixsum) AS BIGINT) AS sum_pix
       |FROM px GROUP BY source""".stripMargin
 
+  /** REAL image resize, oracle-checked end-to-end: the closed-form PNGs
+    * are box-downsampled by 2 through the full decode → integer-raster
+    * transform → re-encode kernel ([[graft.functions.Multimodal
+    * .resizeImages]]), then the RESIZED payloads are decoded again through
+    * the real codec and audited per source. The DuckDB oracle recomputes
+    * every output pixel arithmetically — floor-average over each 2×2 block
+    * (edge blocks over the pixels present) of `(x·31 + y·17 + id) mod 256`
+    * — so a wrong block bound, a rounding drift, or a recompression bug
+    * anywhere in decode/resize/encode/decode hash-mismatches loudly.
+    */
+  private def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"))
+    val resized = graft.functions.Multimodal.resizeImages(
+      graft.functions.Multimodal.encodePngBatches(docs), 2)
+    val decoded = graft.functions.Multimodal.decodeImages(
+      resized.drop("media").withColumnRenamed("resized", "media"))
+    decoded.groupBy(col("source")).agg(
+      count(lit(1)).as("n_imgs"),
+      sum(col("img_width").cast("long")).as("sum_width"),
+      sum(col("img_height").cast("long")).as("sum_height"),
+      sum(col("pix_sum")).as("sum_pix"))
+  }
+
+  private val mmResizeSql =
+    """WITH d AS (
+      |  SELECT source, doc_id, 1 + doc_id % 64 AS w, 1 + doc_id % 48 AS h
+      |  FROM documents),
+      |nums AS (SELECT range AS v FROM range(0, 64)),
+      |blk AS (
+      |  SELECT d.source, d.doc_id, x.v // 2 AS xo, y.v // 2 AS yo,
+      |    SUM((x.v * 31 + y.v * 17 + d.doc_id) % 256) AS s, COUNT(*) AS c
+      |  FROM d JOIN nums x ON x.v < d.w JOIN nums y ON y.v < d.h
+      |  GROUP BY 1, 2, 3, 4),
+      |o AS (SELECT source, doc_id, SUM(s // c) AS rpix FROM blk GROUP BY 1, 2)
+      |SELECT d.source, COUNT(*) AS n_imgs,
+      |  CAST(SUM((d.w + 1) // 2) AS BIGINT) AS sum_width,
+      |  CAST(SUM((d.h + 1) // 2) AS BIGINT) AS sum_height,
+      |  CAST(SUM(o.rpix) AS BIGINT) AS sum_pix
+      |FROM d JOIN o USING (doc_id) GROUP BY d.source""".stripMargin
+
   /** The training-corpus pipeline END-TO-END, hash-checked as one flow:
     * quality gate (score ≥ 0.3) → language ID → exact content dedup →
     * LSH-candidate + exact-Jaccard-verified fuzzy dedup → per-language
@@ -798,6 +838,45 @@ object QueriesLlm {
       |  CAST(SUM(n) AS BIGINT) AS sum_samples,
       |  CAST(SUM(amp) AS BIGINT) AS sum_amplitude
       |FROM s GROUP BY source""".stripMargin
+
+  /** REAL audio downsample, oracle-checked end-to-end: the closed-form WAV
+    * payloads are block-average decimated by 2 through the full decode →
+    * signed-PCM transform → re-encode kernel ([[graft.functions.Multimodal
+    * .downsampleAudio]]), then the DOWNSAMPLED payloads are decoded again
+    * through the real codec and audited per source. The DuckDB oracle
+    * recomputes every output sample arithmetically — truncated-toward-zero
+    * average over each 2-sample block (the tail block over the samples
+    * present) of `((i·7 + id) mod 65536) − 32768` — so a wrong block
+    * bound, a signedness bug, or a rate-header drift anywhere in
+    * decode/downsample/encode/decode hash-mismatches loudly.
+    */
+  private def mmAudioDs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"))
+    val down = graft.functions.Multimodal.downsampleAudio(
+      graft.functions.Multimodal.encodeWavBatches(docs), 2)
+    val decoded = graft.functions.Multimodal.decodeAudio(
+      down.drop("media").withColumnRenamed("downsampled", "media"))
+    decoded.groupBy(col("source")).agg(
+      count(lit(1)).as("n_clips"),
+      sum(col("wav_sample_rate").cast("long")).as("sum_rate"),
+      sum(col("wav_n_samples")).as("sum_samples"),
+      sum(col("sample_sum")).as("sum_amplitude"))
+  }
+
+  private val mmAudioDsSql =
+    """WITH d AS (
+      |  SELECT source, doc_id, 1 + doc_id % 1000 AS n FROM documents),
+      |blk AS (
+      |  SELECT d.source, d.doc_id, d.n, g.i // 2 AS j,
+      |    SUM((g.i * 7 + d.doc_id) % 65536 - 32768) AS s, COUNT(*) AS c
+      |  FROM d, UNNEST(range(0, d.n)) AS g(i)
+      |  GROUP BY 1, 2, 3, 4),
+      |o AS (SELECT source, doc_id, n, SUM(s // c) AS amp FROM blk GROUP BY 1, 2, 3)
+      |SELECT source, COUNT(*) AS n_clips,
+      |  CAST(SUM(4000) AS BIGINT) AS sum_rate,
+      |  CAST(SUM((n + 1) // 2) AS BIGINT) AS sum_samples,
+      |  CAST(SUM(amp) AS BIGINT) AS sum_amplitude
+      |FROM o GROUP BY source""".stripMargin
 
   /** Winnowing fingerprint summary over the production xxhash64 k-gram
     * hash — oracle-checked since round 9 ([[LlmHashOracles.fingerprintsSql]]
@@ -1124,7 +1203,9 @@ object QueriesLlm {
     Q("llm_semantic_dedup", embedSemDedup, Some(embedNearDupSql)),
     Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
     Q("mm_png_decode", mmPng, Some(mmPngSql)),
+    Q("mm_image_resize", mmResize, Some(mmResizeSql)),
     Q("mm_wav_decode", mmWav, Some(mmWavSql)),
+    Q("mm_audio_downsample", mmAudioDs, Some(mmAudioDsSql)),
     Q("llm_fingerprints", fingerprints, Some(LlmHashOracles.fingerprintsSql)),
     Q("llm_fingerprints_poly", fingerprintsPoly, Some(fingerprintsPolySql)),
     Q("j3_asof_join", asof, Some(asofSql))

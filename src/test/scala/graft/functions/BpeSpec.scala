@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** BPE tokenizer training: the greedy single-scan merge semantics and the
+  * full hand-computed merge-learning trace (including tiebreaks and early
+  * stop when the vocab runs out of pairs).
+  */
+class BpeSpec extends SparkSpec {
+
+  test("mergePair is greedy left-to-right non-overlapping") {
+    assert(Bpe.mergePair(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))
+    assert(Bpe.mergePair(Vector("a", "b", "a", "b"), "a", "b") == Vector("ab", "ab"))
+    assert(Bpe.mergePair(Vector("x", "a", "b", "y"), "a", "b") == Vector("x", "ab", "y"))
+    assert(Bpe.mergePair(Vector("a"), "a", "a") == Vector("a"))
+    assert(Bpe.mergePair(Vector.empty[String], "a", "b") == Vector.empty[String])
+  }
+
+  test("learnMerges follows the hand-computed trace and stops when pairs run out") {
+    val session = spark
+    import session.implicits._
+    // vocab: "aaa"×2 → [a,a,a,>], "ab"×3 → [a,b,>]
+    // r1: (a,a)=4 wins; aaa → [aa,a,>]
+    // r2: tie at 3 between (a,b) and (b,>) → lexicographic left: (a,b); ab → [ab,>]
+    // r3: (ab,>)=3 wins; ab → [ab>]
+    // r4: tie at 2 between (a,>) and (aa,a) → "a" < "aa": (a,>); aaa → [aa,a>]
+    // r5: (aa,a>)=2; aaa → [aaa>]
+    // r6: no pairs anywhere → early stop at 5 merges
+    val words = Seq(("aaa", 2L), ("ab", 3L)).toDF("w", "c")
+    val got = Bpe.learnMerges(session, words, 6)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    val expected = Seq(
+      (1, "a", "a", 4L),
+      (2, "a", "b", 3L),
+      (3, "ab", ">", 3L),
+      (4, "a", ">", 2L),
+      (5, "aa", "a>", 2L))
+    assert(got.toSeq == expected)
+  }
+}

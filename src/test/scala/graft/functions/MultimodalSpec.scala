@@ -60,6 +60,66 @@ class MultimodalSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("box resize matches the brute-force block average, incl. odd edges") {
+    val session = spark
+    import session.implicits._
+    // ids chosen for dimension shapes: 0 → 1×1 (degenerate), 4 → 5×5 (odd
+    // both axes: edge blocks of 1 and 2 pixels), 63 → 64×16 (even both)
+    val df = Seq(0L, 4L, 63L).toDF("doc_id")
+    val out = Multimodal.decodeImages(
+        Multimodal.resizeImages(Multimodal.encodePngBatches(df), 2)
+          .drop("media").withColumnRenamed("resized", "media"))
+      .select("doc_id", "img_width", "img_height", "pix_sum")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    for (id <- Seq(0L, 4L, 63L)) {
+      val w = (1 + id % 64).toInt
+      val h = (1 + id % 48).toInt
+      def pix(x: Int, y: Int): Long = (x * 31 + y * 17 + id) % 256
+      val wO = (w + 1) / 2; val hO = (h + 1) / 2
+      val expected = (for (xo <- 0 until wO; yo <- 0 until hO) yield {
+        val xs = (xo * 2) until math.min(xo * 2 + 2, w)
+        val ys = (yo * 2) until math.min(yo * 2 + 2, h)
+        val block = for (x <- xs; y <- ys) yield pix(x, y)
+        block.sum / block.length // floor average
+      }).sum
+      assert(out(id) == ((wO, hO, expected)), s"id $id")
+    }
+    // non-PNG payloads degrade to a null resized column, not a crash
+    val mixed = Seq((1L, "not a png")).toDF("doc_id", "text")
+      .withColumn("media", encode(col("text"), "UTF-8"))
+    val row = Multimodal.resizeImages(mixed, 2).select("resized").collect()(0)
+    assert(row.isNullAt(0))
+  }
+
+  test("audio downsample matches the brute-force block average, incl. odd tails") {
+    val session = spark
+    import session.implicits._
+    // ids chosen for sample-count shapes: 0 → 1 sample (degenerate),
+    // 4 → 5 samples (odd: tail block of 1), 9 → 10 samples (even)
+    val df = Seq(0L, 4L, 9L).toDF("doc_id")
+    val out = Multimodal.decodeAudio(
+        Multimodal.downsampleAudio(Multimodal.encodeWavBatches(df), 2)
+          .drop("media").withColumnRenamed("downsampled", "media"))
+      .select("doc_id", "wav_sample_rate", "wav_n_samples", "sample_sum")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    for (id <- Seq(0L, 4L, 9L)) {
+      val n = (1 + id % 1000).toInt
+      def s(i: Int): Long = (i * 7 + id) % 65536 - 32768
+      val nOut = (n + 1) / 2
+      val expected = (0 until nOut).map { j =>
+        val block = (j * 2) until math.min(j * 2 + 2, n)
+        block.map(s).sum / block.length // truncated average (all-negative here)
+      }.sum
+      assert(out(id) == ((4000, nOut.toLong, expected)), s"id $id")
+    }
+    // non-WAV payloads degrade to a null downsampled column, not a crash
+    val mixed = Seq((1L, "not a wav")).toDF("doc_id", "text")
+      .withColumn("media", encode(col("text"), "UTF-8"))
+    val row = Multimodal.downsampleAudio(mixed, 2).select("downsampled").collect()(0)
+    assert(row.isNullAt(0))
+  }
+
   test("WAV encode→decode roundtrips real format and PCM through javax.sound") {
     val session = spark
     import session.implicits._
