@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group rank selection WITHOUT a per-group global sort — the
+  * quantile-threshold filter a curation pipeline runs ("drop the bottom
+  * quarter of each language by quality score") expressed as the classic
+  * two-phase selection:
+  *
+  *  1. histogram pass: bucket the score (`floor(score·B)`), count per
+  *     (group, bucket) — one map-side-combinable aggregation whose state is
+  *     bounded by `groups × B`, never by row count;
+  *  2. threshold location: per group, the cumulative bucket counts locate
+  *     the single BOUNDARY bucket containing the k-th dropped row (k =
+  *     `floor(n·num/den)`); buckets strictly above survive whole, buckets
+  *     strictly below drop whole — decided map-side via a broadcast join
+  *     of the (small) bucket table;
+  *  3. boundary sort: ONLY the boundary bucket's rows are ranked (window
+  *     ordered by (score, tie)), so the sort is `rows-in-one-bucket` per
+  *     group, not `rows-in-group`.
+  *
+  * At 100 TB a naive `row_number() OVER (PARTITION BY lang ORDER BY q)`
+  * sorts entire languages on single reducers; here the full data is touched
+  * by one histogram aggregation and one broadcast-join filter, and the only
+  * sort is the boundary bucket. If scores concentrate so one bucket holds a
+  * large share of a group, raise B or recurse on the boundary bucket — the
+  * escape hatch is structural, not a rewrite.
+  *
+  * Exactness contract: the kept set equals "rank > floor(n·num/den) under
+  * (score, tie) ordering" — bucket order refines score order (floor(q·B)
+  * is monotone in q), and within the boundary bucket the (score, tie)
+  * window completes the same total order, so the two-phase rank equals the
+  * global rank row for row. All comparisons are on bit-identical doubles
+  * (the caller's score expression must be deterministic), all counts exact
+  * integers.
+  */
+object RankSelect {
+
+  /** Drop the `floor(n·num/den)` lowest-(score, tie) rows of each group;
+    * score must land in [0, 1) after multiplication by `buckets` (scores
+    * of exactly 1.0 land in bucket B, which works — the bucket id only has
+    * to be monotone). Returns the surviving rows with the helper columns
+    * removed.
+    */
+  def dropBottomExact(df: DataFrame, partCols: Seq[String], scoreCol: String,
+                      tieCol: String, num: Int = 1, den: Int = 4,
+                      buckets: Int = 10000): DataFrame = {
+    require(num >= 0 && den > 0 && num < den, s"bad fraction $num/$den")
+    val p = partCols.map(col)
+    val withB = df.withColumn("__b", floor(col(scoreCol) * buckets).cast("int"))
+
+    // phase 1+2 on the bucket table (groups × ≤ buckets rows — model-sized):
+    // __cum = rows strictly below this bucket, __k = rows to drop in group
+    val cnts = withB.groupBy((p :+ col("__b")): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(p: _*).orderBy(col("__b"))
+    val wTot = Window.partitionBy(p: _*)
+    val info = cnts
+      .withColumn("__cum", sum(col("__c")).over(wCum) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+      // integer div, not `/`: Spark `/` is double division and would lose
+      // exactness past 2^53 rows; num < den keeps __n * num in Long range
+      .withColumn("__k", expr(s"(__n * $num) div $den"))
+      .drop("__n")
+
+    val j = withB.join(broadcast(info), partCols :+ "__b")
+    // whole bucket survives: everything strictly below it is already >= k
+    val keptWhole = j.filter(col("__cum") >= col("__k"))
+    // boundary bucket: rank only ITS rows, drop the first k - cum of them
+    val wIn = Window.partitionBy((p :+ col("__b")): _*)
+      .orderBy(col(scoreCol), col(tieCol))
+    val keptBoundary = j
+      .filter(col("__cum") < col("__k") && col("__cum") + col("__c") > col("__k"))
+      .withColumn("__rn", row_number().over(wIn))
+      .filter(col("__rn") > col("__k") - col("__cum"))
+      .drop("__rn")
+    keptWhole.unionByName(keptBoundary).drop("__b", "__c", "__cum", "__k")
+  }
+}

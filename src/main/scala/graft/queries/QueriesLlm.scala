@@ -551,6 +551,46 @@ object QueriesLlm {
        |FROM scored GROUP BY 1, 2, 3""".stripMargin
   }
 
+  /** Per-language quality-percentile filter — drop the bottom quarter of
+    * each language by quality score — through [[graft.functions.RankSelect
+    * .dropBottomExact]]'s two-phase selection (histogram pass + broadcast
+    * threshold + boundary-bucket-only sort; see its scaladoc for the 100 TB
+    * argument). The oracle computes the SAME kept set the naive way — a
+    * full per-language `row_number()` — so hash-green proves the two-phase
+    * rank equals the global rank row for row, including the boundary
+    * bucket's (score, doc_id) tie handling. Output pins exact membership
+    * (every kept doc_id), not just counts.
+    */
+  private def qualityPercentile(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), TextOps.qualityScore(col("text")).as("q"))
+    graft.functions.RankSelect.dropBottomExact(docs, Seq("lang"), "q", "doc_id")
+      .select(col("doc_id"), col("lang"),
+        floor(col("q") * 10000).cast("int").as("qbucket"))
+  }
+
+  private val qualityPercentileSql = {
+    val en = TextOps.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, text,
+       |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(list_filter(toks, t -> t SIMILAR TO '\\S+')) BETWEEN 5 AND 100000
+       |      THEN 1.0 ELSE 0.0 END *
+       |    (0.5 * (length(text) - length(regexp_replace(text, '[a-zA-Z ]', '', 'g')))::DOUBLE / greatest(length(text), 1) +
+       |     0.5 * least(len(list_filter(toks, t -> t IN ($en)))::DOUBLE / greatest(len(toks), 1) * 5, 1.0)) AS q
+       |  FROM base),
+       |r AS (
+       |  SELECT doc_id, lang, q,
+       |    row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM scored)
+       |SELECT doc_id, lang, CAST(floor(q * 10000) AS INTEGER) AS qbucket
+       |FROM r WHERE rn > n // 4""".stripMargin
+  }
+
   /** Embedding-cosine near-dup dedup, oracle-checked: the testdata has no
     * natural near-dups (max pairwise cosine ≈ 0.51), so both engines inject
     * perturbed copies (vec_id % 50 == 0 → id+100000, elements scaled
@@ -1197,6 +1237,7 @@ object QueriesLlm {
     Q("llm_pq_near_recall", pqNear, Some(ivfNearSql)),
     Q("llm_ivfpq_near_recall", ivfPqNear, Some(ivfNearSql)),
     Q("llm_quality_langid", quality, Some(qualitySql)),
+    Q("llm_quality_percentile", qualityPercentile, Some(qualityPercentileSql)),
     Q("llm_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql)),
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),
