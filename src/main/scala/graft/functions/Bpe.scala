@@ -64,6 +64,18 @@ object Bpe {
     out.toIndexedSeq
   }
 
+  /** Tokenize one word under a learned merge list: split to characters +
+    * EOW, then apply each merge in rank order with the same greedy
+    * single-scan semantics training used — so tokenizing the training
+    * corpus reproduces exactly the vocab state the K-th training round
+    * ended on.
+    */
+  def applyMerges(w: String, merges: Seq[(String, String)]): IndexedSeq[String] = {
+    var t: IndexedSeq[String] = w.map(_.toString).toIndexedSeq :+ Eow
+    merges.foreach { case (l, r) => t = mergePair(t, l, r) }
+    t
+  }
+
   /** Learn `k` merges from a word-frequency table (`w` string, `c` long).
     * Returns the ranked merge list (rank, left_tok, right_tok, freq) —
     * stops early if the vocab runs out of adjacent pairs.

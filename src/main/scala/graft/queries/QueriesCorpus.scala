@@ -456,8 +456,82 @@ object QueriesCorpus {
       |       fin.mr[g.i::INTEGER] AS right_tok, fin.mf[g.i::INTEGER] AS freq
       |FROM (SELECT * FROM st WHERE it = 12) fin, UNNEST(range(1, 13)) AS g(i)""".stripMargin
 
+  /** The tokenizer applied back to its training corpus: learn the 12-merge
+    * table, tokenize every DISTINCT word once ([[graft.functions.Bpe
+    * .applyMerges]] — vocab-sized work, not corpus-sized), broadcast the
+    * word→token-count map back onto the corpus word stream, and report the
+    * per-source word/token totals an LLM data pipeline budgets with. At
+    * 100 TB the broadcast becomes a plain shuffle join if the vocab
+    * outgrows the broadcast threshold — same plan shape, Spark picks it.
+    * The oracle composes the training replay with the apply step for free:
+    * the recursive CTE's FINAL vocab state IS each word's tokenization
+    * under the learned merges (apply-in-rank-order ≡ the training loop's
+    * own rewrites), so it just measures token counts off the final state
+    * and joins them back to the corpus words.
+    */
+  private def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docWords = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val wordFreq = docWords.groupBy("w").agg(count(lit(1)).as("c"))
+    val merges = graft.functions.Bpe.learnMerges(s, wordFreq, 12)
+      .orderBy("rank").collect() // model-sized: the 12 learned merges
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val tokPerWord = wordFreq.select(col("w")).as[String]
+      .map(w => (w, graft.functions.Bpe.applyMerges(w, merges).length))
+      .toDF("w", "n_tok")
+    docWords.join(broadcast(tokPerWord), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok").cast("long")).as("n_tokens"))
+  }
+
+  private val bpeTokenizeSql =
+    """WITH RECURSIVE
+      |wc AS MATERIALIZED (
+      |  SELECT w, COUNT(*)::BIGINT AS c
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents) u
+      |  WHERE w <> '' GROUP BY w),
+      |init AS MATERIALIZED (
+      |  SELECT list(t ORDER BY w) AS words, list(w ORDER BY w) AS raw,
+      |         list(c ORDER BY w) AS cnts
+      |  FROM (SELECT w, c,
+      |          list_aggregate(list_transform(range(1, length(w) + 1),
+      |            i -> chr(1) || w[i::INTEGER] || chr(2)), 'string_agg', '')
+      |          || chr(1) || '>' || chr(2) AS t
+      |        FROM wc)),
+      |st AS (
+      |  SELECT 0 AS it, words, raw, cnts FROM init
+      |  UNION ALL
+      |  SELECT st.it + 1,
+      |    list_transform(st.words, w -> replace(w,
+      |      chr(1) || best.l || chr(2) || chr(1) || best.r || chr(2),
+      |      chr(1) || best.l || best.r || chr(2))),
+      |    st.raw, st.cnts
+      |  FROM st, LATERAL (
+      |    SELECT p.l, p.r FROM (
+      |      SELECT t.tok[i::INTEGER] AS l, t.tok[(i + 1)::INTEGER] AS r, SUM(t.c)::BIGINT AS f
+      |      FROM (SELECT string_split(ltrim(rtrim(u.w, chr(2)), chr(1)), chr(2) || chr(1)) AS tok, u.c
+      |            FROM (SELECT UNNEST(st.words) AS w, UNNEST(st.cnts) AS c) u) t,
+      |           UNNEST(range(1, len(t.tok))) AS g(i)
+      |      GROUP BY 1, 2) p
+      |    ORDER BY p.f DESC, p.l, p.r LIMIT 1) best
+      |  WHERE st.it < 12),
+      |wt AS (
+      |  SELECT u.rw AS w,
+      |    len(string_split(ltrim(rtrim(u.dw, chr(2)), chr(1)), chr(2) || chr(1))) AS n_tok
+      |  FROM (SELECT UNNEST(words) AS dw, UNNEST(raw) AS rw
+      |        FROM (SELECT * FROM st WHERE it = 12)) u),
+      |dw AS (
+      |  SELECT source, w
+      |  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '')
+      |SELECT source, COUNT(*) AS n_words, CAST(SUM(wt.n_tok) AS BIGINT) AS n_tokens
+      |FROM dw JOIN wt USING (w) GROUP BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("llm_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    Q("llm_bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
     Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("llm_repetition_quality", repetition, Some(repetitionSql)),
     Q("llm_stratified_sample", stratified, Some(stratifiedSql)),

@@ -39,4 +39,14 @@ class BpeSpec extends SparkSpec {
       (5, "aa", "a>", 2L))
     assert(got.toSeq == expected)
   }
+
+  test("applyMerges reproduces the final training state of each vocab word") {
+    // the 5 merges learned above, applied in rank order
+    val merges = Seq(("a", "a"), ("a", "b"), ("ab", ">"), ("a", ">"), ("aa", "a>"))
+    assert(Bpe.applyMerges("aaa", merges) == Vector("aaa>"))
+    assert(Bpe.applyMerges("ab", merges) == Vector("ab>"))
+    // unseen word: only applicable merges fire, in order
+    assert(Bpe.applyMerges("ba", merges) == Vector("b", "a>"))
+    assert(Bpe.applyMerges("aaaa", merges) == Vector("aa", "aa", ">"))
+  }
 }
