@@ -530,7 +530,7 @@ object QueriesCorpus {
       |FROM dw JOIN wt USING (w) GROUP BY source""".stripMargin
 
   def all: Seq[Q] = Seq(
-    Q("llm_bpe_merges", bpeMerges, Some(bpeMergesSql)),
+    Q("llm_bpe_merges", bpeMerges, Some(bpeMergesSql), headline = true),
     Q("llm_bpe_tokenize", bpeTokenize, Some(bpeTokenizeSql)),
     Q("llm_decontaminate", decontaminate, Some(decontaminateSql)),
     Q("llm_repetition_quality", repetition, Some(repetitionSql)),

@@ -1237,7 +1237,7 @@ object QueriesLlm {
     Q("llm_pq_near_recall", pqNear, Some(ivfNearSql)),
     Q("llm_ivfpq_near_recall", ivfPqNear, Some(ivfNearSql)),
     Q("llm_quality_langid", quality, Some(qualitySql)),
-    Q("llm_quality_percentile", qualityPercentile, Some(qualityPercentileSql)),
+    Q("llm_quality_percentile", qualityPercentile, Some(qualityPercentileSql), headline = true),
     Q("llm_corpus_pipeline", corpusPipeline, Some(corpusPipelineSql)),
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),

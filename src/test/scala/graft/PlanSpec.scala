@@ -258,6 +258,22 @@ class PlanSpec extends SparkSpec {
       "filter sits BELOW the join (deeper in the plan tree = later in toString)")
   }
 
+  test("rank-select: bucket table broadcasts; no full-input global sort") {
+    import graft.functions.{RankSelect, TextOps}
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), TextOps.qualityScore(col("text")).as("q"))
+    val kept = RankSelect.dropBottomExact(docs, Seq("lang"), "q", "doc_id")
+    val ep = kept.queryExecution.executedPlan.toString
+    assert(ep.contains("BroadcastHashJoin"),
+      "the (group, bucket) threshold table must broadcast back onto the data")
+    // the only Window sits on the boundary-bucket branch, which is filtered
+    // BEFORE the window runs: its Filter child must test __cum/__k bounds
+    val winIdx = ep.indexOf("Window [row_number()")
+    assert(winIdx >= 0, "boundary-bucket window expected")
+    assert(ep.indexOf("Window [row_number()", winIdx + 1) < 0,
+      "exactly ONE row_number window — whole buckets are decided without sorting")
+  }
+
   test("AQE skew split repairs the hot-key SMJ; salting spreads structurally") {
     import spark.implicits._
     // 'HOT' carries ~91% of rows — the j4 shape in miniature
