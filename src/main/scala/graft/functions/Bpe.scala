@@ -82,12 +82,14 @@ object Bpe {
     */
   def learnMerges(spark: SparkSession, words: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
+    // eager localCheckpoint (not cache+count): materializes in ONE job AND
+    // cuts lineage, so round R's plan never stacks R map stages — the same
+    // discipline as the connected-components fixpoint loop
     var cur: Dataset[WordToks] = words.select(
         expr("concat(transform(sequence(1, length(w)), i -> substring(w, i, 1))," +
           s" array('$Eow'))").as("toks"),
         col("c"))
-      .as[WordToks].cache()
-    cur.count()
+      .as[WordToks].localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
@@ -104,14 +106,11 @@ object Bpe {
       else {
         val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, f))
-        val prev = cur
-        cur = prev.map(ws => WordToks(mergePair(ws.toks.toIndexedSeq, l, r), ws.c)).cache()
-        cur.count() // materialize BEFORE unpersisting the parent
-        prev.unpersist()
+        cur = cur.map(ws => WordToks(mergePair(ws.toks.toIndexedSeq, l, r), ws.c))
+          .localCheckpoint(true)
         rank += 1
       }
     }
-    cur.unpersist()
     merges.toSeq.toDF("rank", "left_tok", "right_tok", "freq")
   }
 }

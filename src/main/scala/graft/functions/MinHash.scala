@@ -120,9 +120,6 @@ object MinHash {
     * cores and this no-ops. Only (id, text) ride the repartition.
     */
   private def widenToCores(in: DataFrame): DataFrame = {
-    val cores = in.sparkSession.sparkContext.defaultParallelism
-    val bytes = in.queryExecution.optimizedPlan.stats.sizeInBytes
-    val byBytes = (bytes / (2L << 20)).min(cores).toInt
     // The scan's partition COUNT cannot be trusted as a parallelism signal:
     // Spark byte-range-splits a parquet file into ~cores slices, but a row
     // group belongs entirely to the slice holding its midpoint — a
@@ -130,12 +127,13 @@ object MinHash {
     // them empty except one (measured: 15 "partitions", 1 effective, 16 s
     // single-threaded kernel). So below a single-node-scale ceiling we
     // unconditionally repartition by byte size — the ~1 s shuffle of tens
-    // of MB buys back a >10× kernel speedup, and tiny corpora (byBytes<2)
-    // skip it. Above the ceiling we trust the scan: cluster-scale tables
-    // are written with row groups ≤ maxPartitionBytes, where splits are
+    // of MB buys back a >10× kernel speedup, and tiny corpora skip it.
+    // Above the ceiling we trust the scan: cluster-scale tables are
+    // written with row groups ≤ maxPartitionBytes, where splits are
     // genuinely parallel and a forced global reshuffle of the corpus would
-    // cost more than it could save.
-    if (byBytes >= 2 && bytes <= (4L << 30)) in.repartition(byBytes) else in
+    // cost more than it could save. (Policy shared via [[graft.core.Widen]]
+    // since other per-row-heavy operators hit the same single-split trap.)
+    graft.core.Widen.toCores(in)
   }
 
   def withSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",

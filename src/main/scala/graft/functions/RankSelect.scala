@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *  2. threshold location: per group, the cumulative bucket counts locate
   *     the single BOUNDARY bucket containing the k-th dropped row (k =
   *     `floor(n·num/den)`); buckets strictly above survive whole, buckets
-  *     strictly below drop whole — decided map-side via a broadcast join
-  *     of the (small) bucket table;
+  *     strictly below drop whole — the bucket table is collected once
+  *     (model-sized: groups × buckets) and re-broadcast, so the decision
+  *     is map-side and the histogram never re-executes;
   *  3. boundary sort: ONLY the boundary bucket's rows are ranked (window
   *     ordered by (score, tie)), so the sort is `rows-in-one-bucket` per
   *     group, not `rows-in-group`.
@@ -49,6 +50,15 @@ object RankSelect {
                       buckets: Int = 10000): DataFrame = {
     require(num >= 0 && den > 0 && num < den, s"bad fraction $num/$den")
     val p = partCols.map(col)
+    // Three map-only passes evaluate the score (histogram, whole-bucket
+    // classify, boundary branch) — deliberately: recomputing a map-side
+    // expression 3× is cheaper at scale than materializing a data-sized
+    // intermediate or adding a full shuffle. Callers whose score is an
+    // expensive expression over a SMALL corpus (one effective parquet
+    // split) should widen the raw input BELOW the score projection
+    // ([[graft.core.Widen.toCores]]) so those passes run parallel — the
+    // projection must sit ABOVE the widening exchange, which only the
+    // caller can arrange.
     val withB = df.withColumn("__b", floor(col(scoreCol) * buckets).cast("int"))
 
     // phase 1+2 on the bucket table (groups × ≤ buckets rows — model-sized):
@@ -56,13 +66,24 @@ object RankSelect {
     val cnts = withB.groupBy((p :+ col("__b")): _*).agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(p: _*).orderBy(col("__b"))
     val wTot = Window.partitionBy(p: _*)
-    val info = cnts
+    val infoPlan = cnts
       .withColumn("__cum", sum(col("__c")).over(wCum) - col("__c"))
       .withColumn("__n", sum(col("__c")).over(wTot))
       // integer div, not `/`: Spark `/` is double division and would lose
       // exactness past 2^53 rows; num < den keeps __n * num in Long range
       .withColumn("__k", expr(s"(__n * $num) div $den"))
       .drop("__n")
+
+    // COLLECT the bucket table — it is the MODEL (threshold structure),
+    // bounded by groups × buckets, never by row count — so the histogram
+    // pass runs exactly once; leaving it as a lazy subplan would re-execute
+    // the full histogram inside EACH union branch's broadcast (measured 2×
+    // the whole-operator cost). Same driver-state contract as the k-means
+    // centroids and PQ codebooks in Similarity.
+    val spark = df.sparkSession
+    val infoRows = infoPlan.collect()
+    val info = spark.createDataFrame(
+      java.util.Arrays.asList(infoRows: _*), infoPlan.schema)
 
     val j = withB.join(broadcast(info), partCols :+ "__b")
     // whole bucket survives: everything strictly below it is already >= k

@@ -412,7 +412,9 @@ object QueriesCorpus {
     * every later merge and hash-mismatches loudly.
     */
   private def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
+    // widen below the explode so the corpus-scale word-count pass runs
+    // parallel even when the corpus is one effective parquet split
+    val words = graft.core.Widen.toCores(Tables.documents(s, dir).select(col("text")))
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
@@ -471,7 +473,8 @@ object QueriesCorpus {
     */
   private def bpeTokenize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docWords = Tables.documents(s, dir)
+    val docWords = graft.core.Widen.toCores(
+        Tables.documents(s, dir).select(col("source"), col("text")))
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
     val wordFreq = docWords.groupBy("w").agg(count(lit(1)).as("c"))

@@ -562,7 +562,12 @@ object QueriesLlm {
     * (every kept doc_id), not just counts.
     */
   private def qualityPercentile(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // widen BELOW the score projection: the regex-heavy score then runs
+    // parallel in each of the operator's three map-only passes instead of
+    // single-threaded on the corpus's one effective parquet split
+    val docs = graft.core.Widen.toCores(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text")),
+        perTaskBytes = 256L << 10) // regex score ≈ 10× the default kernel cost/byte
       .select(col("doc_id"), col("lang"), TextOps.qualityScore(col("text")).as("q"))
     graft.functions.RankSelect.dropBottomExact(docs, Seq("lang"), "q", "doc_id")
       .select(col("doc_id"), col("lang"),
