@@ -301,9 +301,48 @@ object QueriesIngest {
        |  COUNT(DISTINCT symbol) AS n_symbols
        |FROM ticks WHERE symbol IN (SELECT symbol FROM fs)""".stripMargin
 
+  // ---------------------------------------------------------------- A2
+
+  private lazy val a2Path: String = stageRoot.resolve("a2_chunks").toString
+
+  /** A2 — the memory-bounded chunked sink verified by physical read-back:
+    * write the ticks through [[Sinks.writeChunked]] (1 500-row chunks) from
+    * a single writer task — mirroring the reference's sequential chunked
+    * writer and making the file count closed-form — then audit the actual
+    * files: count, per-file row bounds, and content checksum. A writer
+    * that ignored the bound, split at the wrong boundary, or dropped rows
+    * changes the audited values. At scale the same option bounds files per
+    * TASK with no repartition (see [[Sinks.writeChunked]]); the
+    * `repartition(1)` here exists only to pin the oracle's arithmetic.
+    */
+  private def a2Chunked(s: SparkSession, dir: String): DataFrame = {
+    Sinks.writeChunked(ticks(s, dir).repartition(1), a2Path, maxRecordsPerFile = 1500)
+    val perFile = s.read.parquet(a2Path)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows_in_file"), sum(col("seq")).as("file_sum_seq"))
+    perFile.agg(
+      count(lit(1)).as("n_files"),
+      sum(col("rows_in_file")).as("n_rows"),
+      max(col("rows_in_file")).as("max_file_rows"),
+      min(col("rows_in_file")).as("min_file_rows"),
+      sum(col("file_sum_seq")).as("sum_seq"))
+  }
+
+  private val a2Sql =
+    s"""$withTicks,
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |             CAST(SUM(seq) AS BIGINT) AS sum_seq FROM ticks),
+       |f AS (SELECT *, (n_rows + 1499) // 1500 AS n_files FROM s)
+       |SELECT n_files, n_rows,
+       |  CASE WHEN n_rows >= 1500 THEN 1500 ELSE n_rows END AS max_file_rows,
+       |  n_rows - (n_files - 1) * 1500 AS min_file_rows,
+       |  sum_seq
+       |FROM f""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val all: Seq[Q] = Seq(
+    Q("a2_chunked_sink", a2Chunked, Some(a2Sql)),
     Q("p6_weekday_filter", p6, Some(p6Sql)),
     Q("s5_csv_ingest", s5, Some(s5Sql)),
     Q("a3_sink_roundtrip", a3, Some(a3Sql)),

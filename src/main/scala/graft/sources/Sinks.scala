@@ -43,6 +43,18 @@ object Sinks {
   def replace(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** A2 — memory-bounded chunked sink: the reference writes its output in
+    * fixed row-count chunks so no single write materializes the whole
+    * frame. Spark's native writer expresses exactly that — it rolls to a
+    * new file after `maxRecordsPerFile` records, PER TASK, so the bound
+    * holds on every task of a distributed write with zero coordination
+    * and no repartition.
+    */
+  def writeChunked(df: DataFrame, path: String, maxRecordsPerFile: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .parquet(path)
+
   /** Bucketed parquet table — the co-located-join write path for 100 TB:
     * rows are hash-distributed into `numBuckets` files per key ON WRITE, so
     * two tables bucketed the same way (same keys, same count) join with
