@@ -40,6 +40,35 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == expected)
   }
 
+  test("mergePair == the oracle's delimited-string replace, randomized") {
+    // The DuckDB oracle merges via replace() on begin/end-delimited token
+    // strings; the engine merges on arrays with a greedy single scan. The
+    // BPE rows rest on these two semantics being identical — sweep it over
+    // randomized token sequences including overlap-heavy ones.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val tok: Gen[String] = Gen.oneOf("a", "b", "ab", "aa", "c")
+    val seqGen: Gen[List[String]] =
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tok))
+    def viaReplace(toks: Seq[String], l: String, r: String): Seq[String] = {
+      val delim = toks.map(t => "" + t + "").mkString
+      val merged = delim.replace(
+        "" + l + "" + "" + r + "",
+        "" + l + r + "")
+      if (merged.isEmpty) Seq.empty
+      else merged.stripPrefix("").stripSuffix("")
+        .split("", -1).toSeq
+    }
+    val cases = (1 to 400).flatMap(i =>
+      seqGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    for {
+      toks <- cases
+      l <- Seq("a", "b", "aa")
+      r <- Seq("a", "b", "ab")
+    } assert(Bpe.mergePair(toks.toIndexedSeq, l, r) == viaReplace(toks, l, r),
+      s"toks=$toks merge=($l,$r)")
+  }
+
   test("applyMerges reproduces the final training state of each vocab word") {
     // the 5 merges learned above, applied in rank order
     val merges = Seq(("a", "a"), ("a", "b"), ("ab", ">"), ("a", ">"), ("aa", "a>"))
