@@ -86,7 +86,15 @@ object TextOps {
     * half (capped) English-stopword density, zeroed for degenerate token
     * counts. Per-row scalar math — bit-identical across engines.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = QualityExprs.qualityScore(text)
+
+  /** The original composed Column form of the quality score — the
+    * SEMANTICS REFERENCE: the DuckDB oracles replay this expression tree
+    * token for token, and `QualitySpec` pins the native kernel
+    * ([[QualityKernel.score]], what [[qualityScore]] now runs) bit-equal
+    * to it over randomized adversarial texts.
+    */
+  private[functions] def qualityScoreComposed(text: Column): Column = {
     val chars = greatest(length(text), lit(1))
     val alphaRatio = (chars - length(regexp_replace(text, "[a-zA-Z ]", ""))).cast("double") / chars
     val tokens = split(normalized(text), " ")
