@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity join via prefix filtering (AllPairs/PPJoin-style) —
+  * the complete complement to [[MinHash]]'s probabilistic LSH path.
+  *
+  * LSH banding trades recall for speed: a true pair sitting exactly at the
+  * Jaccard threshold has a per-pair chance of missing every band (documented
+  * on `llm_dup_clusters` / `llm_cluster_canonical`). This operator removes
+  * that assumption: it enumerates EVERY pair with true n-gram-shingle
+  * Jaccard ≥ τ, with no all-pairs compare, using the prefix-filter bound —
+  * so the clustering rows built on it match the oracle's all-pairs edge set
+  * by construction, on any fixture.
+  *
+  * Shape (all shuffles keyed, nothing quadratic in corpus size):
+  *   1. distinct shingle-hash set per doc (one kernel pass, shared with the
+  *      MinHash verify stage — identical normalization/shingling);
+  *   2. global token order = (document frequency ASC, hash ASC): one
+  *      groupBy-count shuffle on the token. Rare-first ordering is the
+  *      classic AllPairs optimization — it puts the LOW-df tokens into
+  *      prefixes, so prefix-token buckets stay small;
+  *   3. prefix filter: a doc with |d| tokens indexes only its first
+  *      |d| − ⌈τ·|d|⌉ + 1 tokens. Completeness: J(A,B) ≥ τ ⇒
+  *      |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|), so fewer than that many tokens
+  *      can sit outside either prefix — a qualifying pair MUST collide on
+  *      some prefix token (Bayardo et al., WWW'07; Xiao et al., WWW'08);
+  *   4. candidate generation: self-join of the exploded prefixes on the
+  *      token, `id_a < id_b`, plus the length filter
+  *      τ·|B| ≤ |A| ∧ τ·|A| ≤ |B| (implied by J ≥ τ since
+  *      J ≤ min(|A|,|B|)/max(|A|,|B|)) applied before the distinct;
+  *   5. exact verification on the candidate pairs only
+  *      ([[MinHash.withExactJaccard]] — semi-joined, candidate-bound).
+  *
+  * 100 TB story: the df table and the prefix index are both one shuffle
+  * each; bucket sizes in the prefix join are bounded by how many documents
+  * share a RARE token in their prefix (df-ascending order makes the hot,
+  * high-df tokens land in suffixes, which are never indexed). The known
+  * adversarial case — millions of near-identical tiny documents whose whole
+  * token set IS the prefix — degrades toward the true output size, which is
+  * itself quadratic in that clique; output-bound, like `j5_range_join`.
+  */
+object PrefixJoin {
+
+  /** All pairs (id_a < id_b) with exact shingle-set Jaccard ≥ `threshold`,
+    * plus the verified `jaccard` value.
+    */
+  def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        n: Int = 3): DataFrame = {
+    // corpus-wide kernel input: same single-row-group widening as the
+    // signature path (graft.core.Widen policy)
+    val hs = MinHash.withShingleHashSets(
+      graft.core.Widen.toCores(docs.select(col(idCol), col(textCol))),
+      textCol, idCol, n)
+    // (id, token) rows; consumed twice (df count + order join) → eager cache
+    // of scalars only, never the text
+    val tok = hs.select(col("id"), explode(col("hs")).as("tk")).cache()
+    tok.count()
+    val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    // per-doc token list in global (df ASC, tk ASC) order + set size
+    val ordered = tok.join(dfreq, "tk")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tk")))).as("ord"))
+      .select(col("id"), col("ord.tk").as("toks"), size(col("ord")).as("len"))
+    // prefix length |d| - ceil(τ|d|) + 1 (≥ 1 always)
+    val pfx = ordered
+      .select(col("id"), col("len"),
+        explode(slice(col("toks"), lit(1),
+          (col("len") - ceil(col("len") * threshold).cast("int") + 1))).as("tk"))
+    val a = pfx.select(col("tk"), col("id").as("id_a"), col("len").as("len_a"))
+    val b = pfx.select(col("tk"), col("id").as("id_b"), col("len").as("len_b"))
+    val cand = a.join(b,
+        a("tk") === b("tk") && col("id_a") < col("id_b") &&
+          col("len_a") >= col("len_b") * threshold &&
+          col("len_b") >= col("len_a") * threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    MinHash.withExactJaccard(cand, docs, textCol, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

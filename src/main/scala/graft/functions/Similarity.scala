@@ -59,6 +59,32 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Contrastive hard-negative mining: for each query vector, the top-k
+    * most cosine-similar corpus vectors with a DIFFERENT label — the pairs
+    * a contrastive trainer wants as negatives precisely because the model
+    * must learn to push apart what the embedding space currently holds
+    * close. Same broadcast-query/rounded-rank discipline as
+    * [[bruteForceTopK]] (the label inequality rides the join condition, so
+    * same-label rows never reach the ranking window); the scale path swaps
+    * the brute scan for [[ivfTopK]] candidates with the label filter
+    * applied before the final rank.
+    */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                       roundTo: Int = 6): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      norm(col("embedding")).as("qn"), col("label").as("query_label"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      norm(col("embedding")).as("cn"), col("label").as("neighbor_label"))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"), col("neighbor_id"), col("neighbor_label"),
+        round(cosineFromNorms(dot(col("qe"), col("ce")), col("qn"), col("cn")), roundTo).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Exact cosine near-duplicate pairs: id_a < id_b with rounded cosine ≥
     * threshold. All-pairs — the declared exact baseline, quadratic by
     * definition; the scale path buckets with [[lshTopK]]'s

@@ -231,6 +231,45 @@ object QueriesIngest {
        |      OR high < low OR open <= 0 OR close <= 0
        |      OR volume < 0 OR number_of_trades <= 0) AS n_violations""".stripMargin
 
+  // ---------------------------------------------------------------- G4
+
+  /** G4 — the row-count probe (get_row_count_for_symbol,
+    * aggregator_candles.py:165-178): a filtered per-symbol count used to
+    * decide whether to SKIP a (symbol, range) unit of work. Emitted for
+    * every symbol over a deterministic subrange (end pinned to an actual
+    * tick timestamp, like s6_p5), plus one absent-symbol probe row, so the
+    * zero-count → `would_skip` leg — the reason the probe exists — is
+    * exercised and oracle-checked rather than vacuously absent.
+    */
+  private def g4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = ticks(s, dir)
+    val mid = t.agg(max(when(col("seq") % 3 === 0, col("timestamp"))))
+      .collect()(0).getTimestamp(0)
+    val syms = t.select(col("symbol")).distinct()
+      .unionByName(Seq("__absent__").toDF("symbol"))
+    val counts = t.filter(col("timestamp") <= lit(mid))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n"), sum(col("seq")).as("ss"))
+    syms.join(counts, Seq("symbol"), "left")
+      .select(col("symbol"),
+        coalesce(col("n"), lit(0L)).as("n_rows"),
+        coalesce(col("ss"), lit(0L)).as("sum_seq"),
+        (coalesce(col("n"), lit(0L)) === 0).as("would_skip"))
+  }
+
+  private val g4Sql =
+    s"""$withTicks,
+       |rng AS (SELECT max(CASE WHEN seq % 3 = 0 THEN tstamp END) AS hi FROM ticks),
+       |syms AS (SELECT DISTINCT symbol FROM ticks UNION ALL SELECT '__absent__'),
+       |cnt AS (SELECT symbol, COUNT(*) AS n, CAST(SUM(seq) AS BIGINT) AS ss
+       |  FROM ticks, rng WHERE tstamp <= hi GROUP BY symbol)
+       |SELECT syms.symbol,
+       |  COALESCE(n, 0) AS n_rows,
+       |  COALESCE(ss, 0) AS sum_seq,
+       |  COALESCE(n, 0) = 0 AS would_skip
+       |FROM syms LEFT JOIN cnt ON syms.symbol = cnt.symbol""".stripMargin
+
   // ---------------------------------------------------------------- S6/P5
 
   /** S6/P5 — the pushdown scan filter in BOTH interval flavors over a
@@ -348,6 +387,7 @@ object QueriesIngest {
     Q("a3_sink_roundtrip", a3, Some(a3Sql)),
     Q("s4_columnar_roundtrip", s4, Some(s4Sql)),
     Q("p4_invariant_check", p4, Some(p4Sql)),
+    Q("g4_row_count_probe", g4, Some(g4Sql)),
     Q("s6_p5_range_scan", s6p5, Some(s6p5Sql)),
     Q("a4_replace_lifecycle", a4Replace, Some(a4Sql))
   )

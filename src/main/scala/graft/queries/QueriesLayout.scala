@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.ZOrder
+import graft.functions.{HilbertCurve, ZOrder}
 
 /** Data-layout operators: the Z-order clustering manifest over `events`.
   *
@@ -59,6 +59,91 @@ object QueriesLayout {
        |  CAST(MIN(z) AS BIGINT) AS min_z,
        |  CAST(MAX(z) AS BIGINT) AS max_z
        |FROM zv GROUP BY 1""".stripMargin
+  }
+
+  /** Shared (user bucket, hour bucket) projection for the curve rows. */
+  private def curveBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("xb", pmod(col("user_id"), lit(1L << Bits)))
+      .withColumn("yb", pmod(expr("unix_micros(ts) div 3600000000"), lit(1L << Bits)))
+
+  private val curveBucketsCte =
+    s"""b AS (
+       |  SELECT ((user_id % ${1L << Bits}) + ${1L << Bits}) % ${1L << Bits} AS xb,
+       |    ((epoch_us(ts::TIMESTAMP) // 3600000000 % ${1L << Bits}) + ${1L << Bits}) % ${1L << Bits} AS yb
+       |  FROM events)""".stripMargin
+
+  /** Hilbert layout manifest — [[zorder]]'s twin on the jump-free curve
+    * ([[graft.functions.HilbertCurve]]): same buckets, same file width,
+    * file key = Hilbert distance prefix. Consecutive Hilbert keys are
+    * always grid NEIGHBORS (Morton jumps at every quadrant seam), so
+    * equal-size files cover connected regions with smaller average side
+    * spans — `layout_curve_compare` quantifies the difference on this very
+    * input. The oracle replays the bit-plane state machine as a generated
+    * CTE chain, one stage per plane, value-exact.
+    */
+  private def hilbertLayout(s: SparkSession, dir: String): DataFrame =
+    curveBuckets(s, dir)
+      .withColumn("h", HilbertCurve.hilbert(col("xb"), col("yb"), Bits))
+      .withColumn("file_id", expr(s"h div ${PrefixDiv}L"))
+      .groupBy(col("file_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("xb")).as("min_user_bucket"),
+        max(col("xb")).as("max_user_bucket"),
+        min(col("yb")).as("min_hour_bucket"),
+        max(col("yb")).as("max_hour_bucket"),
+        min(col("h")).as("min_h"),
+        max(col("h")).as("max_h"))
+
+  private val hilbertSql = {
+    val (stages, last) = HilbertCurve.stagesSql("hsrc", Bits, Seq("xb", "yb"))
+    s"""WITH $curveBucketsCte,
+       |hsrc AS (SELECT xb, yb, xb AS hx, yb AS hy, 0 AS hd FROM b),
+       |$stages
+       |SELECT CAST(hd // $PrefixDiv AS BIGINT) AS file_id, COUNT(*) AS n_rows,
+       |  CAST(MIN(xb) AS BIGINT) AS min_user_bucket,
+       |  CAST(MAX(xb) AS BIGINT) AS max_user_bucket,
+       |  CAST(MIN(yb) AS BIGINT) AS min_hour_bucket,
+       |  CAST(MAX(yb) AS BIGINT) AS max_hour_bucket,
+       |  CAST(MIN(hd) AS BIGINT) AS min_h,
+       |  CAST(MAX(hd) AS BIGINT) AS max_h
+       |FROM $last GROUP BY 1""".stripMargin
+  }
+
+  /** Curve locality comparison, one row: total per-file (x-span + y-span)
+    * for Morton vs Hilbert on the SAME buckets and file width. The span
+    * sum is exactly what data skipping pays for — a predicate window
+    * overlaps a file iff it intersects the file's span box, so smaller
+    * total spans = fewer files read per query. Integer-exact, so the
+    * DuckDB replay hash-matches; `LayoutCurveSpec` additionally pins the
+    * Hilbert sum ≤ the Morton sum on the fixtures (the structural claim,
+    * kept out of the row so the data makes the case, not an assertion).
+    */
+  private def curveCompare(s: SparkSession, dir: String): DataFrame = {
+    val b = curveBuckets(s, dir)
+      .withColumn("z", ZOrder.zValue(col("xb"), col("yb"), Bits))
+      .withColumn("h", HilbertCurve.hilbert(col("xb"), col("yb"), Bits))
+    def spanTotal(key: String, tag: String) =
+      b.groupBy(expr(s"$key div ${PrefixDiv}L"))
+        .agg((max(col("xb")) - min(col("xb")) + max(col("yb")) - min(col("yb"))).as("span"))
+        .agg(count(lit(1)).as(s"n_files_$tag"), sum(col("span")).as(s"sum_span_$tag"))
+    spanTotal("z", "morton").crossJoin(spanTotal("h", "hilbert"))
+  }
+
+  private val curveCompareSql = {
+    val z = ZOrder.zValueSql("xb", "yb", Bits)
+    val (stages, last) = HilbertCurve.stagesSql("hsrc", Bits, Seq("xb", "yb"))
+    s"""WITH $curveBucketsCte,
+       |zf AS (SELECT ($z) // $PrefixDiv AS fid, xb, yb FROM b),
+       |zs AS (SELECT COUNT(*) AS n_files_morton, CAST(SUM(span) AS BIGINT) AS sum_span_morton
+       |  FROM (SELECT MAX(xb) - MIN(xb) + MAX(yb) - MIN(yb) AS span FROM zf GROUP BY fid)),
+       |hsrc AS (SELECT xb, yb, xb AS hx, yb AS hy, 0 AS hd FROM b),
+       |$stages,
+       |hf AS (SELECT hd // $PrefixDiv AS fid, xb, yb FROM $last),
+       |hs AS (SELECT COUNT(*) AS n_files_hilbert, CAST(SUM(span) AS BIGINT) AS sum_span_hilbert
+       |  FROM (SELECT MAX(xb) - MIN(xb) + MAX(yb) - MIN(yb) AS span FROM hf GROUP BY fid))
+       |SELECT * FROM zs, hs""".stripMargin
   }
 
   /** Co-located bucketed join: write orders and customer as catalog-backed
@@ -191,6 +276,8 @@ object QueriesLayout {
 
   def all: Seq[Q] = Seq(
     Q("layout_zorder", zorder, Some(zorderSql)),
+    Q("layout_hilbert", hilbertLayout, Some(hilbertSql)),
+    Q("layout_curve_compare", curveCompare, Some(curveCompareSql)),
     Q("layout_bucketed_join", bucketedJoin, Some(bucketedJoinSql)),
     Q("layout_compaction", compaction, Some(compactionSql)),
     Q("layout_compaction_exec", compactionExec, Some(compactionExecSql)))

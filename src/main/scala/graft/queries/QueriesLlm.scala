@@ -119,6 +119,37 @@ object QueriesLlm {
       |SELECT id_a, id_b, round(ni::DOUBLE / nu, 6) AS jaccard
       |FROM p WHERE ni::DOUBLE / nu >= 0.8""".stripMargin
 
+  /** EXACT prefix-filter similarity join ([[graft.functions.PrefixJoin]]):
+    * every pair at true n-gram Jaccard ≥ 0.8, enumerated by the
+    * AllPairs/PPJoin prefix bound instead of LSH banding — complete by
+    * construction, so the all-pairs DuckDB oracle matches on ANY fixture,
+    * not just one whose duplicates sit safely above the band-recall
+    * threshold. Same output columns as `llm_jaccard_pairs` (which proves
+    * the LSH path's recall on THIS corpus); together the two rows pin both
+    * algorithms to the same ground truth.
+    */
+  private def prefixJoin(s: SparkSession, dir: String): DataFrame =
+    graft.functions.PrefixJoin.exactJaccardPairs(Tables.documents(s, dir))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Duplicate clustering over the EXACT prefix-join edge set: identical
+    * aggregation to `llm_dup_clusters`, but the edges come from
+    * [[graft.functions.PrefixJoin]] rather than LSH candidates — removing
+    * the band-recall assumption those rows document. The oracle is the same
+    * recursive-CTE transitive closure over all pairs ≥ 0.8; here engine and
+    * oracle agree on the edge set structurally, so this row stays green on
+    * adversarial fixtures with pairs exactly at the threshold.
+    */
+  private def clusterExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = graft.functions.PrefixJoin.exactJaccardPairs(docs)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    graft.operators.ConnectedComponents.components(edges)
+      .groupBy(col("component").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("id")).as("sum_members"))
+  }
+
   /** Verify-then-drop MinHash dedup, oracle-checked end-to-end: candidates
     * from banded LSH, drop decisions from EXACT n-gram Jaccard — so the
     * DuckDB all-pairs replay predicts the survivors exactly. Together with
@@ -363,6 +394,35 @@ object QueriesLlm {
       |  FROM q, c WHERE qid <> nid),
       |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
       |SELECT qid AS query_id, nid AS neighbor_id, cos, rank FROM r WHERE rank <= 5""".stripMargin
+
+  /** Contrastive hard-negative mining ([[Similarity.hardNegativeTopK]]):
+    * per query, the 5 nearest embeddings whose LABEL differs — what a
+    * contrastive/embedding trainer samples as negatives. Brute-force
+    * scoring here (exact, oracle-replayable); at scale the candidate
+    * generator is the IVF path with the label predicate applied before
+    * the final rank.
+    */
+  private def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.hardNegativeTopK(e.filter(col("vec_id") < 10), e, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("cos"), col("rank"))
+  }
+
+  private val hardNegativesSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS nid, embedding AS ce, label AS nl FROM embeddings),
+      |s AS (
+      |  SELECT qid, nid, nl,
+      |    round(
+      |      list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) /
+      |      (sqrt(list_sum(list_transform(range(1, len(qe) + 1), i -> qe[i]::DOUBLE * qe[i]::DOUBLE))) *
+      |       sqrt(list_sum(list_transform(range(1, len(ce) + 1), i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))), 6) AS cos
+      |  FROM q, c WHERE qid <> nid AND nl <> ql),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s)
+      |SELECT qid AS query_id, nid AS neighbor_id, nl AS neighbor_label, cos, rank
+      |FROM r WHERE rank <= 5""".stripMargin
 
   /** LSH-bucketed approximate top-k (the 100 TB path), self-checking: recall
     * is measured on the retrieval task ANN exists for — queries with a
@@ -1231,11 +1291,14 @@ object QueriesLlm {
     Q("llm_minhash_dedup", minhash, Some(LlmHashOracles.minhashSql), headline = true),
     Q("llm_minhash_dedup_verified", minhashVerified, Some(minhashVerifiedSql)),
     Q("llm_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql)),
+    Q("llm_prefix_join", prefixJoin, Some(jaccardPairsSql)),
+    Q("llm_cluster_exact", clusterExact, Some(dupClustersSql)),
     Q("llm_dup_clusters", dupClusters, Some(dupClustersSql)),
     Q("llm_leakage_split", leakageSplit, Some(leakageSplitSql)),
     Q("llm_simhash_neardup", simhash, Some(LlmHashOracles.simhashSql)),
     Q("llm_simhash_recovery", simhashRecovery, Some(simhashRecoverySql)),
     Q("llm_cosine_topk", cosine, Some(cosineSql), headline = true),
+    Q("llm_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     Q("llm_ann_recall", ann, Some(LlmHashOracles.annSql)),
     Q("llm_ann_near_recall", annNear, Some(annNearSql)),
     Q("llm_ivf_near_recall", ivfNear, Some(ivfNearSql)),

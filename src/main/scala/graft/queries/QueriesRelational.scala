@@ -652,8 +652,66 @@ object QueriesRelational {
       |  CAST(n_purchase_after AS DOUBLE) * 100.0 / CAST(n_view AS DOUBLE) AS pct_purchase
       |FROM f""".stripMargin
 
+  /** Gap-based sessionization (30-minute inactivity timeout): the batch
+    * twin of the streaming `session_window_agg` row. Classic two-window
+    * construction — lag over (user, ts) marks session starts, a running
+    * sum of the start flags numbers sessions, then one groupBy emits per-
+    * session stats. Ordering ties are pinned by event_id (unique), so both
+    * engines see identical session boundaries.
+    *
+    * Distributed shape: both windows and the final groupBy key on
+    * `user_id` — ONE exchange, reused by every step (the session groupBy
+    * is (user, session) — a refinement of the user partitioning, no second
+    * shuffle of the events). Per-user partitions are bounded by that
+    * user's event count; no global sort anywhere. Money sums are
+    * exact-decimal ([[Det.dsum]]) so hashes match DuckDB bit-for-bit.
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = 30L * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new",
+        (col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > gapUs).cast("int"))
+      .withColumn("session_id", sum(col("__new")).over(wCum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        tsMicros(min(col("ts"))).as("session_start"),
+        expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+          .as("duration_sec"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  private val q17Sql = {
+    val gapUs = 30L * 60L * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, ts::TIMESTAMP AS ts, event_id, value,
+       |    lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |  FROM events),
+       |m AS (SELECT *,
+       |    CASE WHEN prev IS NULL
+       |              OR epoch_us(ts) - epoch_us(prev) > $gapUs THEN 1 ELSE 0 END AS new_s
+       |  FROM e),
+       |s AS (SELECT *,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM m)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       |  COUNT(*) AS n_events,
+       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_sec,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM s GROUP BY user_id, session_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true, benchRun = Some(q01Bench)),
+    Q("q17_sessionize", q17, Some(q17Sql)),
     Q("j4_salted_join", j4, Some(j4Sql)),
     Q("j4_hot_salted", j4Hot(salted = true), Some(j4Sql), headline = true),
     Q("j4_hot_plain", j4Hot(salted = false), Some(j4Sql), headline = true),

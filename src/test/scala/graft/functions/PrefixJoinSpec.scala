@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Completeness + soundness of the exact prefix-filter similarity join:
+  * the engine's pair set must equal the brute-force all-pairs Jaccard over
+  * the same shingle-hash sets — including pairs sitting EXACTLY at the
+  * threshold, the case LSH banding can miss.
+  */
+class PrefixJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def bruteForce(docs: Seq[(Long, String)], tau: Double): Set[(Long, Long)] = {
+    val hs = MinHash.withShingleHashSets(docs.toDF("doc_id", "text"))
+      .select(col("id"), col("hs"))
+      .as[(Long, Array[Long])].collect().map { case (i, a) => (i, a.toSet) }
+    (for {
+      (ia, sa) <- hs; (ib, sb) <- hs if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= tau
+    } yield (ia, ib)).toSet
+  }
+
+  private def engine(docs: Seq[(Long, String)], tau: Double): Set[(Long, Long)] =
+    PrefixJoin.exactJaccardPairs(docs.toDF("doc_id", "text"), tau)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+
+  test("pair exactly AT the threshold is found; just below is excluded") {
+    // 20 tokens, first 18 shared: 18 shingles each, 16 shared -> J = 16/20 = 0.8
+    val base = (1 to 18).map(i => s"w$i").mkString(" ")
+    val at = Seq(
+      1L -> s"$base aa ab",
+      2L -> s"$base ba bb")
+    // 17 shared tokens, 3 own: 15 shared shingles, union 21 -> J ~= 0.714
+    val below17 = (1 to 17).map(i => s"w$i").mkString(" ")
+    val under = Seq(
+      3L -> s"$below17 aa ab ac",
+      4L -> s"$below17 ba bb bc")
+    val got = engine(at ++ under, 0.8)
+    assert(got === Set((1L, 2L)), s"expected exactly the J=0.8 pair, got $got")
+    // sanity: brute force agrees on the same fixture
+    assert(bruteForce(at ++ under, 0.8) === Set((1L, 2L)))
+  }
+
+  test("randomized corpora: engine pair set == brute force, several seeds") {
+    for (seed <- 0 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 10).map(i => s"t$i")
+      val docs = (0 until 24).map { id =>
+        val len = 1 + rnd.nextInt(14)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      assert(engine(docs, 0.8) === bruteForce(docs, 0.8), s"seed $seed")
+    }
+  }
+
+  test("degenerate docs: single-shingle, exact duplicates, empty-ish text") {
+    val docs = Seq(
+      1L -> "one two",                       // <= 3 tokens -> single shingle
+      2L -> "one two",                       // exact dup of 1
+      3L -> "  one   two  ",                 // normalization-equal dup of 1
+      4L -> "three four",                    // different single shingle
+      5L -> "a b c d e f g h",
+      6L -> "a b c d e f g h")               // exact dup of 5
+    val got = engine(docs, 0.8)
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)), s"got $got")
+  }
+
+  test("verified jaccard values match brute force at 6 dp") {
+    val docs = Seq(
+      1L -> ((1 to 20).map(i => s"w$i").mkString(" ") + " aa ab"),
+      2L -> ((1 to 20).map(i => s"w$i").mkString(" ") + " ba bb"))
+    val j = PrefixJoin.exactJaccardPairs(docs.toDF("doc_id", "text"), 0.5)
+      .select(col("jaccard")).as[Double].collect()
+    assert(j.length === 1)
+    assert(math.abs(j.head - 18.0 / 22.0) < 1e-9, s"got ${j.head}")
+  }
+}
