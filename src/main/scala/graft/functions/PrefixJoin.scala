@@ -64,17 +64,31 @@ object PrefixJoin {
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tk")))).as("ord"))
       .select(col("id"), col("ord.tk").as("toks"), size(col("ord")).as("len"))
-    // prefix length |d| - ceil(τ|d|) + 1 (≥ 1 always)
+    // prefix length |d| - ceil(τ|d|) + 1 (≥ 1 always); positions ride along
+    // for the PPJoin positional filter below
     val pfx = ordered
       .select(col("id"), col("len"),
-        explode(slice(col("toks"), lit(1),
-          (col("len") - ceil(col("len") * threshold).cast("int") + 1))).as("tk"))
-    val a = pfx.select(col("tk"), col("id").as("id_a"), col("len").as("len_a"))
-    val b = pfx.select(col("tk"), col("id").as("id_b"), col("len").as("len_b"))
+        posexplode(slice(col("toks"), lit(1),
+          (col("len") - ceil(col("len") * threshold).cast("int") + 1))))
+      .withColumnRenamed("col", "tk")
+    val a = pfx.select(col("tk"), col("id").as("id_a"), col("len").as("len_a"),
+      col("pos").as("pos_a"))
+    val b = pfx.select(col("tk"), col("id").as("id_b"), col("len").as("len_b"),
+      col("pos").as("pos_b"))
+    // Positional filter (PPJoin): at a pair's FIRST common prefix token
+    // (0-based positions i, j) every shared token sits at position ≥ i in A
+    // and ≥ j in B, so |A∩B| ≤ min(len_a − i, len_b − j); J ≥ τ needs
+    // |A∩B| ≥ ⌈τ·max(len_a, len_b)⌉. Later collisions of a qualifying pair
+    // may fail the bound, but the first one passes, and the distinct keeps
+    // a pair if ANY emission survives — so completeness holds while
+    // late-collision-only pairs (the bulk on a dense-vocabulary corpus)
+    // never reach the verify stage.
     val cand = a.join(b,
         a("tk") === b("tk") && col("id_a") < col("id_b") &&
           col("len_a") >= col("len_b") * threshold &&
-          col("len_b") >= col("len_a") * threshold)
+          col("len_b") >= col("len_a") * threshold &&
+          least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b")) >=
+            ceil(greatest(col("len_a"), col("len_b")) * threshold))
       .select(col("id_a"), col("id_b"))
       .distinct()
     MinHash.withExactJaccard(cand, docs, textCol, idCol)
