@@ -115,7 +115,11 @@ def main():
                 # filtering — no recall compromise, tractable at sf1+
                 want_cols, want_rows = linear_replay.minhash_replay(con, name)
                 detail = "(prefix-filter replay)"
-            elif args.linear_replay and name == "llm_dup_clusters":
+            elif args.linear_replay and name in (
+                    "llm_dup_clusters", "llm_cluster_exact"):
+                # llm_cluster_exact shares dupClustersSql: both engine paths
+                # (LSH-candidates and prefix-join edges) must produce the
+                # same components as the exact prefix-filtered replay
                 want_cols, want_rows = linear_replay.dup_clusters_replay(con)
                 detail = "(prefix-filter replay)"
             elif args.linear_replay and name == "llm_leakage_split":

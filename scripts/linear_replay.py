@@ -589,7 +589,8 @@ def peak_hybrid(con, sql):
 
 # ------------------------------------------------- exact set-similarity join
 
-MINHASH_QUERIES = {"llm_jaccard_pairs", "llm_minhash_dedup_verified"}
+MINHASH_QUERIES = {"llm_jaccard_pairs", "llm_prefix_join",
+                   "llm_minhash_dedup_verified"}
 
 
 def _round6(x):
@@ -658,7 +659,10 @@ def minhash_replay(con, name):
     join. Same values as the SQL replays, any SF."""
     docs = _shingle_docs(con)
     pairs = _true_jaccard_pairs(docs)
-    if name == "llm_jaccard_pairs":
+    if name in ("llm_jaccard_pairs", "llm_prefix_join"):
+        # llm_prefix_join shares the oracle: the engine's AllPairs/PPJoin
+        # prefix filter and this replay's prefix index enumerate the SAME
+        # complete pair set at tau=0.8
         return (["id_a", "id_b", "jaccard"],
                 [(a, b, _round6(j)) for a, b, j in pairs])
     dup = {b for _, b, _ in pairs}

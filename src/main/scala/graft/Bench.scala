@@ -57,7 +57,20 @@ object Bench {
     // the headline set.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val pool = if (only.isDefined) Registry.all else Registry.headline
+    // Automatic load gate: round 12's record was taken at load 4.85 and its
+    // phantom regressions cost a judge pass to adjudicate. If the 1-minute
+    // load average is above 1.0, poll (up to SPARK_GRAFT_BENCH_WAIT seconds,
+    // default 300) for the box to go idle before timing anything; if it
+    // never does, the record proceeds but is branded "load_gate":"loaded" so
+    // no downstream reader can mistake it for a clean baseline.
+    val gateWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT", "300").toInt
+    val gateT0 = System.nanoTime()
+    while (loadAvg1m() > 1.0 && (System.nanoTime() - gateT0) / 1e9 < gateWait) {
+      System.err.println(f"[bench] load gate: 1m load ${loadAvg1m()}%.2f > 1.0, waiting for idle box")
+      Thread.sleep(10000)
+    }
     val loadBefore = loadAvg1m()
+    val loadGate = if (loadBefore > 1.0) "loaded" else "ok"
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val cpuT0 = osBean.getProcessCpuTime
@@ -99,14 +112,22 @@ object Bench {
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
     val loadAfter = loadAvg1m()
-    val envJson = f""""load_1m_before":$loadBefore%.2f,"load_1m_after":$loadAfter%.2f,"proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,"cpu_over_wall":${cpuSec / math.max(wallSec, 1e-9)}%.2f"""
+    val envJson = f""""load_1m_before":$loadBefore%.2f,"load_1m_after":$loadAfter%.2f,"proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,"cpu_over_wall":${cpuSec / math.max(wallSec, 1e-9)}%.2f,"load_gate":"$loadGate""""
+    // selectivity evidence for the prefix-filter similarity join: candidate
+    // pairs actually verified in the LAST exactJaccardPairs run this
+    // process (sf10 asks whether candidates grow ≪ quadratically — a wall
+    // time alone can't answer that)
+    val candJson =
+      if (graft.functions.PrefixJoin.lastCandidatePairs >= 0)
+        s""","prefix_candidate_pairs":${graft.functions.PrefixJoin.lastCandidatePairs}"""
+      else ""
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
         "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
           .replaceAll("[\\n\\r\\t]", " ") + "\""
       }.mkString(""","errors":{""", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,$envJson$errJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,$envJson$candJson$errJson}"""
     println(json)
     // Also land the JSON in a file: the stdout line is buried in sbt [info]
     // noise and the driver's log scrape has missed it two rounds running.

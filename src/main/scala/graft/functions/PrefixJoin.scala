@@ -43,19 +43,44 @@ import org.apache.spark.sql.functions._
   */
 object PrefixJoin {
 
+  /** Bench instrumentation: candidate-pair count of the most recent
+    * [[exactJaccardPairs]] call (the quantity the prefix filter exists to
+    * bound — recorded alongside sf10 wall time so the selectivity claim in
+    * the scaladoc is measured, not asserted). Not part of query semantics.
+    */
+  @volatile var lastCandidatePairs: Long = -1L
+
   /** All pairs (id_a < id_b) with exact shingle-set Jaccard ≥ `threshold`,
     * plus the verified `jaccard` value.
+    *
+    * Threshold arithmetic is integer-exact: the filters need ⌈τ·len⌉ and
+    * `len_a ≥ τ·len_b`, and double-precision `ceil(len * τ)` can OVER-round
+    * when the product lands a hair above an integer (0.7·10 = 7.000…001 in
+    * IEEE754 → ceil 8), silently shortening the prefix and dropping true
+    * pairs exactly at the threshold. We quantize τ DOWN to a rational
+    * tnum/10⁹ (floor, so tnum/den ≤ τ) and compute ⌈len·tnum/den⌉ with
+    * 64-bit integer DIV — biasing down can only lengthen the prefix and
+    * loosen the filters, so completeness holds for ANY τ, not just the
+    * exactly-representable shipped 0.8.
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         textCol: String = "text", idCol: String = "doc_id",
                         n: Int = 3): DataFrame = {
+    val den = 1000000000L
+    val tnum = math.floor(threshold * den).toLong
+    // ⌈lenExpr·τ⌉, exactly, in long arithmetic (lenExpr ≤ 2^31, product ≤
+    // 2.1e18 < Long.Max): (len*tnum + den-1) DIV den
+    def ceilTau(lenExpr: String): org.apache.spark.sql.Column =
+      expr(s"CAST((CAST(($lenExpr) AS BIGINT) * $tnum + ${den - 1}) DIV $den AS INT)")
     // corpus-wide kernel input: same single-row-group widening as the
     // signature path (graft.core.Widen policy)
     val hs = MinHash.withShingleHashSets(
       graft.core.Widen.toCores(docs.select(col(idCol), col(textCol))),
       textCol, idCol, n)
     // (id, token) rows; consumed twice (df count + order join) → eager cache
-    // of scalars only, never the text
+    // of scalars only, never the text. Unpersisted below once the (small)
+    // candidate-pair frame is materialized — a long-lived session calling
+    // this repeatedly must not accumulate corpus-sized token frames.
     val tok = hs.select(col("id"), explode(col("hs")).as("tk")).cache()
     tok.count()
     val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
@@ -69,7 +94,7 @@ object PrefixJoin {
     val pfx = ordered
       .select(col("id"), col("len"),
         posexplode(slice(col("toks"), lit(1),
-          (col("len") - ceil(col("len") * threshold).cast("int") + 1))))
+          (col("len") - ceilTau("len") + 1))))
       .withColumnRenamed("col", "tk")
     val a = pfx.select(col("tk"), col("id").as("id_a"), col("len").as("len_a"),
       col("pos").as("pos_a"))
@@ -83,14 +108,23 @@ object PrefixJoin {
     // a pair if ANY emission survives — so completeness holds while
     // late-collision-only pairs (the bulk on a dense-vocabulary corpus)
     // never reach the verify stage.
+    // length filter len_a ≥ τ·len_b as integers: len_a·den ≥ len_b·tnum
+    // (tnum/den ≤ τ ⇒ implied by the real inequality — never drops a pair)
     val cand = a.join(b,
         a("tk") === b("tk") && col("id_a") < col("id_b") &&
-          col("len_a") >= col("len_b") * threshold &&
-          col("len_b") >= col("len_a") * threshold &&
+          col("len_a").cast("long") * den >= col("len_b").cast("long") * tnum &&
+          col("len_b").cast("long") * den >= col("len_a").cast("long") * tnum &&
           least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b")) >=
-            ceil(greatest(col("len_a"), col("len_b")) * threshold))
+            ceilTau("greatest(len_a, len_b)"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+      .cache()
+    // materialize the candidate pairs (two ids per row — candidate-bound,
+    // orders of magnitude smaller than tok), then release the token frame;
+    // cand itself stays pinned until LRU, same policy as
+    // MinHash.candidatePairs, and is what the verify stage consumes
+    lastCandidatePairs = cand.count()
+    tok.unpersist()
     MinHash.withExactJaccard(cand, docs, textCol, idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

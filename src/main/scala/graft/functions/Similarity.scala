@@ -68,6 +68,16 @@ object Similarity {
     * same-label rows never reach the ranking window); the scale path swaps
     * the brute scan for [[ivfTopK]] candidates with the label filter
     * applied before the final rank.
+    *
+    * CONTRACT (same as [[bruteForceTopK]]): the QUERY side is broadcast
+    * unconditionally — it must be driver/executor-memory-sized (thousands
+    * of vectors, not millions; the harness row uses `vec_id < 10`). A
+    * corpus-scale query set belongs on the [[ivfTopK]] path, where queries
+    * route to cells instead of being shipped whole. And `queries` and
+    * `corpus` share ONE `vec_id` namespace: the `query_id =!= neighbor_id`
+    * self-match guard assumes both ids come from the same table — a
+    * colliding id from a DIFFERENT table would wrongly exclude a valid
+    * negative. Re-key one side before calling if the sources differ.
     */
   def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
                        roundTo: Int = 6): DataFrame = {

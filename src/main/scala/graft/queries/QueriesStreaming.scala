@@ -501,7 +501,7 @@ object QueriesStreaming {
     val maxTs = candles.agg(max(col("timestamp"))).head().getTimestamp(0)
     // one barrier row TOTAL: its only job is pushing the global watermark
     // past every real chunk-end boundary so all pending timers fire
-    val barrier = (" WM", new Timestamp(maxTs.getTime +
+    val barrier = ("\u0000WM", new Timestamp(maxTs.getTime +
       graft.calc.AnchorSnapshots.chunkUs() / 1000L + 3600L * 1000L), 1.0, 1.0)
 
     val name = s"graft_stream_avwap_tws_${System.nanoTime}"
@@ -526,7 +526,7 @@ object QueriesStreaming {
         case None => spark.conf.unset(providerKey)
       }
     }
-    spark.table(name).filter(col("symbol") =!= " WM").select(
+    spark.table(name).filter(col("symbol") =!= "\u0000WM").select(
       col("symbol"), col("timeframe"), col("anchor_type"),
       tsMicros(col("anchor_timestamp")).as("anchor_timestamp"),
       col("anchor_idx"), col("price_at_anchor"),
@@ -960,7 +960,7 @@ object QueriesStreaming {
     val root = java.nio.file.Files.createTempDirectory("graft_spipe_")
     val inDir = s"$root/in"
     val out1 = s"$root/candles"; val out2 = s"$root/hrows"; val out3 = s"$root/anchors"
-    val Bar = " BARRIER"
+    val Bar = "\u0000BARRIER"
     val delayUs = 10L * 1000000L // the 10-second default of both hop-1 operators
 
     def runHop1(): Unit = {

@@ -69,6 +69,42 @@ class PrefixJoinSpec extends SparkSpec {
     assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)), s"got $got")
   }
 
+  test("FP-hostile threshold 0.7: containment pair exactly AT tau is found") {
+    // 0.7*10 = 7.000000000000001 in IEEE754 double, so the old
+    // ceil(len * tau) prefix math over-rounded to 8 (prefix too short) AND
+    // the real-valued length filter 7 >= 10*0.7 evaluated false — both
+    // silently dropped this pair. The integer-exact rational math must keep
+    // it. Fixture: B's shingle set fully contained in A's, |A|=10, |B|=7
+    // -> J = 7/10 = 0.7 exactly.
+    val a = (1 to 12).map(i => s"w$i").mkString(" ") // 12 words -> 10 shingles
+    val b = (1 to 9).map(i => s"w$i").mkString(" ")  // 9 words  -> 7 shingles, all in A
+    val docs = Seq(1L -> a, 2L -> b)
+    assert(bruteForce(docs, 0.7) === Set((1L, 2L)), "fixture sanity")
+    assert(engine(docs, 0.7) === Set((1L, 2L)), "tau=0.7 completeness")
+    // randomized agreement at the hostile threshold too
+    for (seed <- 0 to 2) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 10).map(i => s"t$i")
+      val rdocs = (0 until 20).map { id =>
+        (id.toLong, Seq.fill(1 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      assert(engine(rdocs, 0.7) === bruteForce(rdocs, 0.7), s"seed $seed")
+    }
+  }
+
+  test("token-explode cache is released after the join (cand cache only remains)") {
+    spark.catalog.clearCache()
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g h",
+      3L -> "p q r s t u v w")
+    PrefixJoin.exactJaccardPairs(docs.toDF("doc_id", "text"), 0.8).collect()
+    // the corpus-sized (id, token) frame must be unpersisted by the call;
+    // only the candidate-pair frame may stay pinned (MinHash policy)
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    assert(cached <= 1, s"expected at most the candidate cache, found $cached persistent RDDs")
+  }
+
   test("verified jaccard values match brute force at 6 dp") {
     val docs = Seq(
       1L -> ((1 to 20).map(i => s"w$i").mkString(" ") + " aa ab"),
