@@ -99,10 +99,16 @@ object Bench {
       val sec =
         if (times.exists(_ < 0)) -1.0
         else times.sorted.apply(times.length / 2)
-      q.name -> sec
+      // min-of-reps rides along: the median of sub-second rows jitters
+      // ±0.2s run-to-run (JIT/GC/page-cache), which round 12's adjudication
+      // mistook for regressions; the min is the stable floor that separates
+      // noise from a real shift without changing the headline number
+      val secMin = if (times.exists(_ < 0)) -1.0 else times.min
+      q.name -> (sec, secMin)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val ok = results.map(_._2).filter(_ >= 0)
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, (_, v)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val ok = results.map(_._2._1).filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
     // Contamination indicators: load average before/after, and this
     // process's CPU-seconds over the bench wall time. On an idle local[32]
@@ -127,7 +133,7 @@ object Bench {
         "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
           .replaceAll("[\\n\\r\\t]", " ") + "\""
       }.mkString(""","errors":{""", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,$envJson$candJson$errJson}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","reps":$reps,$envJson$candJson$errJson}"""
     println(json)
     // Also land the JSON in a file: the stdout line is buried in sbt [info]
     // noise and the driver's log scrape has missed it two rounds running.

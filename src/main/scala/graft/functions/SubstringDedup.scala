@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact SUBSTRING-level deduplication: find every k-token window that
+  * occurs verbatim in more than one document, and the maximal duplicated
+  * spans they merge into. This is the span-granular complement to the
+  * document-granular dedup family ([[TextOps]] exact, [[MinHash]] /
+  * [[PrefixJoin]] fuzzy): two documents that are NOT near-duplicates can
+  * still share a boilerplate paragraph, and a training pipeline wants that
+  * span found and trimmed, not the whole document dropped. The method
+  * follows the published exact-substring-dedup recipe (Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better"): their
+  * suffix-array pass finds byte-level repeats on one machine; the
+  * distributed equivalent below finds token-window repeats with shuffles
+  * that stay hash-/candidate-bound.
+  *
+  * 100 TB shape — the full window STRINGS never shuffle corpus-wide:
+  *
+  *  1. window construction is map-side (`transform` over the token array —
+  *     whole-stage codegen, no explode until the window frame is needed);
+  *  2. the corpus-wide shuffle is keyed by `xxhash64(window)` — 8 bytes —
+  *     aggregating `(min_doc, max_doc)` per hash; a hash is CANDIDATE iff
+  *     `min_doc != max_doc` (seen in ≥ 2 distinct docs). Duplicated
+  *     boilerplate is rare relative to the corpus, so the candidate set is
+  *     tiny;
+  *  3. only candidate windows (semi-join on the hash) re-group by the full
+  *     window string, re-checking `min_doc != max_doc` on the STRING — so
+  *     a 64-bit hash collision can create a false candidate (verified
+  *     away) but never a false duplicate. Exactness does not ride on the
+  *     hash;
+  *  4. span merging (gaps-and-islands over window start positions) is a
+  *     per-document window function — partition-local after one shuffle by
+  *     doc.
+  *
+  * Reference scope: the reference pipeline dedups at row granularity only
+  * (`aggregator_candles.py:64-88` keep-last); substring dedup is part of
+  * the training-data extension surface, same ground rules as MinHash/LSH.
+  */
+object SubstringDedup {
+
+  /** (id, pos, win) — every k-token sliding window of the normalized text,
+    * 1-based `pos` (matching DuckDB list indexing in the oracle), one row
+    * per window. Documents with fewer than k tokens yield no rows.
+    */
+  def windows(docs: DataFrame, k: Int, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val toks = split(TextOps.normalized(col(textCol)), " ")
+    docs
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("win"))
+  }
+
+  /** Window-(id,pos) rows whose k-token window occurs verbatim in at least
+    * one OTHER document. Shuffle plan as per the object scaladoc: hash
+    * candidates first, exact string verification on candidates only.
+    */
+  def dupWindowPositions(docs: DataFrame, k: Int, textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val w = windows(docs, k, textCol, idCol)
+      .withColumn("h", xxhash64(col("win")))
+    // corpus-wide shuffle on the 8-byte hash only; min!=max <=> >=2 docs
+    val candHash = w.groupBy(col("h"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    // candidate windows re-verified on the full string (collision-proof)
+    val cand = w.join(candHash, Seq("h"), "left_semi")
+    val dupWin = cand.groupBy(col("win"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("win"))
+    cand.join(dupWin, Seq("win"), "left_semi").select(col("id"), col("pos"))
+  }
+
+  /** Per-document duplication stats: total k-token windows, how many are
+    * cross-document duplicated, and how many TOKENS the merged duplicated
+    * spans cover (the amount a trim pass would remove if this doc were the
+    * non-canonical copy everywhere). Only documents with at least one
+    * duplicated window are returned.
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, dup_span_tokens).
+    */
+  def crossDocDupStats(docs: DataFrame, k: Int = 10, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val spansDf = spans(docs, k, textCol, idCol)
+    // n_windows is arithmetic on the token count — map-side, no join back
+    // to the window frame
+    val totals = docs
+      .select(col(idCol).as("doc_id"),
+        (size(split(TextOps.normalized(col(textCol)), " ")) - (k - 1))
+          .as("n_windows"))
+      .filter(col("n_windows") >= 1)
+    spansDf
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_windows_in_span")).as("n_dup_windows"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_span_tokens"))
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_windows").cast("long").as("n_windows"),
+        col("n_dup_windows"), col("dup_span_tokens"))
+  }
+
+  /** Maximal cross-document duplicated spans per document: adjacent
+    * duplicated windows (start positions differing by 1) merge into one
+    * span (gaps-and-islands), reported in TOKEN coordinates — `span_start`
+    * = first token index (1-based), `span_end` = last token index covered
+    * (start of the last merged window + k - 1).
+    *
+    * Output: (doc_id, span_start, span_end, n_windows_in_span).
+    */
+  def spans(docs: DataFrame, k: Int = 10, textCol: String = "text",
+            idCol: String = "doc_id"): DataFrame = {
+    val dup = dupWindowPositions(docs, k, textCol, idCol)
+    // islands: consecutive positions share (pos - row_number) — one
+    // per-doc shuffle, then partition-local sort + running difference
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dup
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col("id").as("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows_in_span"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"), col("n_windows_in_span"))
+  }
+}

@@ -1283,8 +1283,67 @@ object QueriesLlm {
        |FROM r GROUP BY comp""".stripMargin
   }
 
+  /** SUBSTRING-level dedup ([[graft.functions.SubstringDedup]]): per-doc
+    * stats over cross-document duplicated 10-token windows — total windows,
+    * duplicated windows, and tokens covered by the merged duplicated spans.
+    * Only docs with at least one duplicated window appear. The engine's
+    * shuffle is hash-bound (8-byte keys) with exact string verification on
+    * candidates only; the oracle groups the window strings directly — same
+    * pair semantics, engine-independent.
+    */
+  private def substringDedup(s: SparkSession, dir: String): DataFrame =
+    graft.functions.SubstringDedup.crossDocDupStats(Tables.documents(s, dir))
+
+  /** Maximal cross-document duplicated spans (token coordinates): the list
+    * a trim pass would cut. Gaps-and-islands merge of adjacent duplicated
+    * windows, per document.
+    */
+  private def substringSpans(s: SparkSession, dir: String): DataFrame =
+    graft.functions.SubstringDedup.spans(Tables.documents(s, dir))
+
+  /** Shared oracle prefix: every 10-token sliding window of the normalized
+    * text (1-based start pos), then windows seen in >= 2 distinct docs
+    * (min(doc_id) <> max(doc_id) — exactly the engine's distinctness test),
+    * then gaps-and-islands span merge. Parallel unnest of two equal-length
+    * lists zips in DuckDB, giving (pos, win) pairs without a lateral join.
+    */
+  private val substringSpanCtes =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d),
+      |w0 AS (SELECT doc_id, list_transform(range(1, len(toks) - 10 + 2),
+      |         i -> array_to_string(list_slice(toks, i, i + 9), ' ')) AS wins
+      |       FROM t WHERE len(toks) >= 10),
+      |w AS (SELECT doc_id, CAST(unnest(range(1, len(wins) + 1)) AS BIGINT) AS pos,
+      |             unnest(wins) AS win FROM w0),
+      |dw AS (SELECT win FROM w GROUP BY win HAVING min(doc_id) <> max(doc_id)),
+      |dp AS (SELECT w.doc_id, w.pos FROM w JOIN dw USING (win)),
+      |isl AS (SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM dp),
+      |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+      |    count(*) AS n_windows_in_span
+      |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  private val substringDedupSql = substringSpanCtes +
+    """,
+      |tot AS (SELECT doc_id, len(toks) - 9 AS n_windows FROM t
+      |        WHERE len(toks) >= 10)
+      |SELECT s.doc_id, CAST(tot.n_windows AS BIGINT) AS n_windows,
+      |  sum(s.n_windows_in_span) AS n_dup_windows,
+      |  sum(s.span_end - s.span_start + 1) AS dup_span_tokens
+      |FROM sp s JOIN tot USING (doc_id)
+      |GROUP BY s.doc_id, tot.n_windows""".stripMargin
+
+  private val substringSpansSql = substringSpanCtes +
+    """
+      |SELECT doc_id, span_start, span_end, n_windows_in_span FROM sp""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("llm_exact_dedup", dedup, Some(dedupSql)),
+    Q("llm_substring_dedup", substringDedup, Some(substringDedupSql)),
+    Q("llm_substring_spans", substringSpans, Some(substringSpansSql)),
     Q("llm_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("llm_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     Q("llm_text_stats", stats, Some(statsSql)),

@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Substring-level dedup: duplicated k-token windows and their merged
+  * spans must match a brute-force scan, including the hash-collision
+  * verification step (exactness may not ride on xxhash64).
+  */
+class SubstringDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def norm(s: String): Array[String] =
+    s.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+
+  /** Brute force: every k-window string -> set of docs containing it;
+    * duplicated window positions are those whose string occurs in >= 2
+    * distinct docs.
+    */
+  private def bruteDupPositions(docs: Seq[(Long, String)], k: Int): Set[(Long, Int)] = {
+    val wins = for {
+      (id, text) <- docs
+      toks = norm(text)
+      if toks.length >= k
+      i <- 0 to (toks.length - k)
+    } yield (id, i + 1, toks.slice(i, i + k).mkString(" "))
+    val byWin = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+    byWin.values.flatten.map(w => (w._1, w._2)).toSet
+  }
+
+  private def bruteSpans(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long, Long)] = {
+    bruteDupPositions(docs, k).groupBy(_._1).flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).toSeq.sorted
+      // gaps-and-islands merge of adjacent window starts
+      val runs = sorted.foldLeft(List.empty[(Int, Int, Int)]) {
+        case ((s, e, n) :: tail, p) if p == e + 1 => (s, p, n + 1) :: tail
+        case (acc, p) => (p, p, 1) :: acc
+      }
+      runs.map { case (s, e, n) => (id, s.toLong, (e + k - 1).toLong, n.toLong) }
+    }.toSet
+  }
+
+  test("duplicated spans match brute force on a crafted fixture") {
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // 12-token boilerplate
+    val docs = Seq(
+      1L -> s"u1 u2 u3 $boiler u4 u5 u6 u7 u8 u9",
+      2L -> s"v1 v2 $boiler v3 v4 v5 v6 v7 v8 v9 v10",
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13", // no dup
+      4L -> "short doc") // < k tokens
+    val k = 10
+    val got = SubstringDedup.spans(docs.toDF("doc_id", "text"), k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = bruteSpans(docs, k)
+    assert(got === want, s"got $got want $want")
+    // the 12-token boilerplate yields 3 k=10 windows merging into ONE span
+    // of 12 tokens in each carrier doc
+    assert(got.count(s => s._4 == 3 && s._3 - s._2 + 1 == 12) === 2)
+  }
+
+  test("within-doc repetition alone is NOT cross-document duplication") {
+    val rep = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$rep x1 x2 $rep", // same 10-gram twice in ONE doc
+      2L -> "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11")
+    val got = SubstringDedup.spans(docs.toDF("doc_id", "text"), 10).count()
+    assert(got === 0L)
+  }
+
+  test("stats row: window totals and span token coverage, brute-checked") {
+    val boiler = (1 to 15).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$boiler a1 a2 a3 a4 a5",
+      2L -> s"c1 c2 c3 $boiler",
+      3L -> s"d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")
+    val k = 10
+    val got = SubstringDedup.crossDocDupStats(docs.toDF("doc_id", "text"), k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc1: 20 toks -> 11 windows; boilerplate occupies starts 1..6 (6
+    // windows), span tokens 15. doc2: 18 toks -> 9 windows; starts 4..9,
+    // span tokens 15. doc3: no dups -> absent.
+    assert(got === Set((1L, 11L, 6L, 15L), (2L, 9L, 6L, 15L)))
+  }
+
+  test("randomized agreement with brute force") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 12).map(i => s"t$i")
+    for (trial <- 0 until 3) {
+      val docs = (0 until 25).map { id =>
+        (id.toLong,
+          Seq.fill(8 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val k = 5
+      val got = SubstringDedup.spans(docs.toDF("doc_id", "text"), k)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === bruteSpans(docs, k), s"trial $trial")
+    }
+  }
+}
