@@ -19,6 +19,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the parquet write fully materialized this query; any internal
+      // .cache() is dead weight from here on. Released per query so the
+      // 150-query dump never accumulates pinned storage (at sf1 the
+      // candle/signature caches are tens of MB EACH) — same per-query
+      // hygiene Bench gets from its per-rep clearCache.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -24,6 +24,7 @@ object GraftSession {
       .appName("graft")
       .withExtensions { ext =>
         graft.functions.VectorExprs.register(ext)
+        graft.functions.TextExprs.register(ext)
         graft.functions.Sketches.register(ext)
         ext.injectPlannerStrategy(_ => graft.plans.IndicatorPassStrategy)
         ext.injectPlannerStrategy(_ => graft.plans.PeaksPassStrategy)

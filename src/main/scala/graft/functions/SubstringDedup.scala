@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * 100 TB shape — the full window STRINGS never shuffle corpus-wide:
   *
-  *  1. window construction is map-side (`transform` over the token array —
-  *     whole-stage codegen, no explode until the window frame is needed);
-  *  2. the corpus-wide shuffle is keyed by `xxhash64(window)` — 8 bytes —
+  *  1. window hashing is map-side and string-free: the native
+  *     [[TokenWindowHashes]] rolling-hash kernel turns each token array
+  *     into its k-window hash array in O(tokens) (each token hashed once,
+  *     windows combined by polynomial rolling) — no window-string
+  *     materialization anywhere on the corpus-wide path;
+  *  2. the corpus-wide shuffle is keyed by that 64-bit window hash —
   *     aggregating `(min_doc, max_doc)` per hash; a hash is CANDIDATE iff
   *     `min_doc != max_doc` (seen in ≥ 2 distinct docs). Duplicated
   *     boilerplate is rare relative to the corpus, so the candidate set is
@@ -60,18 +63,36 @@ object SubstringDedup {
   /** Window-(id,pos) rows whose k-token window occurs verbatim in at least
     * one OTHER document. Shuffle plan as per the object scaladoc: hash
     * candidates first, exact string verification on candidates only.
+    *
+    * The map side never builds window strings at all: the
+    * [[TokenWindowHashes]] rolling-hash kernel emits the k-window hash
+    * array straight off the token array (O(tokens) per doc, vs
+    * O(tokens × k) for hash-of-concat), and strings are reconstructed by
+    * token-slice ONLY for candidate (id, pos) rows — candidate-bound work
+    * on a corpus where duplicated boilerplate is the rare case.
     */
   def dupWindowPositions(docs: DataFrame, k: Int, textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
-    val w = windows(docs, k, textCol, idCol)
-      .withColumn("h", xxhash64(col("win")))
+    val toks = split(TextOps.normalized(col(textCol)), " ")
+    val base = docs
+      .select(col(idCol).as("id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+    // (id, pos, h) — native kernel; equal windows hash equal (completeness),
+    // collisions possible (verified away below, never trusted)
+    val hashed = base
+      .select(col("id"), posexplode(TextExprs.windowHashes(col("toks"), k)))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
     // corpus-wide shuffle on the 8-byte hash only; min!=max <=> >=2 docs
-    val candHash = w.groupBy(col("h"))
+    val candHash = hashed.groupBy(col("h"))
       .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select(col("h"))
-    // candidate windows re-verified on the full string (collision-proof)
-    val cand = w.join(candHash, Seq("h"), "left_semi")
+    val candPos = hashed.join(candHash, Seq("h"), "left_semi")
+    // candidate windows re-verified on the full string (collision-proof):
+    // slice the k tokens back out of the carrier doc — candidate-sized join
+    val cand = candPos.join(base, Seq("id"))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("pos"), lit(k))).as("win"))
     val dupWin = cand.groupBy(col("win"))
       .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
