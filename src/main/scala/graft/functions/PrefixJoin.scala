@@ -118,14 +118,36 @@ object PrefixJoin {
             ceilTau("greatest(len_a, len_b)"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-      .cache()
-    // materialize the candidate pairs (two ids per row — candidate-bound,
-    // orders of magnitude smaller than tok), then release the token frame;
-    // cand itself stays pinned until LRU, same policy as
-    // MinHash.candidatePairs, and is what the verify stage consumes
-    lastCandidatePairs = cand.count()
-    tok.unpersist()
-    MinHash.withExactJaccard(cand, docs, textCol, idCol)
+    // Candidate-count instrumentation rides the query itself via observe()
+    // — NO cache, NO extra pass. The first cut cached + counted this frame
+    // eagerly, and at sf10 that was the operator's death: on the synthetic
+    // low-entropy vocabulary the prefix filter admits ~5.6e8 candidate
+    // pairs (measured; ~0.45% of all-pairs — the filter still cuts 220×),
+    // and pinning 5.6e8 rows in storage while the distinct's hash map was
+    // spilling OOM'd the executor. Uncached, the distinct spills cleanly
+    // and the verify join streams. Cost note for 100 TB: everything below
+    // the distinct is Θ(candidates) — on low-entropy corpora candidates
+    // are inherently dense and banded-LSH MinHash is the right tool; this
+    // operator pays that price for COMPLETENESS at the threshold.
+    val obs = new org.apache.spark.sql.Observation(s"prefix_cand_${System.nanoTime}")
+    val observed = cand.observe(obs, count(lit(1)).as("n"))
+    // deferred bookkeeping, keyed to the FIRST action over the result: a
+    // daemon thread parks on the observation, then records the candidate
+    // count and releases the token cache (which only the candidate join
+    // reads — dead weight once an action has run it). If no action ever
+    // runs, the thread idles and tok falls to LRU like any cache.
+    val t = new Thread(() => {
+      val n = obs.get.get("n") match {
+        case Some(v: Long) => v
+        case Some(v: java.lang.Number) => v.longValue()
+        case _ => -1L
+      }
+      lastCandidatePairs = n
+      tok.unpersist()
+    }, "prefix-join-observation")
+    t.setDaemon(true)
+    t.start()
+    MinHash.withExactJaccard(observed, docs, textCol, idCol)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -72,32 +72,64 @@ object SubstringDedup {
     * on a corpus where duplicated boilerplate is the rare case.
     */
   def dupWindowPositions(docs: DataFrame, k: Int, textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id"): DataFrame =
+    dupWindowsWithOwner(docs, k, textCol, idCol).select(col("id"), col("pos"))
+
+  /** The verified dup-window rows with the window's canonical OWNER (the
+    * minimum doc_id containing that exact window string) attached — the
+    * trim pass's tiebreak: the owner keeps its copy, everyone else's is
+    * removable. [[dupWindowPositions]] is this minus the owner column.
+    */
+  private def dupWindowsWithOwner(docs: DataFrame, k: Int, textCol: String,
+                                  idCol: String): DataFrame = {
     val toks = split(TextOps.normalized(col(textCol)), " ")
     val base = docs
       .select(col(idCol).as("id"), toks.as("toks"))
       .filter(size(col("toks")) >= k)
-    // (id, pos, h) — native kernel; equal windows hash equal (completeness),
-    // collisions possible (verified away below, never trusted)
     val hashed = base
       .select(col("id"), posexplode(TextExprs.windowHashes(col("toks"), k)))
       .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-    // corpus-wide shuffle on the 8-byte hash only; min!=max <=> >=2 docs
     val candHash = hashed.groupBy(col("h"))
       .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select(col("h"))
     val candPos = hashed.join(candHash, Seq("h"), "left_semi")
-    // candidate windows re-verified on the full string (collision-proof):
-    // slice the k tokens back out of the carrier doc — candidate-sized join
     val cand = candPos.join(base, Seq("id"))
       .select(col("id"), col("pos"),
         concat_ws(" ", slice(col("toks"), col("pos"), lit(k))).as("win"))
-    val dupWin = cand.groupBy(col("win"))
-      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select(col("win"))
-    cand.join(dupWin, Seq("win"), "left_semi").select(col("id"), col("pos"))
+    val dupOwn = cand.groupBy(col("win"))
+      .agg(min(col("id")).as("owner"), max(col("id")).as("mx"))
+      .filter(col("owner") =!= col("mx"))
+      .select(col("win"), col("owner"))
+    cand.join(dupOwn, Seq("win"))
+      .select(col("id"), col("pos"), col("owner"))
+  }
+
+  /** Per-document TRIM stats under canonical-owner semantics (the published
+    * recipe's "remove all but one occurrence"): for every duplicated
+    * window, the minimum doc_id containing it keeps its copy; every other
+    * document's occurrence is removable. tokens_removed is the INTERVAL
+    * UNION of the removable windows' [pos, pos+k-1] ranges — overlapping
+    * windows never double-count. Only documents with at least one removable
+    * window are returned.
+    *
+    * Output: (doc_id, n_tokens, tokens_removed, n_tokens_after).
+    */
+  def trimStats(docs: DataFrame, k: Int = 10, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val removable = dupWindowsWithOwner(docs, k, textCol, idCol)
+      .filter(col("id") =!= col("owner"))
+      .select(col("id"), col("pos"))
+    val removed = mergeIslands(removable, k)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("tokens_removed"))
+    val totals = docs
+      .select(col(idCol).as("doc_id"),
+        size(split(TextOps.normalized(col(textCol)), " "))
+          .cast("long").as("n_tokens"))
+    removed.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("tokens_removed"),
+        (col("n_tokens") - col("tokens_removed")).as("n_tokens_after"))
   }
 
   /** Per-document duplication stats: total k-token windows, how many are
@@ -127,22 +159,37 @@ object SubstringDedup {
         col("n_dup_windows"), col("dup_span_tokens"))
   }
 
-  /** Maximal cross-document duplicated spans per document: adjacent
-    * duplicated windows (start positions differing by 1) merge into one
-    * span (gaps-and-islands), reported in TOKEN coordinates — `span_start`
-    * = first token index (1-based), `span_end` = last token index covered
-    * (start of the last merged window + k - 1).
+  /** Maximal cross-document duplicated spans per document — the INTERVAL
+    * UNION of the duplicated windows' [pos, pos+k-1] token ranges: two
+    * duplicated windows merge whenever their token ranges touch or overlap
+    * (start positions within k of each other), so the reported spans are
+    * disjoint maximal duplicated regions, in TOKEN coordinates —
+    * `span_start` = first token index (1-based), `span_end` = last token
+    * index covered.
     *
     * Output: (doc_id, span_start, span_end, n_windows_in_span).
     */
   def spans(docs: DataFrame, k: Int = 10, textCol: String = "text",
-            idCol: String = "doc_id"): DataFrame = {
-    val dup = dupWindowPositions(docs, k, textCol, idCol)
-    // islands: consecutive positions share (pos - row_number) — one
-    // per-doc shuffle, then partition-local sort + running difference
+            idCol: String = "doc_id"): DataFrame =
+    mergeIslands(dupWindowPositions(docs, k, textCol, idCol), k)
+
+  /** Interval-union merge of k-token windows at the given start positions:
+    * (id, pos) → disjoint (doc_id, span_start, span_end, n_windows_in_span)
+    * covering exactly ∪ [pos, pos+k-1]. Windows sorted by pos all have
+    * equal length, so a window starts a new island iff its start is more
+    * than k past the previous start (its range clears the previous range
+    * entirely). One per-doc shuffle; the lag + running-sum island id is
+    * partition-local after it.
+    */
+  private def mergeIslands(positions: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    dup
-      .withColumn("island", col("pos") - row_number().over(byDoc))
+    positions
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        Window.partitionBy(col("id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("id").as("doc_id"), col("island"))
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + (k - 1)).as("span_end"),

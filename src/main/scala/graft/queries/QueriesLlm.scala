@@ -1320,8 +1320,10 @@ object QueriesLlm {
       |dw AS (SELECT win FROM w GROUP BY win HAVING min(doc_id) <> max(doc_id)),
       |dp AS (SELECT w.doc_id, w.pos FROM w JOIN dw USING (win)),
       |isl AS (SELECT doc_id, pos,
-      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      |  FROM dp),
+      |    sum(CASE WHEN prev IS NULL OR pos - prev > 10 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM dp)),
       |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
       |    count(*) AS n_windows_in_span
       |  FROM isl GROUP BY doc_id, island)""".stripMargin
@@ -1340,10 +1342,47 @@ object QueriesLlm {
     """
       |SELECT doc_id, span_start, span_end, n_windows_in_span FROM sp""".stripMargin
 
+  /** Canonical-owner trim stats ([[graft.functions.SubstringDedup.trimStats]]):
+    * for each duplicated window the min doc_id keeps its copy; everyone
+    * else's occurrence is removable, and tokens_removed is the interval
+    * union of the removable windows' token ranges.
+    */
+  private def substringTrim(s: SparkSession, dir: String): DataFrame =
+    graft.functions.SubstringDedup.trimStats(Tables.documents(s, dir))
+
+  private val substringTrimSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d),
+      |w0 AS (SELECT doc_id, list_transform(range(1, len(toks) - 10 + 2),
+      |         i -> array_to_string(list_slice(toks, i, i + 9), ' ')) AS wins
+      |       FROM t WHERE len(toks) >= 10),
+      |w AS (SELECT doc_id, CAST(unnest(range(1, len(wins) + 1)) AS BIGINT) AS pos,
+      |             unnest(wins) AS win FROM w0),
+      |dwo AS (SELECT win, min(doc_id) AS owner FROM w GROUP BY win
+      |        HAVING min(doc_id) <> max(doc_id)),
+      |rp AS (SELECT w.doc_id, w.pos FROM w JOIN dwo USING (win)
+      |       WHERE w.doc_id <> dwo.owner),
+      |isl AS (SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos - prev > 10 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM rp)),
+      |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
+      |  FROM isl GROUP BY doc_id, island),
+      |rm AS (SELECT doc_id, sum(span_end - span_start + 1) AS tokens_removed
+      |  FROM sp GROUP BY doc_id),
+      |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+      |SELECT rm.doc_id, tok.n_tokens, rm.tokens_removed,
+      |  tok.n_tokens - rm.tokens_removed AS n_tokens_after
+      |FROM rm JOIN tok USING (doc_id)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("llm_exact_dedup", dedup, Some(dedupSql)),
     Q("llm_substring_dedup", substringDedup, Some(substringDedupSql)),
     Q("llm_substring_spans", substringSpans, Some(substringSpansSql)),
+    Q("llm_substring_trim", substringTrim, Some(substringTrimSql)),
     Q("llm_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("llm_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     Q("llm_text_stats", stats, Some(statsSql)),

@@ -92,17 +92,25 @@ class PrefixJoinSpec extends SparkSpec {
     }
   }
 
-  test("token-explode cache is released after the join (cand cache only remains)") {
+  test("token-explode cache is released after the first action over the result") {
     spark.catalog.clearCache()
     val docs = Seq(
       1L -> "a b c d e f g h",
       2L -> "a b c d e f g h",
       3L -> "p q r s t u v w")
     PrefixJoin.exactJaccardPairs(docs.toDF("doc_id", "text"), 0.8).collect()
-    // the corpus-sized (id, token) frame must be unpersisted by the call;
-    // only the candidate-pair frame may stay pinned (MinHash policy)
-    val cached = spark.sparkContext.getPersistentRDDs.size
-    assert(cached <= 1, s"expected at most the candidate cache, found $cached persistent RDDs")
+    // the observation thread unpersists tok once the action completes (and
+    // nothing else is cached at all — the candidate frame is deliberately
+    // uncached after the sf10 OOM); poll briefly for the async release
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    var cached = spark.sparkContext.getPersistentRDDs.size
+    while (cached > 0 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      cached = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(cached === 0, s"expected no persistent RDDs after the action, found $cached")
+    // and the instrumentation observed a real candidate count
+    assert(PrefixJoin.lastCandidatePairs >= 1L)
   }
 
   test("verified jaccard values match brute force at 6 dp") {

@@ -30,17 +30,21 @@ class SubstringDedupSpec extends SparkSpec {
     byWin.values.flatten.map(w => (w._1, w._2)).toSet
   }
 
-  private def bruteSpans(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long, Long)] = {
-    bruteDupPositions(docs, k).groupBy(_._1).flatMap { case (id, ps) =>
-      val sorted = ps.map(_._2).toSeq.sorted
-      // gaps-and-islands merge of adjacent window starts
+  private def bruteSpans(docs: Seq[(Long, String)], k: Int): Set[(Long, Long, Long, Long)] =
+    bruteMerge(bruteDupPositions(docs, k), k)
+
+  /** Interval-union merge: window starts within k of the previous start
+    * have touching/overlapping [p, p+k-1] ranges and join one island.
+    */
+  private def bruteMerge(ps: Set[(Long, Int)], k: Int): Set[(Long, Long, Long, Long)] =
+    ps.groupBy(_._1).flatMap { case (id, pps) =>
+      val sorted = pps.map(_._2).toSeq.sorted
       val runs = sorted.foldLeft(List.empty[(Int, Int, Int)]) {
-        case ((s, e, n) :: tail, p) if p == e + 1 => (s, p, n + 1) :: tail
+        case ((s, e, n) :: tail, p) if p - e <= k => (s, p, n + 1) :: tail
         case (acc, p) => (p, p, 1) :: acc
       }
       runs.map { case (s, e, n) => (id, s.toLong, (e + k - 1).toLong, n.toLong) }
     }.toSet
-  }
 
   test("duplicated spans match brute force on a crafted fixture") {
     val boiler = (1 to 12).map(i => s"b$i").mkString(" ") // 12-token boilerplate
@@ -81,6 +85,52 @@ class SubstringDedupSpec extends SparkSpec {
     // windows), span tokens 15. doc2: 18 toks -> 9 windows; starts 4..9,
     // span tokens 15. doc3: no dups -> absent.
     assert(got === Set((1L, 11L, 6L, 15L), (2L, 9L, 6L, 15L)))
+  }
+
+  test("overlapping non-adjacent dup windows merge into ONE union span") {
+    // doc1 windows at pos 1 and pos 3 are duplicated (into docs 2 and 3
+    // respectively) but pos 2 is NOT: the ranges [1,5] and [3,7] overlap,
+    // so the union span is [1,7], not two overlapping spans
+    val k = 5
+    val docs = Seq(
+      1L -> "a1 a2 a3 a4 a5 a6 a7", // w1=a1..a5, w2=a2..a6, w3=a3..a7
+      2L -> "x1 a1 a2 a3 a4 a5 x2", // contains w1 only
+      3L -> "y1 a3 a4 a5 a6 a7 y2") // contains w3 only
+    val got = SubstringDedup.spans(docs.toDF("doc_id", "text"), k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === bruteSpans(docs, k))
+    // doc1: one span [1,7] covering 2 windows (w2 is not duplicated)
+    assert(got.filter(_._1 == 1L) === Set((1L, 1L, 7L, 2L)))
+  }
+
+  test("trim stats: canonical owner keeps its copy, union never double-counts") {
+    val k = 5
+    val boiler = (1 to 7).map(i => s"b$i").mkString(" ") // 7 toks -> 3 dup windows
+    val docs = Seq(
+      1L -> s"$boiler u1 u2 u3", // owner of every boiler window (min doc)
+      2L -> s"v1 v2 $boiler v3", // removable: spans [3,9] -> 7 tokens
+      3L -> s"w1 $boiler w2 w3 w4") // removable: spans [2,8] -> 7 tokens
+    val got = SubstringDedup.trimStats(docs.toDF("doc_id", "text"), k)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc1 is the owner everywhere -> absent; docs 2/3 lose the 7 boiler
+    // tokens each
+    assert(got === Set((2L, 10L, 7L, 3L), (3L, 11L, 7L, 4L)))
+    // brute check of the removable union: owner = min doc per window string
+    val wins = for {
+      (id, text) <- docs; toks = norm(text); if toks.length >= k
+      i <- 0 to (toks.length - k)
+    } yield (id, i + 1, toks.slice(i, i + k).mkString(" "))
+    val owners = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+      .map { case (w, rs) => (w, rs.map(_._1).min) }
+    val removable = wins.collect {
+      case (id, p, w) if owners.get(w).exists(_ != id) => (id, p)
+    }.toSet
+    val want = bruteMerge(removable, k).groupBy(_._1).map { case (id, spans) =>
+      val nTok = norm(docs.find(_._1 == id).get._2).length.toLong
+      val rm = spans.map(s => s._3 - s._2 + 1).sum
+      (id, nTok, rm, nTok - rm)
+    }.toSet
+    assert(got === want)
   }
 
   test("randomized agreement with brute force") {
