@@ -123,6 +123,15 @@ object Bench {
     // pairs actually verified in the LAST exactJaccardPairs run this
     // process (sf10 asks whether candidates grow ≪ quadratically — a wall
     // time alone can't answer that)
+    // the count is set by a daemon thread parked on the query's Observation
+    // — if the prefix join was the LAST query timed, give the callback a
+    // moment to land before reading (it fires on action completion; a 1-rep
+    // probe run raced it and lost the field)
+    val ranPrefix = results.exists { case (k, (v, _)) =>
+      k.contains("prefix_join") && v >= 0 }
+    val candT0 = System.nanoTime()
+    while (ranPrefix && graft.functions.PrefixJoin.lastCandidatePairs < 0 &&
+      (System.nanoTime() - candT0) < 5000000000L) Thread.sleep(50)
     val candJson =
       if (graft.functions.PrefixJoin.lastCandidatePairs >= 0)
         s""","prefix_candidate_pairs":${graft.functions.PrefixJoin.lastCandidatePairs}"""

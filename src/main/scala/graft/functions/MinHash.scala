@@ -356,16 +356,50 @@ object MinHash {
     * semi-join keeps the verify stage proportional to candidates, not to
     * corpus size) — the classic LSH-then-verify shape at 100 TB.
     */
+  /** Exact-Jaccard attach for a candidate-pair frame. Two strategies for
+    * the set-attach joins, chosen by the caller (both exact, identical
+    * output):
+    *
+    *  - DEFAULT (shuffled SMJ at session width): right for model-sized pair
+    *    frames — the LSH candidate sets, the sf0.1-and-below surface.
+    *  - `broadcastSets = true`: the shingle-set frame is broadcast and both
+    *    attaches become map-side hash joins in ONE pipelined stage, so the
+    *    pair frame NEVER reshuffles carrying the ~0.5-1 KB set arrays.
+    *    This is the only shape that survives candidate-VOLUME-driven pair
+    *    frames: at sf10 the prefix join's measured 5.6e8 candidates put
+    *    ~14 GB of array-carrying rows through each 32-wide SMJ task
+    *    (spill-during-spill OOM), and at a task-safe 520-wide repartition
+    *    the same rows wrote ~340 GB of shuffle files (disk wall). Broadcast
+    *    caps the cost at one corpus-sets copy per executor (~250 MB at
+    *    500k docs) plus the pairs-only distinct shuffle (16 B rows).
+    *    The caller asserts the set frame is executor-memory-sized — true
+    *    whenever docs × avgShingles × 8 B ≲ 1 GB; beyond that, a corpus
+    *    this dense should be deduped by banded LSH, not the exact join
+    *    (see PrefixJoin's scale note).
+    *  - `numPartitions`: middle path — explicit width for the shuffled
+    *    joins (both sides repartitioned to the SAME hash partitioning, so
+    *    EnsureRequirements adds no further exchange and AQE cannot coalesce
+    *    it). Keeps per-task sort volume bounded when the pair frame is big
+    *    but disk can absorb the shuffle.
+    */
   def withExactJaccard(pairs: DataFrame, docs: DataFrame, textCol: String = "text",
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id",
+                       numPartitions: Option[Int] = None,
+                       broadcastSets: Boolean = false): DataFrame = {
     val ids = pairs.select(col("id_a").as("__jid"))
       .union(pairs.select(col("id_b").as("__jid"))).distinct()
     val hs = withShingleHashSets(
       docs.join(ids, docs(idCol) === ids("__jid"), "left_semi"), textCol, idCol)
       .select(col("id").as("__jid"), col("hs").as("__hs"))
-    pairs
-      .join(hs.select(col("__jid").as("id_a"), col("__hs").as("__hs_a")), "id_a")
-      .join(hs.select(col("__jid").as("id_b"), col("__hs").as("__hs_b")), "id_b")
+    def byKey(df: DataFrame, key: String): DataFrame =
+      if (broadcastSets) df
+      else numPartitions.fold(df)(n => df.repartition(n, col(key)))
+    def side(df: DataFrame): DataFrame = if (broadcastSets) broadcast(df) else df
+    val hsA = hs.select(col("__jid").as("id_a"), col("__hs").as("__hs_a"))
+    val hsB = hs.select(col("__jid").as("id_b"), col("__hs").as("__hs_b"))
+    byKey(byKey(pairs, "id_a")
+        .join(side(byKey(hsA, "id_a")), "id_a"), "id_b")
+      .join(side(byKey(hsB, "id_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("__hs_a"), col("__hs_b"))).cast("double") /
           size(array_union(col("__hs_a"), col("__hs_b"))))

@@ -82,7 +82,20 @@ object PrefixJoin {
     // candidate-pair frame is materialized — a long-lived session calling
     // this repeatedly must not accumulate corpus-sized token frames.
     val tok = hs.select(col("id"), explode(col("hs")).as("tk")).cache()
-    tok.count()
+    val tokCount = tok.count()
+    // Verify-join strategy: candidate volume scales with corpus size (and
+    // explodes on low-entropy vocabularies — 5.6e8 pairs measured at sf10),
+    // and the verify joins carry ~1 KB shingle-set arrays per pair row.
+    // While the corpus set-frame fits executor memory (~8 B per token row;
+    // 100M rows ≈ 1 GB) the sets are BROADCAST so the candidate frame never
+    // reshuffles with array payloads — measured alternatives both died at
+    // sf10 (32-wide SMJ: spill OOM; 520-wide SMJ: ~340 GB of shuffle files,
+    // disk wall). Past that bound, fall back to width-capped shuffled joins
+    // — and note a corpus that dense is LSH territory (object scaladoc).
+    val broadcastVerify = tokCount <= 100000000L
+    val verifyParts =
+      if (broadcastVerify) None
+      else Some(math.min(2048L, math.max(32L, tokCount / 50000L)).toInt)
     val dfreq = tok.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     // per-doc token list in global (df ASC, tk ASC) order + set size
     val ordered = tok.join(dfreq, "tk")
@@ -147,7 +160,8 @@ object PrefixJoin {
     }, "prefix-join-observation")
     t.setDaemon(true)
     t.start()
-    MinHash.withExactJaccard(observed, docs, textCol, idCol)
+    MinHash.withExactJaccard(observed, docs, textCol, idCol,
+        numPartitions = verifyParts, broadcastSets = broadcastVerify)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
