@@ -18,12 +18,38 @@ fi
 ONLY=j5_range_join,j5_hot_plain,j5_hot_salted,g1_candles_1s,w1_volume_spikes
 ONLY=$ONLY,w4_bollinger,h1_indicator_pass,h1_bucketed,h2_patterns
 ONLY=$ONLY,w14_anchor_points,pipeline_full,llm_minhash_dedup
-ONLY=$ONLY,llm_quality_percentile,llm_bpe_merges,llm_prefix_join,llm_hard_negatives
-ONLY=$ONLY,llm_substring_dedup
+ONLY=$ONLY,llm_quality_percentile,llm_bpe_merges,llm_hard_negatives
+ONLY=$ONLY,llm_substring_dedup,llm_substring_trim
 
 echo "== bench at sf10 (reps=3)"
-SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_BENCH_OUT=BENCH_sf10.json \
+# sbt runs to a log and its exit status is checked SEPARATELY from the
+# grep: piping sbt into `grep || true` masked a failed bench run, letting a
+# stale BENCH_sf10.json from a previous run pass for fresh results.
+LOG=target/bench_sf10.log
+rm -f BENCH_sf10.json
+if ! SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_BENCH_OUT=BENCH_sf10.json \
   SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_ONLY="$ONLY" \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' || true
+  sbt -batch "runMain graft.Bench" >"$LOG" 2>&1; then
+  echo "== BENCH FAILED (sbt exit != 0); tail of $LOG:" >&2
+  tail -30 "$LOG" >&2
+  exit 1
+fi
+grep '"metric"' "$LOG" || { echo "== no metric line in $LOG" >&2; exit 1; }
 
-echo "== done: BENCH_sf10.json"
+# The prefix join is its own labeled artifact: at sf10 its single run is
+# ~16 min (candidate-volume-bound by design), so it is benched at 1 rep
+# SEPARATELY from the main record — a -1/error row in the main artifact
+# cost round 13 a clean baseline.
+echo "== prefix join at sf10 (reps=1, separate artifact)"
+PLOG=target/bench_sf10_prefix.log
+rm -f BENCH_sf10_prefix_join.json
+if ! SPARK_GRAFT_SF_DIR="$SF10" SPARK_GRAFT_BENCH_OUT=BENCH_sf10_prefix_join.json \
+  SPARK_GRAFT_BENCH_REPS=1 SPARK_GRAFT_BENCH_ONLY=llm_prefix_join \
+  sbt -batch "runMain graft.Bench" >"$PLOG" 2>&1; then
+  echo "== PREFIX BENCH FAILED (sbt exit != 0); tail of $PLOG:" >&2
+  tail -30 "$PLOG" >&2
+  exit 1
+fi
+grep '"metric"' "$PLOG" || { echo "== no metric line in $PLOG" >&2; exit 1; }
+
+echo "== done: BENCH_sf10.json + BENCH_sf10_prefix_join.json"

@@ -76,12 +76,20 @@ object Bench {
     val cpuT0 = osBean.getProcessCpuTime
     val wallT0 = System.nanoTime()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // selectivity evidence for the prefix-filter similarity join, captured
+    // PER RUN: the instrumentation global is shared by every query that
+    // calls exactJaccardPairs (llm_cluster_exact too), so it is reset to -1
+    // right before the prefix join's reps and read right after them — the
+    // emitted field can only come from this run, never a stale/earlier one
+    var prefixCand = -1L
     val results = pool
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
       // production-path variant where one exists (codegen'd doubles); the
       // exact-decimal run stays Verify-only oracle parity machinery
       val fn = q.benchRun.getOrElse(q.run)
+      val isPrefix = q.name.contains("prefix_join")
+      if (isPrefix) graft.functions.PrefixJoin.lastCandidatePairs = -1L
       val times = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -95,6 +103,14 @@ object Bench {
               (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(300))
             -1.0
         }
+      }
+      if (isPrefix && times.exists(_ >= 0)) {
+        // the count lands via an async QueryExecutionListener on action
+        // completion — give the listener bus a moment before reading
+        val t0 = System.nanoTime()
+        while (graft.functions.PrefixJoin.lastCandidatePairs < 0 &&
+          (System.nanoTime() - t0) < 5000000000L) Thread.sleep(50)
+        prefixCand = graft.functions.PrefixJoin.lastCandidatePairs
       }
       val sec =
         if (times.exists(_ < 0)) -1.0
@@ -119,22 +135,8 @@ object Bench {
     val cpuSec = (osBean.getProcessCpuTime - cpuT0) / 1e9
     val loadAfter = loadAvg1m()
     val envJson = f""""load_1m_before":$loadBefore%.2f,"load_1m_after":$loadAfter%.2f,"proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,"cpu_over_wall":${cpuSec / math.max(wallSec, 1e-9)}%.2f,"load_gate":"$loadGate""""
-    // selectivity evidence for the prefix-filter similarity join: candidate
-    // pairs actually verified in the LAST exactJaccardPairs run this
-    // process (sf10 asks whether candidates grow ≪ quadratically — a wall
-    // time alone can't answer that)
-    // the count is set by a daemon thread parked on the query's Observation
-    // — if the prefix join was the LAST query timed, give the callback a
-    // moment to land before reading (it fires on action completion; a 1-rep
-    // probe run raced it and lost the field)
-    val ranPrefix = results.exists { case (k, (v, _)) =>
-      k.contains("prefix_join") && v >= 0 }
-    val candT0 = System.nanoTime()
-    while (ranPrefix && graft.functions.PrefixJoin.lastCandidatePairs < 0 &&
-      (System.nanoTime() - candT0) < 5000000000L) Thread.sleep(50)
     val candJson =
-      if (graft.functions.PrefixJoin.lastCandidatePairs >= 0)
-        s""","prefix_candidate_pairs":${graft.functions.PrefixJoin.lastCandidatePairs}"""
+      if (prefixCand >= 0) s""","prefix_candidate_pairs":$prefixCand"""
       else ""
     val errJson =
       if (errors.isEmpty) ""

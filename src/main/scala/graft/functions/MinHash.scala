@@ -391,19 +391,33 @@ object MinHash {
     val hs = withShingleHashSets(
       docs.join(ids, docs(idCol) === ids("__jid"), "left_semi"), textCol, idCol)
       .select(col("id").as("__jid"), col("hs").as("__hs"))
-    def byKey(df: DataFrame, key: String): DataFrame =
-      if (broadcastSets) df
-      else numPartitions.fold(df)(n => df.repartition(n, col(key)))
-    def side(df: DataFrame): DataFrame = if (broadcastSets) broadcast(df) else df
-    val hsA = hs.select(col("__jid").as("id_a"), col("__hs").as("__hs_a"))
-    val hsB = hs.select(col("__jid").as("id_b"), col("__hs").as("__hs_b"))
-    byKey(byKey(pairs, "id_a")
-        .join(side(byKey(hsA, "id_a")), "id_a"), "id_b")
-      .join(side(byKey(hsB, "id_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("__hs_a"), col("__hs_b"))).cast("double") /
-          size(array_union(col("__hs_a"), col("__hs_b"))))
-      .drop("__hs_a", "__hs_b")
+    if (broadcastSets) {
+      // ONE broadcast of the set frame, consumed by both attach joins under
+      // different aliases: the two BroadcastExchange subplans canonicalize
+      // identical, so ReuseExchange materializes (and executes the
+      // candidate-ids semi-join + shingle kernel behind) the corpus sets
+      // exactly ONCE per run — the earlier per-side broadcast() re-ran the
+      // whole semi-join/shingle pipeline twice.
+      val h = broadcast(hs)
+      pairs.as("__p")
+        .join(h.as("__ha"), col("__p.id_a") === col("__ha.__jid"))
+        .join(h.as("__hb"), col("__p.id_b") === col("__hb.__jid"))
+        .select(col("__p.*"),
+          (size(array_intersect(col("__ha.__hs"), col("__hb.__hs"))).cast("double") /
+            size(array_union(col("__ha.__hs"), col("__hb.__hs")))).as("jaccard"))
+    } else {
+      def byKey(df: DataFrame, key: String): DataFrame =
+        numPartitions.fold(df)(n => df.repartition(n, col(key)))
+      val hsA = hs.select(col("__jid").as("id_a"), col("__hs").as("__hs_a"))
+      val hsB = hs.select(col("__jid").as("id_b"), col("__hs").as("__hs_b"))
+      byKey(byKey(pairs, "id_a")
+          .join(byKey(hsA, "id_a"), "id_a"), "id_b")
+        .join(byKey(hsB, "id_b"), "id_b")
+        .withColumn("jaccard",
+          size(array_intersect(col("__hs_a"), col("__hs_b"))).cast("double") /
+            size(array_union(col("__hs_a"), col("__hs_b"))))
+        .drop("__hs_a", "__hs_b")
+    }
   }
 
   /** Fuzzy dedup: docs whose estimated Jaccard with a smaller-id candidate

@@ -47,8 +47,38 @@ object PrefixJoin {
     * [[exactJaccardPairs]] call (the quantity the prefix filter exists to
     * bound — recorded alongside sf10 wall time so the selectivity claim in
     * the scaladoc is measured, not asserted). Not part of query semantics.
+    * Bench resets this to -1 before timing the prefix join so the emitted
+    * field is unambiguously from that run (several queries share
+    * [[exactJaccardPairs]]).
     */
   @volatile var lastCandidatePairs: Long = -1L
+
+  /** Verify-strategy config: byte budget for broadcasting the corpus
+    * shingle-set frame in the exact-Jaccard verify stage
+    * ([[graft.functions.MinHash.withExactJaccard]] `broadcastSets`). The
+    * estimate is `tokenRows × 16 B` (8 B hash + array/row overhead); while
+    * it fits, both set-attach joins are map-side and the candidate frame
+    * never reshuffles carrying ~1 KB set arrays. Beyond the budget the
+    * verify falls back to width-capped shuffled SMJ — correct but
+    * disk-hungry (measured ~340 GB of shuffle files at sf10 / 520-wide on
+    * the adversarial corpus; a corpus that dense is banded-LSH territory).
+    * The 1.6 GB default (≈1e8 token rows ≈ this sandbox's measured-safe
+    * bound) is deliberately `autoBroadcastJoinThreshold`-style session
+    * config, not a constant: a real cluster sizes it to executor memory.
+    */
+  val BroadcastBytesKey = "spark.graft.exactJaccard.broadcastMaxBytes"
+  private val BroadcastBytesDefault = 1600000000L
+  private val BytesPerTokenRow = 16L
+
+  /** Bookkeeping for the most recent call whose plan was never executed:
+    * its listener (and token cache) would otherwise linger for the session
+    * lifetime. Last-call-wins, matching [[lastCandidatePairs]] semantics —
+    * registering a new call evicts (unregisters + unpersists) the previous
+    * pending one, so at most ONE unexecuted call's resources survive.
+    */
+  private val pending = new java.util.concurrent.atomic.AtomicReference[
+    (org.apache.spark.sql.util.QueryExecutionListener,
+      org.apache.spark.sql.SparkSession, DataFrame)](null)
 
   /** All pairs (id_a < id_b) with exact shingle-set Jaccard ≥ `threshold`,
     * plus the verified `jaccard` value.
@@ -86,13 +116,17 @@ object PrefixJoin {
     // Verify-join strategy: candidate volume scales with corpus size (and
     // explodes on low-entropy vocabularies — 5.6e8 pairs measured at sf10),
     // and the verify joins carry ~1 KB shingle-set arrays per pair row.
-    // While the corpus set-frame fits executor memory (~8 B per token row;
-    // 100M rows ≈ 1 GB) the sets are BROADCAST so the candidate frame never
-    // reshuffles with array payloads — measured alternatives both died at
-    // sf10 (32-wide SMJ: spill OOM; 520-wide SMJ: ~340 GB of shuffle files,
-    // disk wall). Past that bound, fall back to width-capped shuffled joins
-    // — and note a corpus that dense is LSH territory (object scaladoc).
-    val broadcastVerify = tokCount <= 100000000L
+    // While the corpus set-frame fits the configured broadcast budget
+    // ([[BroadcastBytesKey]]) the sets are BROADCAST so the candidate frame
+    // never reshuffles with array payloads — measured alternatives both died
+    // at sf10 (32-wide SMJ: spill OOM; 520-wide SMJ: ~340 GB of shuffle
+    // files, disk wall). Past the budget, fall back to width-capped shuffled
+    // joins — and note a corpus that dense is LSH territory (object
+    // scaladoc).
+    val maxBroadcastBytes = docs.sparkSession.conf
+      .getOption(BroadcastBytesKey).map(_.toLong)
+      .getOrElse(BroadcastBytesDefault)
+    val broadcastVerify = tokCount * BytesPerTokenRow <= maxBroadcastBytes
     val verifyParts =
       if (broadcastVerify) None
       else Some(math.min(2048L, math.max(32L, tokCount / 50000L)).toInt)
@@ -142,24 +176,52 @@ object PrefixJoin {
     // the distinct is Θ(candidates) — on low-entropy corpora candidates
     // are inherently dense and banded-LSH MinHash is the right tool; this
     // operator pays that price for COMPLETENESS at the threshold.
-    val obs = new org.apache.spark.sql.Observation(s"prefix_cand_${System.nanoTime}")
-    val observed = cand.observe(obs, count(lit(1)).as("n"))
-    // deferred bookkeeping, keyed to the FIRST action over the result: a
-    // daemon thread parks on the observation, then records the candidate
-    // count and releases the token cache (which only the candidate join
-    // reads — dead weight once an action has run it). If no action ever
-    // runs, the thread idles and tok falls to LRU like any cache.
-    val t = new Thread(() => {
-      val n = obs.get.get("n") match {
-        case Some(v: Long) => v
-        case Some(v: java.lang.Number) => v.longValue()
-        case _ => -1L
-      }
-      lastCandidatePairs = n
-      tok.unpersist()
-    }, "prefix-join-observation")
-    t.setDaemon(true)
-    t.start()
+    val obsName = s"prefix_cand_${System.nanoTime}"
+    val observed = cand.observe(obsName, count(lit(1)).as("n"))
+    // Deferred bookkeeping, keyed to the FIRST action over the result: a
+    // QueryExecutionListener (not a parked thread — the old daemon thread
+    // leaked one parked thread per never-executed plan) records the
+    // candidate count and releases the token cache, then unregisters
+    // itself. SINGLE-ACTION CONTRACT: the cache exists for the one action
+    // that materializes the result — a second action over the same
+    // DataFrame recomputes the token pipeline uncached (correct, just
+    // slower); callers wanting multiple actions should persist the RESULT.
+    // If the plan is never executed, the listener (and cache) stay until
+    // the NEXT exactJaccardPairs call evicts them (see [[pending]]).
+    val session = docs.sparkSession
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def mine(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.observedMetrics.contains(obsName) ||
+          qe.analyzed.collectFirst {
+            case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+              if c.name == obsName => c
+          }.isDefined
+      private def finish(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (mine(qe)) {
+          qe.observedMetrics.get(obsName).foreach { row =>
+            lastCandidatePairs = row.getAs[Any]("n") match {
+              case v: Long => v
+              case v: java.lang.Number => v.longValue()
+              case _ => -1L
+            }
+          }
+          tok.unpersist()
+          pending.compareAndSet((this, session, tok), null)
+          session.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = finish(qe)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = finish(qe)
+    }
+    val prev = pending.getAndSet((listener, session, tok))
+    if (prev != null) {
+      prev._2.listenerManager.unregister(prev._1)
+      prev._3.unpersist()
+    }
+    session.listenerManager.register(listener)
     MinHash.withExactJaccard(observed, docs, textCol, idCol,
         numPartitions = verifyParts, broadcastSets = broadcastVerify)
       .filter(col("jaccard") >= threshold)

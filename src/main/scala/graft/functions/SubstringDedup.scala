@@ -82,27 +82,61 @@ object SubstringDedup {
     */
   private def dupWindowsWithOwner(docs: DataFrame, k: Int, textCol: String,
                                   idCol: String): DataFrame = {
-    val toks = split(TextOps.normalized(col(textCol)), " ")
-    val base = docs
-      .select(col(idCol).as("id"), toks.as("toks"))
-      .filter(size(col("toks")) >= k)
-    val hashed = base
-      .select(col("id"), posexplode(TextExprs.windowHashes(col("toks"), k)))
-      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
-    val candHash = hashed.groupBy(col("h"))
-      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select(col("h"))
-    val candPos = hashed.join(candHash, Seq("h"), "left_semi")
-    val cand = candPos.join(base, Seq("id"))
-      .select(col("id"), col("pos"),
-        concat_ws(" ", slice(col("toks"), col("pos"), lit(k))).as("win"))
+    val base = tokenized(docs, k, textCol, idCol)
+    val hashed = hashedWindows(base, k)
+    val candPos = candidatePositions(hashed)
+    // Candidate string reconstruction joins `base` ONCE PER DOCUMENT, not
+    // once per candidate row: positions are first collected per doc, so the
+    // token array (the heavy payload — the whole document) crosses the join
+    // exactly once and the per-window strings are sliced out map-side after
+    // the join. The earlier row-per-candidate join duplicated each doc's
+    // token array across all of its candidate windows — at sf10 a
+    // boilerplate-heavy doc with hundreds of candidate windows shuffled
+    // hundreds of copies of itself.
+    val candByDoc = candPos.groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("poss"))
+    val cand = candByDoc.join(base, Seq("id"))
+      .select(col("id"), explode(transform(col("poss"),
+        p => struct(p.as("pos"),
+          concat_ws(" ", slice(col("toks"), p, lit(k))).as("win")))).as("pw"))
+      .select(col("id"), col("pw.pos").as("pos"), col("pw.win").as("win"))
     val dupOwn = cand.groupBy(col("win"))
       .agg(min(col("id")).as("owner"), max(col("id")).as("mx"))
       .filter(col("owner") =!= col("mx"))
       .select(col("win"), col("owner"))
     cand.join(dupOwn, Seq("win"))
       .select(col("id"), col("pos"), col("owner"))
+  }
+
+  /** (id, toks) per document with ≥ k tokens — the map-side tokenization
+    * every stage shares. Package-private for the sf10 stage profiler
+    * ([[graft.tools.ProfileSubstring]]), not query API.
+    */
+  private[graft] def tokenized(docs: DataFrame, k: Int, textCol: String,
+                               idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        split(TextOps.normalized(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+
+  /** (id, pos, h) — every k-window's 64-bit rolling hash, 1-based pos.
+    * Map-side and string-free ([[TextExprs.windowHashes]] kernel).
+    */
+  private[graft] def hashedWindows(base: DataFrame, k: Int): DataFrame =
+    base
+      .select(col("id"), posexplode(TextExprs.windowHashes(col("toks"), k)))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+
+  /** The (id, pos) rows whose window hash was seen in ≥ 2 distinct docs —
+    * the corpus-wide 8-byte-key shuffle (groupBy hash) plus the candidate
+    * semi-join back onto the hashed frame.
+    */
+  private[graft] def candidatePositions(hashed: DataFrame): DataFrame = {
+    val candHash = hashed.groupBy(col("h"))
+      .agg(min(col("id")).as("mn"), max(col("id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    hashed.join(candHash, Seq("h"), "left_semi")
   }
 
   /** Per-document TRIM stats under canonical-owner semantics (the published

@@ -93,24 +93,61 @@ class PrefixJoinSpec extends SparkSpec {
   }
 
   test("token-explode cache is released after the first action over the result") {
-    spark.catalog.clearCache()
     val docs = Seq(
       1L -> "a b c d e f g h",
       2L -> "a b c d e f g h",
       3L -> "p q r s t u v w")
+    // Track the SPECIFIC RDD ids this call persists (diff before/after the
+    // plan is built) instead of asserting the session-global persistent-RDD
+    // count is zero — another suite sharing the session may legitimately
+    // hold caches, and the global assert flaked on that.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    PrefixJoin.lastCandidatePairs = -1L
     PrefixJoin.exactJaccardPairs(docs.toDF("doc_id", "text"), 0.8).collect()
-    // the observation thread unpersists tok once the action completes (and
-    // nothing else is cached at all — the candidate frame is deliberately
-    // uncached after the sf10 OOM); poll briefly for the async release
+    // the query-execution listener unpersists tok once the action completes
+    // (async on the listener bus); poll briefly for the release
     val deadline = System.nanoTime() + 10L * 1000000000L
-    var cached = spark.sparkContext.getPersistentRDDs.size
-    while (cached > 0 && System.nanoTime() < deadline) {
+    var mine = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (mine.nonEmpty && System.nanoTime() < deadline) {
       Thread.sleep(100)
-      cached = spark.sparkContext.getPersistentRDDs.size
+      mine = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
     }
-    assert(cached === 0, s"expected no persistent RDDs after the action, found $cached")
-    // and the instrumentation observed a real candidate count
+    assert(mine.isEmpty,
+      s"expected this call's persistent RDDs released after the action, still cached: $mine")
+    // and the instrumentation observed a real candidate count from THIS run
     assert(PrefixJoin.lastCandidatePairs >= 1L)
+  }
+
+  test("verify strategies agree: broadcast-sets == shuffled SMJ, and the " +
+    "broadcast path materializes the set frame once (reused exchange)") {
+    val docs = Seq(
+      1L -> ((1 to 20).map(i => s"w$i").mkString(" ") + " aa ab"),
+      2L -> ((1 to 20).map(i => s"w$i").mkString(" ") + " ba bb"),
+      3L -> ((1 to 20).map(i => s"v$i").mkString(" ") + " ca cb"),
+      4L -> ((1 to 20).map(i => s"v$i").mkString(" ") + " da db"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    val bcast = MinHash.withExactJaccard(pairs, docs, broadcastSets = true)
+    val got = canon(bcast)
+    assert(got === canon(MinHash.withExactJaccard(pairs, docs)),
+      "broadcast and default strategies must be value-identical")
+    assert(got === canon(MinHash.withExactJaccard(pairs, docs,
+      numPartitions = Some(4))), "width-capped strategy must agree too")
+    // the single shared broadcast: both set attaches must consume ONE
+    // materialized exchange — a second independent BroadcastExchange of the
+    // set frame means the candidate-ids semi-join + shingle kernel ran
+    // twice. Execute THIS dataset's QueryExecution (canon derived new ones)
+    // and read the post-AQE final plan section, where runtime stage reuse
+    // prints the second consumer as a ReusedExchange.
+    bcast.collect()
+    val planStr = bcast.queryExecution.executedPlan.toString
+    val finalSection = planStr.split("== Initial Plan ==").head
+    assert(finalSection.contains("isFinalPlan=true"), s"plan not final:\n$planStr")
+    assert(finalSection.contains("ReusedExchange"),
+      s"expected the set-frame broadcast to be reused, final plan:\n$finalSection")
   }
 
   test("verified jaccard values match brute force at 6 dp") {
