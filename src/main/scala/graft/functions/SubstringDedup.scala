@@ -166,6 +166,42 @@ object SubstringDedup {
         (col("n_tokens") - col("tokens_removed")).as("n_tokens_after"))
   }
 
+  /** The trim pass MATERIALIZED: for every document that has at least one
+    * removable span (canonical-owner semantics as in [[trimStats]] — the
+    * min doc_id keeps its copy), rebuild the NORMALIZED token sequence with
+    * the removable spans' interval union cut out, as the training corpus
+    * would actually ship it. Token indexing is 1-based to match the span
+    * coordinates.
+    *
+    * Shape at 100 TB: spans are computed exactly as [[trimStats]] (hash-
+    * then-verify, candidate-bound); the reconstruction joins each doc's
+    * token array with its (few) spans ONCE, keyed by doc — the
+    * index-filter/exists lambdas are map-side per row, O(tokens × spans)
+    * with spans per doc small by construction (disjoint maximal intervals).
+    *
+    * Output: (doc_id, n_tokens_after, text_trimmed).
+    */
+  def trimmedText(docs: DataFrame, k: Int = 10, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val removable = dupWindowsWithOwner(docs, k, textCol, idCol)
+      .filter(col("id") =!= col("owner"))
+      .select(col("id"), col("pos"))
+    val spansArr = mergeIslands(removable, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toksDf = tokenized(docs, k, textCol, idCol)
+      .select(col("id").as("doc_id"), col("toks"))
+    spansArr.join(toksDf, Seq("doc_id"))
+      .select(col("doc_id"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("spans"), s =>
+            (i + 1) >= s.getField("span_start") &&
+              (i + 1) <= s.getField("span_end"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_tokens_after"),
+        concat_ws(" ", col("kept")).as("text_trimmed"))
+  }
+
   /** Per-document duplication stats: total k-token windows, how many are
     * cross-document duplicated, and how many TOKENS the merged duplicated
     * spans cover (the amount a trim pass would remove if this doc were the

@@ -1378,11 +1378,56 @@ object QueriesLlm {
       |  tok.n_tokens - rm.tokens_removed AS n_tokens_after
       |FROM rm JOIN tok USING (doc_id)""".stripMargin
 
+  /** The trim pass MATERIALIZED ([[graft.functions.SubstringDedup.trimmedText]]):
+    * for every non-owner document with removable duplicated spans, the
+    * normalized token sequence with the interval union cut out — the text a
+    * training corpus would actually ship. Includes the fully-trimmed edge
+    * case (exact-duplicate docs collapse to n_tokens_after = 0, empty text).
+    */
+  private def substringTrimmedText(s: SparkSession, dir: String): DataFrame =
+    graft.functions.SubstringDedup.trimmedText(Tables.documents(s, dir))
+
+  private val substringTrimmedTextSql =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d),
+      |w0 AS (SELECT doc_id, list_transform(range(1, len(toks) - 10 + 2),
+      |         i -> array_to_string(list_slice(toks, i, i + 9), ' ')) AS wins
+      |       FROM t WHERE len(toks) >= 10),
+      |w AS (SELECT doc_id, CAST(unnest(range(1, len(wins) + 1)) AS BIGINT) AS pos,
+      |             unnest(wins) AS win FROM w0),
+      |dwo AS (SELECT win, min(doc_id) AS owner FROM w GROUP BY win
+      |        HAVING min(doc_id) <> max(doc_id)),
+      |rp AS (SELECT w.doc_id, w.pos FROM w JOIN dwo USING (win)
+      |       WHERE w.doc_id <> dwo.owner),
+      |isl AS (SELECT doc_id, pos,
+      |    sum(CASE WHEN prev IS NULL OR pos - prev > 10 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM rp)),
+      |sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end
+      |  FROM isl GROUP BY doc_id, island),
+      |tp AS (SELECT doc_id, unnest(toks) AS tokn,
+      |              CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS tpos
+      |       FROM t WHERE doc_id IN (SELECT doc_id FROM sp)),
+      |rt AS (SELECT DISTINCT doc_id,
+      |              CAST(unnest(range(span_start, span_end + 1)) AS BIGINT) AS tpos
+      |       FROM sp)
+      |SELECT tp.doc_id,
+      |  CAST(count(*) FILTER (rt.tpos IS NULL) AS BIGINT) AS n_tokens_after,
+      |  coalesce(string_agg(tp.tokn, ' ' ORDER BY tp.tpos)
+      |    FILTER (rt.tpos IS NULL), '') AS text_trimmed
+      |FROM tp LEFT JOIN rt ON tp.doc_id = rt.doc_id AND tp.tpos = rt.tpos
+      |GROUP BY tp.doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("llm_exact_dedup", dedup, Some(dedupSql)),
     Q("llm_substring_dedup", substringDedup, Some(substringDedupSql)),
     Q("llm_substring_spans", substringSpans, Some(substringSpansSql)),
     Q("llm_substring_trim", substringTrim, Some(substringTrimSql)),
+    Q("llm_substring_trimmed_text", substringTrimmedText,
+      Some(substringTrimmedTextSql)),
     Q("llm_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     Q("llm_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     Q("llm_text_stats", stats, Some(statsSql)),

@@ -133,6 +133,38 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("trimmed text: spans cut from the normalized token stream; full " +
+    "duplicates trim to empty; owner keeps its copy") {
+    val k = 5
+    val boiler = (1 to 7).map(i => s"b$i").mkString(" ") // 7 toks -> 3 dup windows
+    val docs = Seq(
+      1L -> s"$boiler u1 u2 u3",   // owner of every boiler window -> absent
+      2L -> s"v1 v2 $boiler v3",   // loses [3,9]: keeps v1 v2 v3
+      3L -> s"w1 $boiler w2 w3 w4", // loses [2,8]: keeps w1 w2 w3 w4
+      4L -> "e1 e2 e3 e4 e5 e6",   // exact dup pair with 5 (same text)
+      5L -> "e1 e2 e3 e4 e5 e6")   // non-owner -> fully trimmed, empty text
+    val got = SubstringDedup.trimmedText(docs.toDF("doc_id", "text"), k)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (2L, 3L, "v1 v2 v3"),
+      (3L, 4L, "w1 w2 w3 w4"),
+      (5L, 0L, "")), s"got $got")
+  }
+
+  test("trimmed text: overlapping spans cut as one interval union") {
+    // same fixture as the span-union test: doc1's windows 1 and 3 are
+    // duplicated into docs 2 and 3 (which are the owners? no — doc1 is the
+    // min id so doc1 OWNS both windows; docs 2 and 3 lose their copies)
+    val k = 5
+    val docs = Seq(
+      1L -> "a1 a2 a3 a4 a5 a6 a7",
+      2L -> "x1 a1 a2 a3 a4 a5 x2", // loses [2,6]: keeps x1 x2
+      3L -> "y1 a3 a4 a5 a6 a7 y2") // loses [2,6]: keeps y1 y2
+    val got = SubstringDedup.trimmedText(docs.toDF("doc_id", "text"), k)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((2L, 2L, "x1 x2"), (3L, 2L, "y1 y2")), s"got $got")
+  }
+
   test("randomized agreement with brute force") {
     val rnd = new scala.util.Random(7)
     val vocab = (0 until 12).map(i => s"t$i")
