@@ -19,7 +19,7 @@ ONLY=j5_range_join,j5_hot_plain,j5_hot_salted,g1_candles_1s,w1_volume_spikes
 ONLY=$ONLY,w4_bollinger,h1_indicator_pass,h1_bucketed,h2_patterns
 ONLY=$ONLY,w14_anchor_points,pipeline_full,llm_minhash_dedup
 ONLY=$ONLY,llm_quality_percentile,llm_bpe_merges,llm_hard_negatives
-ONLY=$ONLY,llm_substring_dedup,llm_substring_trim
+ONLY=$ONLY,llm_substring_dedup,llm_substring_trim,llm_substring_trimmed_text
 
 echo "== bench at sf10 (reps=3)"
 # sbt runs to a log and its exit status is checked SEPARATELY from the
