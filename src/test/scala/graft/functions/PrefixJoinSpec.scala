@@ -118,6 +118,32 @@ class PrefixJoinSpec extends SparkSpec {
     assert(PrefixJoin.lastCandidatePairs >= 1L)
   }
 
+  test("a never-executed call's token cache is evicted by the next call") {
+    val docs = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g h").toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // build a plan and never run an action over it: its tok cache (pinned
+    // eagerly by the internal count) must NOT outlive the next call
+    PrefixJoin.exactJaccardPairs(docs, 0.8)
+    val afterFirst = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(afterFirst.nonEmpty, "first call should have pinned its token cache")
+    val second = PrefixJoin.exactJaccardPairs(docs, 0.8)
+    // eviction is synchronous in the second call (last-call-wins registry)
+    val afterSecond = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(afterSecond.intersect(afterFirst).isEmpty,
+      s"first call's cache should be evicted, still held: ${afterSecond.intersect(afterFirst)}")
+    // executing the second call releases its own cache via the listener
+    second.collect()
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    var left = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    while (left.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      left = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    }
+    assert(left.isEmpty, s"second call's cache should be released, still: $left")
+  }
+
   test("verify strategies agree: broadcast-sets == shuffled SMJ, and the " +
     "broadcast path materializes the set frame once (reused exchange)") {
     val docs = Seq(
