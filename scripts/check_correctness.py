@@ -140,6 +140,9 @@ def main():
             elif args.linear_replay and name in linear_replay.COSINE_DEDUP_QUERIES:
                 want_cols, want_rows = linear_replay.cosine_dedup_replay(con, name)
                 detail = "(screened-cosine replay)"
+            elif args.linear_replay and name == "llm_dbscan_clusters":
+                want_cols, want_rows = linear_replay.dbscan_replay(con)
+                detail = "(screened-cosine replay)"
             elif args.linear_replay and name in linear_replay.HASH_ORACLE_QUERIES:
                 # the DuckDB CTE-chain hash oracles are exact but
                 # lambda-slow past ~sf0.1; same values via vectorized numpy

@@ -1430,3 +1430,135 @@ def cluster_canonical_replay(con):
         out.append((r, len(members), canon, bucket, sum(members) - canon))
     return (["cluster_rep", "n_members", "canonical_doc_id",
              "canonical_q_bucket", "sum_discarded_ids"], out)
+
+
+# ------------------------------------------------------------ dbscan replay
+
+def dbscan_replay(con):
+    """llm_dbscan_clusters: the all-pairs epsilon-graph without DuckDB's
+    interpreted lambda pairs — numpy screens candidates with a safety
+    margin, each candidate's cosine is recomputed with the SQL's exact
+    sequential double accumulation, then the core/border/noise
+    decomposition runs as plain union-find."""
+    import numpy as np
+    rows = con.execute(
+        "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e "
+        "FROM embeddings ORDER BY vec_id").fetchall()
+    ids = [r[0] for r in rows]
+    idx_of = {v: i for i, v in enumerate(ids)}
+    base = np.asarray([r[1] for r in rows], dtype=np.float64)
+
+    def seq_dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    # sequential norms of the ORIGINAL vectors: the engines' injection uses
+    # sqrt(list_sum(...)) = left-fold, which numpy einsum may miss by an ulp
+    seq_norm_base = [math.sqrt(seq_dot(r[1], r[1])) for r in rows]
+
+    all_ids = list(ids)
+    vecs = [base]
+    for v in ids:
+        if v % 25 == 0:
+            for j in (1, 2, 3, 4):
+                w = idx_of.get(v + j)
+                if w is None:
+                    continue
+                c = 0.40 * (seq_norm_base[idx_of[v]] / seq_norm_base[w])
+                all_ids.append(v + j * 100000)
+                vecs.append((base[idx_of[v]] + c * base[w])[None, :])
+            for j in (1, 2):
+                all_ids.append(v + 400000 + j * 100000)
+                vecs.append((base[idx_of[v]] * (1.0 + j * 0.0001)
+                             + j * 0.001)[None, :])
+    for v in ids:
+        if v % 17 == 3 and v % 25 != 0:
+            all_ids.append(v + 700000)
+            vecs.append((base[idx_of[v]] * 1.001 + 0.01)[None, :])
+    E = np.vstack(vecs)
+    n = len(all_ids)
+
+    # round6(cos) >= 0.9 under HALF_UP <=> cos >= 0.8999995; screen with a
+    # 1e-9 margin for numpy's pairwise-reduction ulps, verify sequentially
+    nrm = np.sqrt(np.einsum("ij,ij->i", E, E))
+    cand = []
+    blk = 1024
+    for s0 in range(0, n, blk):
+        b = E[s0:s0 + blk]
+        cs = (b @ E.T) / (nrm[s0:s0 + blk, None] * nrm[None, :])
+        for bi, gi in zip(*np.nonzero(cs >= 0.8999995 - 1e-9)):
+            i = s0 + int(bi)
+            j = int(gi)
+            if i < j:
+                cand.append((i, j))
+
+    seq_norm = {}
+
+    def norm_of(i):
+        if i not in seq_norm:
+            v = E[i].tolist()
+            seq_norm[i] = math.sqrt(seq_dot(v, v))
+        return seq_norm[i]
+
+    nbrs = {}
+    for i, j in cand:
+        cos = _round6(seq_dot(E[i].tolist(), E[j].tolist())
+                      / (norm_of(i) * norm_of(j)))
+        if cos >= 0.9:
+            nbrs.setdefault(i, set()).add(j)
+            nbrs.setdefault(j, set()).add(i)
+
+    min_pts = 6
+    core = {i for i, ns in nbrs.items() if len(ns) + 1 >= min_pts}
+
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    comp_min = {}
+    for i in core:
+        r = find(i)
+        comp_min.setdefault(r, []).append(all_ids[i])
+    rep_of_root = {r: min(members) for r, members in comp_min.items()}
+    cluster_of = {i: rep_of_root[find(i)] for i in core}
+
+    border_of = {}
+    for i, ns in nbrs.items():
+        if i in core:
+            continue
+        reps = [cluster_of[j] for j in ns if j in core]
+        if reps:
+            border_of[i] = min(reps)
+
+    agg = {}
+    for i, rep in cluster_of.items():
+        a = agg.setdefault(rep, [0, 0, 0, 0])
+        a[0] += 1
+        a[2] += 1
+        a[3] += all_ids[i]
+    for i, rep in border_of.items():
+        a = agg.setdefault(rep, [0, 0, 0, 0])
+        a[1] += 1
+        a[2] += 1
+        a[3] += all_ids[i]
+    out = [(rep, a[0], a[1], a[2], a[3]) for rep, a in sorted(agg.items())]
+    noise_ids = [all_ids[i] for i in range(n)
+                 if i not in cluster_of and i not in border_of]
+    out.append((-1, 0, 0, len(noise_ids), sum(noise_ids)))
+    return (["cluster_rep", "n_core", "n_border", "n_members",
+             "sum_members"], out)

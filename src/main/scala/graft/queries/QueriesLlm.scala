@@ -715,6 +715,131 @@ object QueriesLlm {
       .agg(count(lit(1)).as("n_survivors"), sum(col("vec_id")).as("sum_vec_id"))
   }
 
+  /** DBSCAN density clustering over embeddings ([[graft.functions.Dbscan]]),
+    * oracle-checked with all three point classes present. The corpus has no
+    * natural density structure (max pairwise cosine ≈ 0.51), so both engines
+    * inject a deterministic hub-spoke geometry around every 25th vector v:
+    *
+    *  - two TIGHT copies v·(1+j·1e-4) + j·1e-3 (cosine to v ≈ 0.99997) — with
+    *    the hub, the cluster's core triangle;
+    *  - four SPREAD spokes v + 0.4·(|v|/|w_j|)·w_j mixing in the neighboring
+    *    vectors w_j = vec(id+j): cosine to the hub ≈ 0.92–0.96 (≥ ε) but
+    *    spoke-to-spoke ≈ 0.81–0.91 (mostly < ε) — border points, adjacent to
+    *    the cores but with sub-minPts neighborhoods of their own;
+    *  - an isolated perturbed PAIR for every 17th vector — two mutually-near
+    *    points below minPts with no core neighbor: noise by definition, and
+    *    distinct from the trivially-noise original corpus.
+    *
+    * ε is round₆(cosine) ≥ 0.9, minPts = 6 counting the point itself. The
+    * emitted rows are one per cluster (rep = smallest core id, core/border
+    * split, id sum) plus a single cluster_rep = −1 noise row. Every
+    * classification is a deterministic pure function of the corpus, so the
+    * DuckDB replay matches hash-for-hash — including the occasional spoke
+    * pair that lands above ε and promotes a spoke to core (1 hub of 80 at
+    * sf0.1): both engines compute the identical rounded cosine.
+    *
+    * Scale: the one quadratic stage is the declared-exact ε-pair baseline;
+    * [[graft.functions.Dbscan.cluster]] takes the pair list as input
+    * precisely so a 100 TB corpus plugs a bucketed candidate generator (LSH
+    * tables / IVF cells) into the same downstream, which is all single-key
+    * aggregations plus the O(log n) component rounds.
+    */
+  private def dbscanClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    requireIdHeadroom(e, "vec_id", 100000L)
+    val withN = e.withColumn("nv", Similarity.norm(col("v")))
+    val hubs = withN.filter(col("vec_id") % 25 === 0)
+    val spokeJs = s.range(1L, 5L).select(col("id").as("j"))
+    val tightJs = s.range(1L, 3L).select(col("id").as("j"))
+    val w = withN.select(col("vec_id").as("wid"), col("v").as("w"), col("nv").as("nw"))
+    val spokes = hubs.crossJoin(spokeJs)
+      .join(w, col("wid") === col("vec_id") + col("j"))
+      .select((col("vec_id") + col("j") * 100000L).as("vec_id"),
+        zip_with(col("v"), col("w"),
+          (x, y) => x + lit(0.40) * (col("nv") / col("nw")) * y).as("v"))
+    val tights = hubs.crossJoin(tightJs)
+      .select((col("vec_id") + lit(400000L) + col("j") * 100000L).as("vec_id"),
+        transform(col("v"),
+          x => x * (lit(1.0) + col("j") * lit(0.0001)) + col("j") * lit(0.001)).as("v"))
+    val noisePairs = e.filter(col("vec_id") % 17 === 3 && col("vec_id") % 25 =!= 0)
+      .select((col("vec_id") + 700000L).as("vec_id"),
+        transform(col("v"), x => x * lit(1.001) + lit(0.01)).as("v"))
+    val base = e.unionByName(spokes).unionByName(tights).unionByName(noisePairs)
+    val members = graft.functions.Dbscan.clusterByCosine(
+      base.withColumnRenamed("v", "embedding"), threshold = 0.9, minPts = 6)
+    val clusters = members.groupBy(col("cluster").as("cluster_rep"))
+      .agg(sum(col("is_core").cast("long")).as("n_core"),
+        sum((!col("is_core")).cast("long")).as("n_border"),
+        count(lit(1)).as("n_members"),
+        sum(col("id")).as("sum_members"))
+    val noise = base
+      .join(members.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("sum_members"))
+      .select(lit(-1L).as("cluster_rep"), lit(0L).as("n_core"),
+        lit(0L).as("n_border"), col("n_members"), col("sum_members"))
+    clusters.unionByName(noise)
+  }
+
+  private val dbscanClustersSql =
+    """WITH RECURSIVE raw AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nv FROM raw),
+      |spokes AS (
+      |  SELECT h.vec_id + j.j * 100000 AS vec_id,
+      |    list_transform(range(1, len(h.v) + 1),
+      |      i -> h.v[i] + 0.40 * (h.nv / w.nv) * w.v[i]) AS v
+      |  FROM n h JOIN range(1, 5) j(j) ON h.vec_id % 25 = 0
+      |  JOIN n w ON w.vec_id = h.vec_id + j.j),
+      |tights AS (
+      |  SELECT h.vec_id + 400000 + j.j * 100000 AS vec_id,
+      |    list_transform(h.v, x -> x * (1.0 + j.j * 0.0001) + j.j * 0.001) AS v
+      |  FROM n h JOIN range(1, 3) j(j) ON h.vec_id % 25 = 0),
+      |noisec AS (
+      |  SELECT vec_id + 700000 AS vec_id, list_transform(v, x -> x * 1.001 + 0.01) AS v
+      |  FROM n WHERE vec_id % 17 = 3 AND vec_id % 25 <> 0),
+      |base AS (
+      |  SELECT vec_id, v FROM n
+      |  UNION ALL SELECT vec_id, v FROM spokes
+      |  UNION ALL SELECT vec_id, v FROM tights
+      |  UNION ALL SELECT vec_id, v FROM noisec),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+      |      (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+      |       sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))), 6) AS cos
+      |  FROM base a, base b WHERE a.vec_id < b.vec_id),
+      |e AS (SELECT id_a, id_b FROM p WHERE cos >= 0.9),
+      |sym AS (SELECT id_a AS id, id_b AS nbr FROM e UNION ALL SELECT id_b, id_a FROM e),
+      |deg AS (SELECT id, COUNT(*) AS d FROM sym GROUP BY id),
+      |core AS (SELECT id FROM deg WHERE d + 1 >= 6),
+      |ce AS (SELECT s.id AS a, s.nbr AS b FROM sym s
+      |       JOIN core c1 ON c1.id = s.id JOIN core c2 ON c2.id = s.nbr),
+      |cc AS (SELECT id, id AS comp FROM core
+      |       UNION
+      |       SELECT ce.b, cc.comp FROM cc JOIN ce ON ce.a = cc.id),
+      |asg AS (SELECT id, MIN(comp) AS comp FROM cc GROUP BY id),
+      |borders AS (
+      |  SELECT s.id, MIN(asg.comp) AS comp
+      |  FROM sym s JOIN asg ON asg.id = s.nbr
+      |  WHERE s.id NOT IN (SELECT id FROM core)
+      |  GROUP BY s.id),
+      |members AS (
+      |  SELECT id, comp, 1 AS is_core FROM asg
+      |  UNION ALL SELECT id, comp, 0 FROM borders),
+      |clusters AS (
+      |  SELECT comp AS cluster_rep, CAST(SUM(is_core) AS BIGINT) AS n_core,
+      |    CAST(SUM(1 - is_core) AS BIGINT) AS n_border,
+      |    CAST(COUNT(*) AS BIGINT) AS n_members, CAST(SUM(id) AS BIGINT) AS sum_members
+      |  FROM members GROUP BY comp),
+      |noise AS (
+      |  SELECT CAST(-1 AS BIGINT) AS cluster_rep, CAST(0 AS BIGINT) AS n_core,
+      |    CAST(0 AS BIGINT) AS n_border, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |    CAST(SUM(vec_id) AS BIGINT) AS sum_members
+      |  FROM base WHERE vec_id NOT IN (SELECT id FROM members))
+      |SELECT * FROM clusters UNION ALL SELECT * FROM noise""".stripMargin
+
   private val embedNearDupSql =
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
@@ -748,6 +873,126 @@ object QueriesLlm {
         sum(size(col("fs")).cast("long")).as("n_frames"),
         sum(aggregate(col("fs"), lit(0L), (a, x) => a + x)).as("sum_frame_bytes"),
         sum(length(col("media")).cast("long")).as("sum_media_bytes"))
+  }
+
+  /** Distributed suffix-array construction
+    * ([[graft.operators.SuffixArray]]: prefix doubling, token-granular,
+    * 64-token comparison cap) over a three-source corpus slice, emitted as
+    * the full (sa_rank, doc_id, pos) array and hash-compared against a
+    * DuckDB oracle that simply sorts the capped joined suffixes — valid
+    * because token-sequence order equals space-joined-string order on
+    * ASCII tokens. The slice keeps the oracle's string sort tractable at
+    * sf1 (~390k capped suffixes); the engine path is corpus-generic.
+    */
+  private def suffixArray(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1", "src2"))
+    graft.operators.SuffixArray.build(docs)
+  }
+
+  private val suffixArraySql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+      |p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks FROM d),
+      |s AS (SELECT doc_id, pos,
+      |  array_to_string(list_slice(toks, pos, pos + 63), ' ') AS suf FROM p)
+      |SELECT row_number() OVER (ORDER BY suf, doc_id, pos) AS sa_rank,
+      |  doc_id, CAST(pos AS BIGINT) AS pos
+      |FROM s""".stripMargin
+
+  /** Perceptual-hash image near-dup, the multimodal twin of
+    * `llm_simhash_neardup`: real PNG encode → REAL decode → 64-bit
+    * average-hash ([[graft.functions.Multimodal.aHash64]]: 8×8 block means
+    * vs global mean, integer-exact) → the SAME banded Hamming join the text
+    * SimHash path uses ([[graft.functions.SimHash.nearDupPairsFromSketches]],
+    * 8×8-bit bands, pigeonhole-complete at distance ≤ 7). The corpus'
+    * closed-form rasters give natural near-dups (same-size images are
+    * brightness shifts of each other), and both engines inject (a) exact
+    * copies of every 40th-plus-20 image — they must land at distance 0 —
+    * and (b) brightness+1 re-exposures of every 40th image — aHash is
+    * brightness-invariant except where the +1 wraps 255→0, so these land at
+    * small distances (all 13 within ≤ 7 on this corpus). Output is the
+    * (distance, pairs, recovered-injected, Σid) histogram, hash-compared.
+    *
+    * Scale: encode/decode/hash are one batch-kernel pass (no shuffle);
+    * only 16-byte (id, sketch) rows reach the band shuffle; the candidate
+    * join is bucket-local. The oracle replays the raster closed-form and
+    * builds the hash in HUGEINT space (DuckDB's `**` is float pow — exact
+    * power-of-two ARRAYS are the repo's established workaround).
+    */
+  private def mmPhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    requireIdHeadroom(docs, "doc_id", 100000L)
+    val originals = docs.select(col("doc_id").as("id"),
+      col("doc_id").as("img_key"), lit(0L).as("bright"))
+    val brightCopies = docs.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 100000L).as("id"),
+        col("doc_id").as("img_key"), lit(1L).as("bright"))
+    val exactCopies = docs.filter(col("doc_id") % 40 === 20)
+      .select((col("doc_id") + 200000L).as("id"),
+        col("doc_id").as("img_key"), lit(0L).as("bright"))
+    val imgs = originals.unionByName(brightCopies).unionByName(exactCopies)
+    val hashed = graft.functions.Multimodal.aHash64(
+      graft.functions.Multimodal.encodePngBatchesKeyed(imgs, "img_key", "bright"))
+    val sk = hashed.select(col("id"), col("ahash").as("sh"))
+    SimHash.nearDupPairsFromSketches(sk, maxDist = 7)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("id_b") - col("id_a") === 100000L).cast("long")).as("n_bright_pairs"),
+        sum((col("id_b") - col("id_a") === 200000L).cast("long")).as("n_exact_pairs"),
+        sum(col("id_a")).as("sum_id_a"))
+  }
+
+  private val mmPhashNearDupSql = {
+    def pow2Huge(n: Int, stepBits: Int): String =
+      "[" + (0 until n).map(j => s"${BigInt(1) << (stepBits * j)}::HUGEINT").mkString(",") + "]"
+    val pow64 = pow2Huge(64, 1)
+    val pow8 = pow2Huge(8, 8)
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS id, doc_id AS key, 0 AS bright FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, doc_id, 1 FROM documents WHERE doc_id % 40 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, doc_id, 0 FROM documents WHERE doc_id % 40 = 20),
+       |dims AS (SELECT id, key, bright, 1 + key % 64 AS w, 1 + key % 48 AS h FROM imgs),
+       |nums AS (SELECT range AS v FROM range(0, 64)),
+       |px AS (
+       |  SELECT d.id,
+       |    (y.v * 8) // d.h * 8 + (x.v * 8) // d.w AS b,
+       |    ((x.v * 31 + y.v * 17 + d.key) % 256 + d.bright) % 256 AS v
+       |  FROM dims d JOIN nums x ON x.v < d.w JOIN nums y ON y.v < d.h),
+       |blocks AS (SELECT id, b, SUM(v) AS s, COUNT(*) AS n FROM px GROUP BY 1, 2),
+       |tot AS (SELECT id, SUM(s) AS total, SUM(n) AS np FROM blocks GROUP BY id),
+       |bits AS (
+       |  SELECT blocks.id, b,
+       |    CASE WHEN blocks.s * tot.np > tot.total * blocks.n THEN 1 ELSE 0 END AS bit
+       |  FROM blocks JOIN tot USING (id)),
+       |hu AS (
+       |  SELECT id, SUM(CASE WHEN bit = 1 THEN ($pow64)[(b + 1)::INTEGER]
+       |    ELSE 0::HUGEINT END) AS hu
+       |  FROM bits GROUP BY id),
+       |sk AS (
+       |  SELECT id, CAST(CASE WHEN hu >= 9223372036854775808
+       |    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS sh, hu
+       |  FROM hu),
+       |banded AS (SELECT id, sh, hu, unnest(range(0, 8)) AS band FROM sk),
+       |bchunk AS (SELECT id, sh, band,
+       |  hu // ($pow8)[(band + 1)::INTEGER] % 256 AS chunk FROM banded),
+       |p AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS dist
+       |  FROM bchunk a JOIN bchunk b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 7)
+       |SELECT dist, COUNT(*) AS n_pairs,
+       |  CAST(SUM(CASE WHEN id_b - id_a = 100000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bright_pairs,
+       |  CAST(SUM(CASE WHEN id_b - id_a = 200000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_pairs,
+       |  CAST(SUM(id_a) AS BIGINT) AS sum_id_a
+       |FROM p GROUP BY dist""".stripMargin
   }
 
   /** DuckDB cannot substring BLOBs, so the oracle slices the VARCHAR — the
@@ -1453,11 +1698,14 @@ object QueriesLlm {
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),
     Q("llm_semantic_dedup", embedSemDedup, Some(embedNearDupSql)),
+    Q("llm_dbscan_clusters", dbscanClusters, Some(dbscanClustersSql)),
     Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
     Q("mm_png_decode", mmPng, Some(mmPngSql)),
     Q("mm_image_resize", mmResize, Some(mmResizeSql)),
     Q("mm_wav_decode", mmWav, Some(mmWavSql)),
     Q("mm_audio_downsample", mmAudioDs, Some(mmAudioDsSql)),
+    Q("mm_phash_neardup", mmPhashNearDup, Some(mmPhashNearDupSql)),
+    Q("llm_suffix_array", suffixArray, Some(suffixArraySql)),
     Q("llm_fingerprints", fingerprints, Some(LlmHashOracles.fingerprintsSql)),
     Q("llm_fingerprints_poly", fingerprintsPoly, Some(fingerprintsPolySql)),
     Q("j3_asof_join", asof, Some(asofSql))

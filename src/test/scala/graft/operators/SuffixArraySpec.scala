@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Prefix-doubling suffix array: hand-computed order on a tiny corpus, the
+  * within-doc suffix semantics, the comparison cap with (doc_id, pos)
+  * tie-break, and a full from-scratch replay on real corpus text.
+  */
+class SuffixArraySpec extends SparkSpec {
+
+  private def sa(docs: Seq[(Long, String)], cap: Int = 64): Seq[(Long, Long, Long)] = {
+    val session = spark
+    import session.implicits._
+    SuffixArray.build(docs.toDF("doc_id", "text"), capTokens = cap)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+  }
+
+  test("hand-computed token suffix order across two documents") {
+    // doc 1: "b a"  -> suffixes: (1,1)="b a", (1,2)="a"
+    // doc 2: "a b"  -> suffixes: (2,1)="a b", (2,2)="b"
+    // sorted: "a"(1,2) < "a b"(2,1) < "b"(2,2) < "b a"(1,1)
+    val got = sa(Seq((1L, "b a"), (2L, "a b")))
+    assert(got == Seq((1L, 1L, 2L), (2L, 2L, 1L), (3L, 2L, 2L), (4L, 1L, 1L)))
+  }
+
+  test("suffixes equal through the cap tie-break by (doc_id, pos)") {
+    // cap=2: suffixes of "x x x x" compare equal beyond 2 tokens:
+    // (1,3)="x x", (1,4)="x" -> "x" < "x x" == "x x" == "x x"(capped),
+    // the three capped-equal suffixes order by pos
+    val got = sa(Seq((1L, "x x x x")), cap = 2)
+    assert(got == Seq((1L, 1L, 4L), (2L, 1L, 1L), (3L, 1L, 2L), (4L, 1L, 3L)))
+  }
+
+  test("matches a local capped-suffix sort of real corpus text") {
+    val session = spark
+    import session.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"source" === "src0")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val local = docs.flatMap { case (id, text) =>
+      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      toks.indices.map(i =>
+        (toks.slice(i, i + 64).mkString(" "), id, (i + 1).toLong))
+    }.sortBy(identity)
+      .zipWithIndex
+      .map { case ((_, id, pos), i) => (i + 1L, id, pos) }
+    val got = sa(docs)
+    assert(got.size == local.size)
+    assert(got == local)
+  }
+}
