@@ -43,13 +43,20 @@ object Dbscan {
     *         anti-joining the universe against this result.
     */
   def cluster(pairs: DataFrame, minPts: Int): DataFrame = {
+    // The pair list is the expensive input (its generator may be an
+    // all-pairs join) and both `sym` and `core` feed several downstream
+    // subtrees — without a cut each subtree would re-run the generator.
+    // Eager localCheckpoint = the ConnectedComponents convention: compute
+    // once, store node-local, no unpersist bookkeeping.
     val sym = pairs
       .select(col("id_a").as("id"), col("id_b").as("nbr"))
       .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .localCheckpoint(true)
     val core = sym.groupBy(col("id"))
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") + 1 >= minPts)
       .select(col("id"))
+      .localCheckpoint(true)
     // Core-core edges only: border points must NOT glue two clusters
     // together (a border within ε of cores from two clusters belongs to
     // one of them; the clusters stay distinct — the defining difference

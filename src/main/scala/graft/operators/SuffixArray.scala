@@ -76,13 +76,14 @@ object SuffixArray {
     val toks = docs.select(col(idCol).as("doc_id"),
         posexplode(split(graft.functions.TextOps.normalized(col(textCol)), " ")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
-    // rank covering 1 token. Each round's frame is persisted and the
-    // previous round released: zipWithIndex runs one job per round, and an
-    // unpersisted lineage would re-execute every earlier round inside it —
-    // O(rounds²) work instead of O(rounds).
+    // rank covering 1 token. Each round is eagerly localCheckpoint'ed (the
+    // ConnectedComponents convention): zipWithIndex runs one job per round,
+    // and an uncut lineage would re-execute every earlier round inside it —
+    // O(rounds²) work instead of O(rounds) — and recompute the whole chain
+    // again at the caller's action.
     var ranked = rankBy(toks, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("__rank").as("rank"))
-      .persist()
+      .localCheckpoint(true)
     var span = 1
     while (span < capTokens) {
       val partner = ranked.select(col("doc_id"),
@@ -90,20 +91,12 @@ object SuffixArray {
       val joined = ranked.join(partner, Seq("doc_id", "pos"), "left")
         .select(col("doc_id"), col("pos"), col("rank"),
           coalesce(col("rank2"), lit(-1L)).as("rank2"))
-      val next = rankBy(joined, Seq("rank", "rank2"))
+      ranked = rankBy(joined, Seq("rank", "rank2"))
         .select(col("doc_id"), col("pos"), col("__rank").as("rank"))
-        .persist()
-      next.count() // materialize before releasing the round it was built from
-      ranked.unpersist()
-      ranked = next
+        .localCheckpoint(true)
       span *= 2
     }
-    val out = withGlobalIdx(ranked, Seq("rank", "doc_id", "pos"))
+    withGlobalIdx(ranked, Seq("rank", "doc_id", "pos"))
       .select((col("__idx") + 1).as("sa_rank"), col("doc_id"), col("pos"))
-      // the caller's action must not depend on the cache we release below
-      .persist()
-    out.count()
-    ranked.unpersist()
-    out
   }
 }
