@@ -1698,14 +1698,14 @@ object QueriesLlm {
     Q("llm_embed_neardup", embedNearDup, Some(embedNearDupSql)),
     Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),
     Q("llm_semantic_dedup", embedSemDedup, Some(embedNearDupSql)),
-    Q("llm_dbscan_clusters", dbscanClusters, Some(dbscanClustersSql)),
+    Q("llm_dbscan_clusters", dbscanClusters, Some(dbscanClustersSql), headline = true),
     Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
     Q("mm_png_decode", mmPng, Some(mmPngSql)),
     Q("mm_image_resize", mmResize, Some(mmResizeSql)),
     Q("mm_wav_decode", mmWav, Some(mmWavSql)),
     Q("mm_audio_downsample", mmAudioDs, Some(mmAudioDsSql)),
     Q("mm_phash_neardup", mmPhashNearDup, Some(mmPhashNearDupSql)),
-    Q("llm_suffix_array", suffixArray, Some(suffixArraySql)),
+    Q("llm_suffix_array", suffixArray, Some(suffixArraySql), headline = true),
     Q("llm_fingerprints", fingerprints, Some(LlmHashOracles.fingerprintsSql)),
     Q("llm_fingerprints_poly", fingerprintsPoly, Some(fingerprintsPolySql)),
     Q("j3_asof_join", asof, Some(asofSql))
