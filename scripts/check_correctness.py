@@ -140,7 +140,11 @@ def main():
             elif args.linear_replay and name in linear_replay.COSINE_DEDUP_QUERIES:
                 want_cols, want_rows = linear_replay.cosine_dedup_replay(con, name)
                 detail = "(screened-cosine replay)"
-            elif args.linear_replay and name == "llm_dbscan_clusters":
+            elif args.linear_replay and name in (
+                    "llm_dbscan_clusters", "llm_dbscan_lsh"):
+                # llm_dbscan_lsh shares dbscanClustersSql: the LSH candidate
+                # path must produce the same decomposition as the replay's
+                # screened exact all-pairs edges
                 want_cols, want_rows = linear_replay.dbscan_replay(con)
                 detail = "(screened-cosine replay)"
             elif args.linear_replay and name in linear_replay.HASH_ORACLE_QUERIES:

@@ -258,6 +258,35 @@ object Similarity {
     vectors.join(dups, vectors("vec_id") === dups("__dup"), "left_anti")
   }
 
+  /** Candidate-verified near-dup PAIRS through LSH buckets — the pair-list
+    * form of [[dedupByCosineLsh]] for consumers that need the ε-graph
+    * itself (e.g. [[Dbscan.cluster]]): candidates from shared
+    * (table, bucket) keys, exact rounded cosine ≥ threshold verified after
+    * embeddings re-attach. Same recall arithmetic as [[dedupByCosineLsh]],
+    * sized for the LOOSER thresholds a density clustering uses: at
+    * ε = 0.9 the grazing pairs sit at θ ≈ 0.42 rad (per-bit collision
+    * ≈ 0.866), so narrow buckets need many tables — 12 bits × 64 tables
+    * misses a grazing edge with p ≈ 3e-6 while verifying only ~bucket-local
+    * candidates instead of all pairs.
+    */
+  def nearDupPairsLsh(vectors: DataFrame, threshold: Double, bits: Int = 12,
+                      tables: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
+    val bucketed = bucketedFrame(vectors, bits, tables, checkpointDir)
+    val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
+    val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
+    val candidates = a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    candidates
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "id_b")
+      .filter(round(cosineFromNorms(dot(col("ea"), col("eb")), col("na"), col("nb")), 6) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): partition the embedding space with k-means,
     * generate candidate pairs only WITHIN a cluster, verify each candidate

@@ -369,7 +369,10 @@ object QueriesCorpus {
     * one per-doc re-aggregate and a tiny per-source rollup. No stage holds
     * more than one corpus pass.
     */
-  private def bigramLmFilter(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc bigram-LM scores (doc_id, source, score, n_oov) — the shared
+    * core of [[bigramLmFilter]] and the streaming twin's batch side.
+    */
+  private[queries] def bigramDocScores(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         split(graft.functions.TextOps.normalized(col("text")), " ").as("toks"))
@@ -385,7 +388,7 @@ object QueriesCorpus {
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val docScore = bigrams(d)
+    bigrams(d)
       .join(big, Seq("w1", "w2"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -394,14 +397,40 @@ object QueriesCorpus {
         col("cb").isNull.cast("long").as("oov"))
       .groupBy(col("doc_id"), col("source"))
       .agg(expr("sum(ppm) div count(1)").as("score"), sum(col("oov")).as("n_oov"))
-    docScore.groupBy(col("source")).agg(
+  }
+
+  /** The bigram LM model as driver-side maps — MODEL, not data (the same
+    * bound as the k-means centroid / PQ codebook collects): unigram counts,
+    * bigram counts, and |V| of the curated train slice. The streaming
+    * scorer broadcasts these; a corpus whose curated slice outgrows
+    * broadcast switches to the stream-static join form of
+    * [[bigramDocScores]].
+    */
+  private[queries] def bigramModel(s: SparkSession, dir: String)
+      : (Map[String, Long], Map[(String, String), Long], Long) = {
+    val d = Tables.documents(s, dir)
+      .filter(col("source") === "src0")
+      .select(split(graft.functions.TextOps.normalized(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val uni = d.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = d.select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1"), col("bg.w2")).agg(count(lit(1)).as("cb"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    (uni, big, uni.size.toLong)
+  }
+
+  private def bigramLmFilter(s: SparkSession, dir: String): DataFrame =
+    bigramDocScores(s, dir).groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum((col("score") >= 40000L).cast("long")).as("n_kept"),
       sum(col("score")).as("sum_score"),
       sum(col("n_oov")).as("sum_oov"),
       min(col("score")).as("min_score"),
       max(col("score")).as("max_score"))
-  }
 
   private val bigramLmFilterSql =
     """WITH d AS (

@@ -744,7 +744,10 @@ object QueriesLlm {
     * tables / IVF cells) into the same downstream, which is all single-key
     * aggregations plus the O(log n) component rounds.
     */
-  private def dbscanClusters(s: SparkSession, dir: String): DataFrame = {
+  /** The injected hub-spoke corpus shared by both DBSCAN rows (exact and
+    * LSH-bucketed ε-graph): returns (vec_id, embedding double[]).
+    */
+  private def dbscanBase(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     requireIdHeadroom(e, "vec_id", 100000L)
@@ -765,9 +768,14 @@ object QueriesLlm {
     val noisePairs = e.filter(col("vec_id") % 17 === 3 && col("vec_id") % 25 =!= 0)
       .select((col("vec_id") + 700000L).as("vec_id"),
         transform(col("v"), x => x * lit(1.001) + lit(0.01)).as("v"))
-    val base = e.unionByName(spokes).unionByName(tights).unionByName(noisePairs)
-    val members = graft.functions.Dbscan.clusterByCosine(
-      base.withColumnRenamed("v", "embedding"), threshold = 0.9, minPts = 6)
+    e.unionByName(spokes).unionByName(tights).unionByName(noisePairs)
+      .withColumnRenamed("v", "embedding")
+  }
+
+  /** The (cluster_rep, n_core, n_border, n_members, sum_members) rollup +
+    * cluster_rep = −1 noise row shared by both DBSCAN rows.
+    */
+  private def dbscanRollup(base: DataFrame, members: DataFrame): DataFrame = {
     val clusters = members.groupBy(col("cluster").as("cluster_rep"))
       .agg(sum(col("is_core").cast("long")).as("n_core"),
         sum((!col("is_core")).cast("long")).as("n_border"),
@@ -779,6 +787,28 @@ object QueriesLlm {
       .select(lit(-1L).as("cluster_rep"), lit(0L).as("n_core"),
         lit(0L).as("n_border"), col("n_members"), col("sum_members"))
     clusters.unionByName(noise)
+  }
+
+  private def dbscanClusters(s: SparkSession, dir: String): DataFrame = {
+    val base = dbscanBase(s, dir)
+    dbscanRollup(base,
+      graft.functions.Dbscan.clusterByCosine(base, threshold = 0.9, minPts = 6))
+  }
+
+  /** The same DBSCAN against the SAME oracle, but with the ε-graph from
+    * the LSH-bucketed candidate generator
+    * ([[Similarity.nearDupPairsLsh]], 12 bits × 64 tables) instead of the
+    * all-pairs baseline — hash-green means the 100 TB candidate path
+    * reproduces the exact decomposition edge-for-edge on this corpus.
+    * Recall note (same caveat style as the LSH dedup rows): a grazing
+    * ε = 0.9 edge (θ ≈ 0.42 rad) misses all 64 tables with p ≈ 3e-6; with
+    * fixed hyperplane seeds the outcome is DETERMINISTIC per corpus, and
+    * green at each tested SF means zero edges were missed there.
+    */
+  private def dbscanClustersLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = dbscanBase(s, dir)
+    val pairs = Similarity.nearDupPairsLsh(base, threshold = 0.9)
+    dbscanRollup(base, graft.functions.Dbscan.cluster(pairs, minPts = 6))
   }
 
   private val dbscanClustersSql =
@@ -1699,6 +1729,7 @@ object QueriesLlm {
     Q("llm_embed_neardup_lsh", embedNearDupLsh, Some(embedNearDupSql), headline = true),
     Q("llm_semantic_dedup", embedSemDedup, Some(embedNearDupSql)),
     Q("llm_dbscan_clusters", dbscanClusters, Some(dbscanClustersSql), headline = true),
+    Q("llm_dbscan_lsh", dbscanClustersLsh, Some(dbscanClustersSql)),
     Q("mm_frame_stats", mmFrames, Some(mmFramesSql)),
     Q("mm_png_decode", mmPng, Some(mmPngSql)),
     Q("mm_image_resize", mmResize, Some(mmResizeSql)),

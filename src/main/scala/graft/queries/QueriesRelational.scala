@@ -314,6 +314,34 @@ object QueriesRelational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** q18 (extension) — full CUBE over (returnflag, linestatus) with
+    * per-column GROUPING flags: q11 covers the ROLLUP lattice; CUBE is the
+    * remaining grouping-set shape (all 2² subsets, one Expand + one
+    * aggregate — no per-subset re-scan). GROUPING flags disambiguate real
+    * NULL keys from aggregated-out levels, the standard reporting contract.
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("g_rf"),
+        col("g_ls"), col("sum_qty"), col("sum_price"), col("n_rows"))
+
+  private val q18Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   /** Daily × event-type pivot via explicit conditional aggregation — one
     * count(when(type=v,1)) column per type. Same single partial+final
     * aggregate Spark plans for an explicit-list pivot() (no distinct-values
@@ -727,6 +755,7 @@ object QueriesRelational {
     Q("q11_rollup_revenue", q11, Some(q11Sql)),
     Q("q12_pivot_daily", q12, Some(q12Sql)),
     Q("q13_exact_quantiles", q13, Some(q13Sql)),
+    Q("q18_cube_grouping", q18, Some(q18Sql)),
     Q("q14_topk_per_group", q14, Some(q14Sql)),
     Q("j5_range_join", j5, Some(j5Sql), headline = true, benchRun = Some(j5Bench)),
     Q("j5_hot_plain", j5Hot(salted = false), Some(j5HotSql), headline = true),

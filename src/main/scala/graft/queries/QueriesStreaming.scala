@@ -279,6 +279,105 @@ object QueriesStreaming {
        |FROM scored WHERE q >= 0.3""".stripMargin
   }
 
+  /** Streaming twin of `llm_bigram_lm_filter`: documents arrive as
+    * micro-batches and are scored against the STATIC curated-slice bigram
+    * model — the shape of a live ingest gate scoring crawl shards as they
+    * land. The model rides a broadcast as driver-side maps (MODEL, not
+    * data — the k-means-centroid precedent; a curated slice past broadcast
+    * size switches to the stream-static join form), the scorer is a
+    * stateless per-doc batch kernel (no cross-batch state, no watermark
+    * needed), and the per-doc (doc_id, score, n_oov) rows are compared
+    * EXACTLY against the batch pipeline's — integer scores, so equality is
+    * bit-for-bit. Output pins both except-counts to zero next to the count
+    * and score sum the oracle replays independently.
+    */
+  private def streamBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val batchScores = QueriesCorpus.bigramDocScores(spark, dir)
+      .select(col("doc_id"), col("score"), col("n_oov"))
+    val (uni, big, v) = QueriesCorpus.bigramModel(spark, dir)
+    val bc = spark.sparkContext.broadcast((uni, big, v))
+
+    val name = s"graft_stream_lm_${System.nanoTime}"
+    val in = MemoryStream[(Long, String)]
+    val scored = in.toDF().toDF("doc_id", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        val (u, b, vv) = bc.value
+        it.flatMap { case (docId, text) =>
+          // mirror TextOps.normalized EXACTLY: Spark trim strips SPACES
+          // only (not tabs), lower is locale-independent, and Spark split
+          // keeps trailing empty tokens (Java limit -1)
+          val toks = text.replaceAll("^ +| +$", "")
+            .toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("\\s+", " ").split(" ", -1)
+          if (toks.length < 2) Iterator.empty
+          else {
+            var sum = 0L
+            var oov = 0L
+            var i = 0
+            while (i < toks.length - 1) {
+              val cb = b.getOrElse((toks(i), toks(i + 1)), 0L)
+              if (cb == 0L) oov += 1
+              sum += ((cb + 1L) * 1000000L) / (u.getOrElse(toks(i), 0L) + vv)
+              i += 1
+            }
+            Iterator((docId, sum / (toks.length - 1L), oov))
+          }
+        }
+      }.toDF("doc_id", "score", "n_oov")
+    val q = scored.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      val docs = graft.core.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).orderBy("doc_id").as[(Long, String)]
+      feedSorted(docs) { sl => in.addData(sl); q.processAllAvailable() }
+    } finally q.stop()
+    val streamScores = spark.table(name)
+
+    val (onlyBatch, onlyStream) = diffCounts(batchScores, streamScores)
+    val sumScore = batchScores.agg(sum(col("score"))).head().getLong(0)
+    Seq((batchScores.count(), streamScores.count(), onlyBatch, onlyStream, sumScore))
+      .toDF("n_batch", "n_stream", "only_batch", "only_stream", "sum_score")
+  }
+
+  /** DuckDB replays the per-doc LM scores and pins both except-counts to
+    * zero — hash-green means the streaming scorer reproduced every batch
+    * doc score exactly.
+    */
+  private val streamBigramLmSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |dd AS (SELECT * FROM d WHERE len(toks) >= 2),
+      |uni AS (
+      |  SELECT w1, COUNT(*) AS cu FROM (
+      |    SELECT unnest(toks) AS w1 FROM dd WHERE source = 'src0') GROUP BY w1),
+      |vocab AS (SELECT COUNT(*) AS v FROM uni),
+      |big AS (
+      |  SELECT w1, w2, COUNT(*) AS cb FROM (
+      |    SELECT toks[i] AS w1, toks[i+1] AS w2
+      |    FROM dd, unnest(range(1, len(toks))) AS r(i) WHERE source = 'src0')
+      |  GROUP BY w1, w2),
+      |doc_big AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+      |  FROM dd, unnest(range(1, len(toks))) AS r(i)),
+      |doc_score AS (
+      |  SELECT db.doc_id,
+      |    SUM(((COALESCE(b.cb, 0) + 1) * 1000000) // (COALESCE(u.cu, 0) + v.v))
+      |      // COUNT(*) AS score
+      |  FROM doc_big db
+      |  LEFT JOIN big b ON b.w1 = db.w1 AND b.w2 = db.w2
+      |  LEFT JOIN uni u ON u.w1 = db.w1
+      |  CROSS JOIN vocab v
+      |  GROUP BY db.doc_id)
+      |SELECT COUNT(*) AS n_batch, COUNT(*) AS n_stream,
+      |  CAST(0 AS BIGINT) AS only_batch, CAST(0 AS BIGINT) AS only_stream,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score
+      |FROM doc_score""".stripMargin
+
   /** The bounded-state (watermarked) dedup dial on the scoreboard: feed the
     * first 50 docs at T0, advance the watermark past T0+delay with a
     * sentinel doc at T1, then re-feed the lowest-id batch-1 SURVIVOR's text
@@ -1065,6 +1164,7 @@ object QueriesStreaming {
     Q("stream_topk", streamTopK, Some(QueriesRelational.q14Sql)),
     Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql)),
+    Q("stream_bigram_lm", streamBigramLm, Some(streamBigramLmSql)),
     Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql)),
     Q("stream_incremental_dedup", streamIncrementalDedup, Some(streamIncrementalDedupSql)),
     Q("stream_anchored_vwap", streamAnchoredVwap, Some(streamAnchoredVwapSql)),

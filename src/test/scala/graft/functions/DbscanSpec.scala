@@ -53,6 +53,15 @@ class DbscanSpec extends SparkSpec {
     Seq(2L, 3L, 4L, 5L).foreach(i => assert(m(i) == (1L, false)))
   }
 
+  test("LSH candidate path reproduces the exact decomposition at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      graft.queries.Registry.queries(name)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    assert(rows("llm_dbscan_lsh") == rows("llm_dbscan_clusters"))
+  }
+
   test("clusterByCosine on the sf0.001 corpus injection shape") {
     // The llm_dbscan_clusters construction at the smallest corpus: the
     // classes must all be present and every cluster must hold exactly one
