@@ -277,7 +277,16 @@ object Similarity {
     val candidates = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val emb = vectors.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    // verify attaches the vectors via BROADCAST (one shared frame, two
+    // aliases — ReuseExchange materializes it once): at loose thresholds
+    // the candidate volume is large, and a shuffled attach would carry the
+    // ~0.5 KB embedding arrays per CANDIDATE row — the disk wall the
+    // prefix join's verify hit at sf10. The vector frame is
+    // rows × (dims·8 B) — broadcastable far past these corpora (sf10:
+    // 260k × 64 dims ≈ 133 MB); past the broadcast budget, fall back to
+    // the shuffled attach with a width-capped candidate batch.
+    val emb = broadcast(
+      vectors.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
     candidates
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("nrm").as("na")), "id_a")
