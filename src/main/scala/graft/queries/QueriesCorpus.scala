@@ -388,9 +388,15 @@ object QueriesCorpus {
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     val big = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // the model joins are BROADCAST by hint, not left to the 10 MB
+    // estimate: the curated-slice bigram model is ~40 MB at sf10 (1.4M
+    // rows) — map-side attach keeps the 30M-row corpus bigram stream out
+    // of the shuffle entirely; the only exchange left is the per-doc
+    // aggregate. Past the broadcast budget, drop the hints and let the
+    // shuffled join + AQE skew split own the Zipf head (scaladoc note).
     bigrams(d)
-      .join(big, Seq("w1", "w2"), "left")
-      .join(uni, Seq("w1"), "left")
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("source"),
         expr("((coalesce(cb, 0L) + 1L) * 1000000L) div (coalesce(cu, 0L) + v)").as("ppm"),
