@@ -39,6 +39,55 @@ def canon(rows, cols):
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+INT_WIDTHS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+              "UTINYINT", "USMALLINT", "UINTEGER"}
+
+
+def norm_type(t):
+    """Normalize a DuckDB type name for oracle-vs-spark comparison.
+
+    Spark parquet read through DuckDB already lands in DuckDB's type space
+    (int64->BIGINT, double->DOUBLE, string->VARCHAR), so oracle result types
+    and spark parquet types are directly comparable after stripping the
+    timezone qualifier (Spark writes isAdjustedToUTC timestamps ->
+    TIMESTAMP WITH TIME ZONE while a computed oracle timestamp is plain).
+
+    Integer WIDTHS are collapsed (<=64-bit only): a Spark int32 `rank`
+    against a DuckDB BIGIT row_number was hash-GREEN in the driver's r14
+    artifact (llm_cosine_topk/llm_hard_negatives/llm_tfidf_terms), while
+    HUGEINT vs BIGINT was red — the driver's hasher evidently converts both
+    sides to native ints but can't represent int128 natively. So HUGEINT
+    (and DECIMAL) stay DISTINCT and always flag.
+    """
+    u = str(t).upper().replace(" WITH TIME ZONE", "")
+    return "BIGINT" if u in INT_WIDTHS else u
+
+
+def rel_types(con, sql):
+    """Real DuckDB result types for a query, via a lazily-bound relation
+    (cursor.description only exposes generic DB-API codes like NUMBER —
+    useless for spotting a HUGEINT). Binding plans the query but does not
+    execute it.
+    """
+    rel = con.sql(sql)
+    return dict(zip(rel.columns, (norm_type(t) for t in rel.types)))
+
+
+def type_mismatches(want_t, got_t):
+    """Driver-parity type check (round-14 postmortem: the driver's hasher is
+    type-sensitive — an uncast SUM typed HUGEINT by DuckDB hash-mismatches a
+    value-identical Spark BIGINT column; this mirror was type-blind and said
+    PASS for two rounds). Returns [(col, oracle_type, spark_type)] for every
+    shared column whose normalized types differ; HUGEINT/DECIMAL on the
+    oracle side can never match a Spark parquet type and always lands here.
+    """
+    bad = []
+    for col in sorted(set(want_t) & set(got_t)):
+        if want_t[col] != got_t[col]:
+            bad.append((col, want_t[col], got_t[col]))
+    return bad
+
+
 def values_equal(a, b):
     if a is None and b is None:
         return True
@@ -156,13 +205,26 @@ def main():
                 want = con.execute(sql)
                 want_cols = [d[0] for d in want.description]
                 want_rows = want.fetchall()
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+            spark_sql = f"SELECT * FROM read_parquet('{spark_path}/*.parquet')"
+            got = con.execute(spark_sql)
             got_cols = [d[0] for d in got.description]
             got_rows = got.fetchall()
+            # type check only where the oracle ran as real SQL — the Python
+            # replays return untyped values (and exist precisely because the
+            # SQL form is intractable at that SF)
+            if not detail:
+                bad_t = type_mismatches(rel_types(con, sql),
+                                        rel_types(con, spark_sql))
+                if bad_t:
+                    status = "FAIL"
+                    detail = "types (driver hasher is type-sensitive): " + \
+                        ", ".join(f"{c}: oracle={w} spark={g}"
+                                  for c, w, g in bad_t)
             wc, wr = canon(want_rows, want_cols)
             gc, gr = canon(got_rows, got_cols)
-            if wc != gc:
+            if status == "FAIL":
+                pass  # type mismatch already recorded; don't overwrite
+            elif wc != gc:
                 status, detail = "FAIL", f"schema: oracle={wc} spark={gc}"
             elif len(wr) != len(gr):
                 status, detail = "FAIL", f"rows: oracle={len(wr)} spark={len(gr)}"

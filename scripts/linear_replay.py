@@ -1559,6 +1559,11 @@ def dbscan_replay(con):
     out = [(rep, a[0], a[1], a[2], a[3]) for rep, a in sorted(agg.items())]
     noise_ids = [all_ids[i] for i in range(n)
                  if i not in cluster_of and i not in border_of]
-    out.append((-1, 0, 0, len(noise_ids), sum(noise_ids)))
+    # SQL SUM over zero rows is NULL, not 0 — both engines emit NULL for an
+    # empty noise set, so the replay must too (unreachable on the current
+    # corpus, where original vectors are always noise, but a silent 0 here
+    # would be a spurious hash mismatch the day that changes)
+    out.append((-1, 0, 0, len(noise_ids),
+                sum(noise_ids) if noise_ids else None))
     return (["cluster_rep", "n_core", "n_border", "n_members",
              "sum_members"], out)

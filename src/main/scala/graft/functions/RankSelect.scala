@@ -98,4 +98,46 @@ object RankSelect {
       .drop("__rn")
     keptWhole.unionByName(keptBoundary).drop("__b", "__c", "__cum", "__k")
   }
+
+  /** Per-group type-1 median — the value AT rank ⌈n/2⌉ under (value, tie)
+    * order — via the same two-phase histogram selection, for groups too hot
+    * to window-sort (`w17_bucketed`): one map-side-combinable histogram
+    * pass, a model-sized boundary-bucket table collected and re-broadcast,
+    * and a window sort over ONLY the boundary bucket's rows. `bucketExpr`
+    * must be a monotone non-decreasing integer function of `valueCol`
+    * (e.g. `floor(col(v) * 100)` — floor of a positive-constant multiple is
+    * monotone for ANY doubles, negatives included), which makes bucket
+    * order refine value order; the in-bucket (value, tie) window completes
+    * the same total order, so the selected value is bit-identical to the
+    * full window-sort form. Returns one (partCols…, out) row per group.
+    */
+  def selectCeilHalf(df: DataFrame, partCols: Seq[String], valueCol: String,
+                     tieCol: String, bucketExpr: org.apache.spark.sql.Column,
+                     out: String): DataFrame = {
+    val p = partCols.map(col)
+    val withB = df.withColumn("__b", bucketExpr.cast("long"))
+    val cnts = withB.groupBy((p :+ col("__b")): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(p: _*).orderBy(col("__b"))
+    val wTot = Window.partitionBy(p: _*)
+    // boundary buckets only: __cum < k <= __cum + __c, k = ceil(n/2);
+    // collected for the same reason dropBottomExact collects — the table is
+    // the MODEL (one row per group), and a lazy subplan would re-run the
+    // histogram inside the broadcast
+    val infoPlan = cnts
+      .withColumn("__cum", sum(col("__c")).over(wCum) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+      .withColumn("__k", expr("(__n + 1) div 2"))
+      .filter(col("__cum") < col("__k") && col("__cum") + col("__c") >= col("__k"))
+      .drop("__n")
+    val spark = df.sparkSession
+    val infoRows = infoPlan.collect()
+    val info = spark.createDataFrame(
+      java.util.Arrays.asList(infoRows: _*), infoPlan.schema)
+    val wIn = Window.partitionBy((p :+ col("__b")): _*)
+      .orderBy(col(valueCol), col(tieCol))
+    withB.join(broadcast(info), partCols :+ "__b") // inner: boundary rows only
+      .withColumn("__rn", row_number().over(wIn))
+      .filter(col("__rn") === col("__k") - col("__cum"))
+      .select((p :+ col(valueCol).as(out)): _*)
+  }
 }

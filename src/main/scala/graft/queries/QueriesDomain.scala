@@ -223,6 +223,33 @@ object QueriesDomain {
         sum(when(col("is_out") === 1L, col("seq"))).as("sum_outlier_seq"))
   }
 
+  /** W17's hot-symbol form — the treatment the w17 scaladoc promises: both
+    * medians via [[graft.functions.RankSelect.selectCeilHalf]] histogram
+    * selection (one map-side-combinable histogram pass + a boundary-bucket
+    * window) instead of the per-symbol full window sort, so a pathological
+    * hot symbol costs a bucket sort, not a symbol sort. Cent buckets
+    * (`floor(value·100)`): monotone, so bucket order refines value order
+    * and the selected doubles are bit-identical — proven by hashing against
+    * the SAME oracle as the flat row (the h1_bucketed convention).
+    */
+  private def w17Bucketed(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RankSelect
+    val t = ticks(s, dir).select(col("symbol"), col("price"), col("seq"))
+    val med = RankSelect.selectCeilHalf(t, Seq("symbol"), "price", "seq",
+      floor(col("price") * 100), "med")
+    val dev = t.join(broadcast(med), Seq("symbol"))
+      .withColumn("dev", abs(col("price") - col("med")))
+    val mad = RankSelect.selectCeilHalf(dev, Seq("symbol"), "dev", "seq",
+      floor(col("dev") * 100), "mad")
+    dev.join(broadcast(mad), Seq("symbol"))
+      .withColumn("is_out", (col("dev") > lit(4.4478) * col("mad")).cast("long"))
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_ticks"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(col("is_out")).as("n_outliers"),
+        sum(when(col("is_out") === 1L, col("seq"))).as("sum_outlier_seq"))
+  }
+
   private val w17Sql =
     s"""$withTicks, r AS (
        |  SELECT symbol, price, seq,
@@ -247,7 +274,8 @@ object QueriesDomain {
        |  MAX(d.med) AS med, MAX(m.mad) AS mad,
        |  CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_outliers,
-       |  SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN d.seq END) AS sum_outlier_seq
+       |  CAST(SUM(CASE WHEN d.dev > 4.4478 * m.mad THEN d.seq END) AS BIGINT)
+       |    AS sum_outlier_seq
        |FROM d JOIN mad m USING (symbol) GROUP BY d.symbol""".stripMargin
 
   // ---------------------------------------------------------------- G5 / J2
@@ -1419,6 +1447,7 @@ object QueriesDomain {
     Q("g2_rollup_chain", g2chain, Some(g2chainSql)),
     Q("w15_time_range_avg", w15, Some(w15Sql)),
     Q("w17_anomaly_mad", w17, Some(w17Sql)),
+    Q("w17_bucketed", w17Bucketed, Some(w17Sql)),
     Q("g5_dedup_keep_last", g5, Some(g5Sql), headline = true),
     Q("j2_merge_keep_new", j2, Some(j2Sql)),
     Q("p1_tick_validity", p1, Some(p1Sql)),

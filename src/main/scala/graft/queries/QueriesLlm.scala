@@ -747,7 +747,7 @@ object QueriesLlm {
   /** The injected hub-spoke corpus shared by both DBSCAN rows (exact and
     * LSH-bucketed ε-graph): returns (vec_id, embedding double[]).
     */
-  private def dbscanBase(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dbscanBase(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     requireIdHeadroom(e, "vec_id", 100000L)
@@ -779,7 +779,7 @@ object QueriesLlm {
   /** The (cluster_rep, n_core, n_border, n_members, sum_members) rollup +
     * cluster_rep = −1 noise row shared by both DBSCAN rows.
     */
-  private def dbscanRollup(base: DataFrame, members: DataFrame): DataFrame = {
+  private[graft] def dbscanRollup(base: DataFrame, members: DataFrame): DataFrame = {
     val clusters = members.groupBy(col("cluster").as("cluster_rep"))
       .agg(sum(col("is_core").cast("long")).as("n_core"),
         sum((!col("is_core")).cast("long")).as("n_border"),
@@ -1612,8 +1612,8 @@ object QueriesLlm {
       |tot AS (SELECT doc_id, len(toks) - 9 AS n_windows FROM t
       |        WHERE len(toks) >= 10)
       |SELECT s.doc_id, CAST(tot.n_windows AS BIGINT) AS n_windows,
-      |  sum(s.n_windows_in_span) AS n_dup_windows,
-      |  sum(s.span_end - s.span_start + 1) AS dup_span_tokens
+      |  CAST(sum(s.n_windows_in_span) AS BIGINT) AS n_dup_windows,
+      |  CAST(sum(s.span_end - s.span_start + 1) AS BIGINT) AS dup_span_tokens
       |FROM sp s JOIN tot USING (doc_id)
       |GROUP BY s.doc_id, tot.n_windows""".stripMargin
 
@@ -1653,8 +1653,9 @@ object QueriesLlm {
       |rm AS (SELECT doc_id, sum(span_end - span_start + 1) AS tokens_removed
       |  FROM sp GROUP BY doc_id),
       |tok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
-      |SELECT rm.doc_id, tok.n_tokens, rm.tokens_removed,
-      |  tok.n_tokens - rm.tokens_removed AS n_tokens_after
+      |SELECT rm.doc_id, tok.n_tokens,
+      |  CAST(rm.tokens_removed AS BIGINT) AS tokens_removed,
+      |  CAST(tok.n_tokens - rm.tokens_removed AS BIGINT) AS n_tokens_after
       |FROM rm JOIN tok USING (doc_id)""".stripMargin
 
   /** The trim pass MATERIALIZED ([[graft.functions.SubstringDedup.trimmedText]]):
