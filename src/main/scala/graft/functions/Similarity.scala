@@ -159,7 +159,7 @@ object Similarity {
     * unpersist inside a lazy operator) — long-lived sessions doing many LSH
     * calls should prefer `checkpointDir`, which leaves nothing pinned.
     */
-  private def bucketedFrame(vectors: DataFrame, bits: Int, tables: Int,
+  private[graft] def bucketedFrame(vectors: DataFrame, bits: Int, tables: Int,
                             checkpointDir: Option[String]): DataFrame = {
     // one native pass computes every table's bucket (posexplode position =
     // table index, matching the former lit(t) struct layout exactly). A
@@ -269,6 +269,16 @@ object Similarity {
     * misses a grazing edge with p ≈ 3e-6 while verifying only ~bucket-local
     * candidates instead of all pairs.
     */
+  /** Byte budget for broadcasting the (vec_id, embedding, nrm) frame in
+    * [[nearDupPairsLsh]]'s verify stage — estimate `rows × (dims·8 B + 64)`;
+    * past it the attach falls back to a shuffled join instead of failing at
+    * Spark's 8 GB broadcast ceiling. Session config, not a constant (the
+    * [[graft.functions.PrefixJoin.BroadcastBytesKey]] convention): a real
+    * cluster sizes it to executor memory.
+    */
+  val NearDupBroadcastBytesKey = "spark.graft.nearDupPairs.broadcastMaxBytes"
+  private val NearDupBroadcastBytesDefault = 1600000000L
+
   def nearDupPairsLsh(vectors: DataFrame, threshold: Double, bits: Int = 12,
                       tables: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
     val bucketed = bucketedFrame(vectors, bits, tables, checkpointDir)
@@ -283,10 +293,18 @@ object Similarity {
     // ~0.5 KB embedding arrays per CANDIDATE row — the disk wall the
     // prefix join's verify hit at sf10. The vector frame is
     // rows × (dims·8 B) — broadcastable far past these corpora (sf10:
-    // 260k × 64 dims ≈ 133 MB); past the broadcast budget, fall back to
-    // the shuffled attach with a width-capped candidate batch.
-    val emb = broadcast(
-      vectors.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")))
+    // 260k × 64 dims ≈ 133 MB). The hint is GATED on that estimate
+    // against [[NearDupBroadcastBytesKey]] (the exactJaccard budget
+    // pattern): past the budget the attach degrades to the shuffled join —
+    // wider shuffle, but it cannot hit Spark's hard 8 GB broadcast wall.
+    val embPlain =
+      vectors.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val maxBytes = vectors.sparkSession.conf
+      .getOption(NearDupBroadcastBytesKey).map(_.toLong)
+      .getOrElse(NearDupBroadcastBytesDefault)
+    val dims = vectors.select(size(col("embedding"))).head().getInt(0)
+    val estBytes = vectors.count() * (dims.toLong * 8L + 64L)
+    val emb = if (estBytes <= maxBytes) broadcast(embPlain) else embPlain
     candidates
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("nrm").as("na")), "id_a")

@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed suffix-array construction by prefix doubling (the
   * Manber–Myers recurrence in its scan-parallel form, cf. Flick & Aluru,
@@ -26,7 +25,7 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Scale shape: each doubling round is (a) one equi-join on the composite
   * key (doc_id, pos + 2^k) to fetch the partner rank, and (b) one
   * order-preserving re-rank = global range-partitioned sort + per-partition
-  * index assignment (RDD zipWithIndex: ONE count job for partition offsets,
+  * index assignment (monotonic ids + a #partitions-long offsets collect,
   * nothing driver-side beyond #partitions longs) + a first-index-per-group
   * aggregate. log₂(capTokens) rounds total — at 100 TB this is the honest
   * cost of an EXACT global suffix order; the rolling-hash window pipeline
@@ -36,17 +35,40 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object SuffixArray {
 
   /** Global order index by `sortCols`: rows sorted, then assigned their
-    * 0-based global position. Range partition + zipWithIndex — no single
-    * partition anywhere.
+    * 0-based global position. Range partition + per-partition offsets — no
+    * single partition anywhere, and (since r15) no external-Row round-trip:
+    * the previous RDD.zipWithIndex form paid an
+    * InternalRow→Row→InternalRow decode/re-encode on every row, six times
+    * per build. Now the sorted frame is materialized ONCE
+    * (localCheckpoint — this also freezes the range-partition bounds, which
+    * a re-planned repartitionByRange would re-sample under a different RDD
+    * id) with `monotonically_increasing_id` riding along
+    * (partitionId<<33 | row-offset, assigned in sorted order within each
+    * partition), the per-partition counts job collects #partitions longs
+    * for the cumulative offsets (the same bounded metadata zipWithIndex's
+    * internal count job collected), and the global index is
+    * offset(pid) + local — all inside whole-stage codegen, the offset table
+    * attached by broadcast join.
     */
   private def withGlobalIdx(df: DataFrame, sortCols: Seq[String]): DataFrame = {
-    val sorted = df.repartitionByRange(sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-    val schema = StructType(sorted.schema.fields :+ StructField("__idx", LongType))
     val spark = df.sparkSession
-    spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
-      schema)
+    import spark.implicits._
+    val withMid = df.repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint(true)
+    val counts = withMid
+      .groupBy(shiftright(col("__mid"), 33).cast("int").as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init)
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    withMid
+      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__idx",
+        col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
+      .drop("__pid", "__mid", "__off")
   }
 
   /** Order-preserving sparse re-rank: rows that compare equal on `keyCols`
@@ -77,7 +99,7 @@ object SuffixArray {
         posexplode(split(graft.functions.TextOps.normalized(col(textCol)), " ")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
     // rank covering 1 token. Each round is eagerly localCheckpoint'ed (the
-    // ConnectedComponents convention): zipWithIndex runs one job per round,
+    // ConnectedComponents convention): the re-rank runs jobs per round,
     // and an uncut lineage would re-execute every earlier round inside it —
     // O(rounds²) work instead of O(rounds) — and recompute the whole chain
     // again at the caller's action.

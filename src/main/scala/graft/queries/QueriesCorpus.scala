@@ -373,28 +373,62 @@ object QueriesCorpus {
     * core of [[bigramLmFilter]] and the streaming twin's batch side.
     */
   private[queries] def bigramDocScores(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = tokenizedDocs(s, dir)
+    val (uni, big, vocab) = bigramModelFrames(d)
+    scoreAgainstModel(d, uni, big, vocab)
+  }
+
+  /** documents → (doc_id, source, toks) with the <2-token rows dropped —
+    * the shared tokenization of the batch scorer, the model build, and the
+    * streaming twins (bit-equal normalization is what makes the stream
+    * compare exact).
+    */
+  private[queries] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         split(graft.functions.TextOps.normalized(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
-    def bigrams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), col("source"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => struct(element_at(col("toks"), i).as("w1"),
-            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("source"), col("bg.w1"), col("bg.w2"))
+
+  private def bigramsOf(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), col("source"),
+      explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+    .select(col("doc_id"), col("source"), col("bg.w1"), col("bg.w2"))
+
+  /** The LM model as three DataFrames over the curated train slice
+    * (source='src0'): unigram counts (w1, cu), bigram counts (w1, w2, cb),
+    * and the single-row vocab size (v). This is the form that scales — the
+    * model never leaves the cluster; [[bigramModel]]'s driver-side maps are
+    * the small-model fast path for the stateless streaming kernel. Fails
+    * loudly on an empty train slice (an all-zero denominator would
+    * otherwise surface as an opaque div-by-zero null deep in the scorer).
+    */
+  private[queries] def bigramModelFrames(d: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val train = d.filter(col("source") === "src0")
+    require(!train.isEmpty,
+      "bigram LM train slice (source='src0') is empty — cannot build a model")
     val uni = train.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val big = bigrams(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    // the model joins are BROADCAST by hint, not left to the 10 MB
-    // estimate: the curated-slice bigram model is ~40 MB at sf10 (1.4M
-    // rows) — map-side attach keeps the 30M-row corpus bigram stream out
-    // of the shuffle entirely; the only exchange left is the per-doc
-    // aggregate. Past the broadcast budget, drop the hints and let the
-    // shuffled join + AQE skew split own the Zipf head (scaladoc note).
-    bigrams(d)
+    val big = bigramsOf(train).groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    (uni, big, vocab)
+  }
+
+  /** Score (doc_id, source, toks) docs against the model FRAMES — the
+    * stream-static-join form: the model joins are BROADCAST by hint, not
+    * left to the 10 MB estimate: the curated-slice bigram model is ~40 MB
+    * at sf10 (1.4M rows) — map-side attach keeps the 30M-row corpus bigram
+    * stream out of the shuffle entirely; the only exchange left is the
+    * per-doc aggregate. Past the broadcast budget, drop the hints and let
+    * the shuffled join + AQE skew split own the Zipf head (scaladoc note).
+    * Works unchanged on a STREAMING `docs` frame inside foreachBatch —
+    * `stream_bigram_lm_join` is exactly that wiring, zero driver collect.
+    */
+  private[queries] def scoreAgainstModel(docs: DataFrame, uni: DataFrame,
+      big: DataFrame, vocab: DataFrame): DataFrame =
+    bigramsOf(docs)
       .join(broadcast(big), Seq("w1", "w2"), "left")
       .join(broadcast(uni), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -403,7 +437,6 @@ object QueriesCorpus {
         col("cb").isNull.cast("long").as("oov"))
       .groupBy(col("doc_id"), col("source"))
       .agg(expr("sum(ppm) div count(1)").as("score"), sum(col("oov")).as("n_oov"))
-  }
 
   /** The bigram LM model as driver-side maps — MODEL, not data (the same
     * bound as the k-means centroid / PQ codebook collects): unigram counts,
@@ -421,6 +454,8 @@ object QueriesCorpus {
     val uni = d.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(uni.nonEmpty,
+      "bigram LM train slice (source='src0') is empty — cannot build a model")
     val big = d.select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
         i => struct(element_at(col("toks"), i).as("w1"),
           element_at(col("toks"), i + 1).as("w2")))).as("bg"))

@@ -338,8 +338,70 @@ object QueriesStreaming {
 
     val (onlyBatch, onlyStream) = diffCounts(batchScores, streamScores)
     val sumScore = batchScores.agg(sum(col("score"))).head().getLong(0)
-    Seq((batchScores.count(), streamScores.count(), onlyBatch, onlyStream, sumScore))
-      .toDF("n_batch", "n_stream", "only_batch", "only_stream", "sum_score")
+    val out =
+      Seq((batchScores.count(), streamScores.count(), onlyBatch, onlyStream, sumScore))
+        .toDF("n_batch", "n_stream", "only_batch", "only_stream", "sum_score")
+    // results are fully materialized above — release the model broadcast so
+    // repeated harness runs don't pin model memory on executors
+    bc.destroy()
+    out
+  }
+
+  /** Stream-static-JOIN twin of `llm_bigram_lm_filter` — the wiring that
+    * scales ([[QueriesCorpus.bigramModelFrames]]): micro-batches are scored
+    * by JOINING against the model DataFrames inside foreachBatch (broadcast
+    * stream-static join), so the model NEVER leaves the cluster — zero
+    * driver-side model collect, unlike [[streamBigramLm]]'s collected-map
+    * fast path. foreachBatch is the honest shape because every doc is
+    * self-contained within its micro-batch: the per-doc aggregate needs no
+    * cross-batch state, no watermark, and the state store stays empty. The
+    * model frames are built once and persisted; each micro-batch re-joins
+    * the executor-cached model. Scores are bit-equal to batch by
+    * construction (identical integer expressions on identical
+    * normalization), and the output pins both except-counts to zero.
+    */
+  private def streamBigramLmJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val batchScores = QueriesCorpus.bigramDocScores(spark, dir)
+      .select(col("doc_id"), col("score"), col("n_oov"))
+    val (uni, big, vocab) =
+      QueriesCorpus.bigramModelFrames(QueriesCorpus.tokenizedDocs(spark, dir))
+    uni.persist(); big.persist(); vocab.persist()
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft_stream_lm_join")
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("doc_id", "source", "text").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val toks = b.select(col("doc_id"), col("source"),
+            split(graft.functions.TextOps.normalized(col("text")), " ").as("toks"))
+          .filter(size(col("toks")) >= 2)
+        QueriesCorpus.scoreAgainstModel(toks, uni, big, vocab)
+          .select(col("doc_id"), col("score"), col("n_oov"))
+          .write.mode("append").parquet(outDir.toString)
+      }
+      .start()
+    try {
+      val docs = graft.core.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text")).orderBy("doc_id")
+        .as[(Long, String, String)]
+      feedSorted(docs) { sl => in.addData(sl); q.processAllAvailable() }
+    } finally q.stop()
+    val streamScores = spark.read.parquet(outDir.toString)
+
+    val (onlyBatch, onlyStream) = diffCounts(batchScores, streamScores)
+    val sumScore = batchScores.agg(sum(col("score"))).head().getLong(0)
+    // every read of outDir/model is eager (diffCounts/count above), so the
+    // local-Seq result frame survives the cleanup below
+    val out =
+      Seq((batchScores.count(), streamScores.count(), onlyBatch, onlyStream, sumScore))
+        .toDF("n_batch", "n_stream", "only_batch", "only_stream", "sum_score")
+    uni.unpersist(); big.unpersist(); vocab.unpersist()
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(outDir).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    out
   }
 
   /** DuckDB replays the per-doc LM scores and pins both except-counts to
@@ -1165,6 +1227,7 @@ object QueriesStreaming {
     Q("stream_stream_join", streamStreamJoin, Some(streamStreamJoinSql)),
     Q("stream_llm_dedup", streamLlmDedup, Some(streamLlmDedupSql)),
     Q("stream_bigram_lm", streamBigramLm, Some(streamBigramLmSql)),
+    Q("stream_bigram_lm_join", streamBigramLmJoin, Some(streamBigramLmSql)),
     Q("stream_llm_dedup_wm", streamLlmDedupWm, Some(streamLlmDedupWmSql)),
     Q("stream_incremental_dedup", streamIncrementalDedup, Some(streamIncrementalDedupSql)),
     Q("stream_anchored_vwap", streamAnchoredVwap, Some(streamAnchoredVwapSql)),

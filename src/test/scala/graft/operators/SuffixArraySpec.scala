@@ -40,7 +40,12 @@ class SuffixArraySpec extends SparkSpec {
       .filter($"source" === "src0")
       .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
     val local = docs.flatMap { case (id, text) =>
-      val toks = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+      // mirror TextOps.normalized EXACTLY (the LmAnomalySpec convention):
+      // Spark trim strips SPACES only (Java trim strips all <= U+0020) and
+      // Spark split keeps trailing empty tokens (Java limit -1)
+      val toks = text.replaceAll("^ +| +$", "")
+        .toLowerCase(java.util.Locale.ROOT)
+        .replaceAll("\\s+", " ").split(" ", -1)
       toks.indices.map(i =>
         (toks.slice(i, i + 64).mkString(" "), id, (i + 1).toLong))
     }.sortBy(identity)
