@@ -28,6 +28,7 @@ object GraftSession {
         graft.functions.Sketches.register(ext)
         ext.injectPlannerStrategy(_ => graft.plans.IndicatorPassStrategy)
         ext.injectPlannerStrategy(_ => graft.plans.PeaksPassStrategy)
+        ext.injectPlannerStrategy(_ => graft.plans.GlobalIndexStrategy)
       }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

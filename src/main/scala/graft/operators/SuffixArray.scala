@@ -35,41 +35,21 @@ import org.apache.spark.sql.functions._
 object SuffixArray {
 
   /** Global order index by `sortCols`: rows sorted, then assigned their
-    * 0-based global position. Range partition + per-partition offsets — no
-    * single partition anywhere, and (since r15) no external-Row round-trip:
-    * the previous RDD.zipWithIndex form paid an
-    * InternalRow→Row→InternalRow decode/re-encode on every row, six times
-    * per build. Now the sorted frame is materialized ONCE
-    * (localCheckpoint — this also freezes the range-partition bounds, which
-    * a re-planned repartitionByRange would re-sample under a different RDD
-    * id) with `monotonically_increasing_id` riding along
-    * (partitionId<<33 | row-offset, assigned in sorted order within each
-    * partition), the per-partition counts job collects #partitions longs
-    * for the cumulative offsets (the same bounded metadata zipWithIndex's
-    * internal count job collected), and the global index is
-    * offset(pid) + local — all inside whole-stage codegen, the offset table
-    * attached by broadcast join.
+    * 0-based global position — via the native
+    * [[graft.plans.GlobalIndexPlan]] node: the planner inserts ONE range
+    * exchange + sort (OrderedDistribution — no single partition anywhere),
+    * and the index append zips the sorted InternalRows directly through a
+    * codegen'd projection. No external-Row round-trip (the r14-flagged
+    * RDD.zipWithIndex cost) and no per-call materialization (the r15
+    * checkpoint+offsets-join attempt measured WORSE, 3.3 → 5.7 s at
+    * sf0.1); the only extra job is zipWithIndex's bounded per-partition
+    * count — #partitions longs to the driver.
     */
-  private def withGlobalIdx(df: DataFrame, sortCols: Seq[String]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val withMid = df.repartitionByRange(sortCols.map(col): _*)
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true)
-    val counts = withMid
-      .groupBy(shiftright(col("__mid"), 33).cast("int").as("__pid"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init)
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    withMid
-      .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
-      .join(broadcast(offDf), Seq("__pid"))
-      .withColumn("__idx",
-        col("__off") + col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-      .drop("__pid", "__mid", "__off")
-  }
+  private def withGlobalIdx(df: DataFrame, sortCols: Seq[String]): DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(df.sparkSession,
+      graft.plans.GlobalIndexPlan(
+        org.apache.spark.sql.graftbridge.PlanBridge.analyzed(df),
+        sortCols, graft.plans.GlobalIndexPlan.mkOutAttr("__idx")))
 
   /** Order-preserving sparse re-rank: rows that compare equal on `keyCols`
     * share a rank, ranks are monotone in `keyCols` order. The rank value is
@@ -120,5 +100,46 @@ object SuffixArray {
     }
     withGlobalIdx(ranked, Seq("rank", "doc_id", "pos"))
       .select((col("__idx") + 1).as("sa_rank"), col("doc_id"), col("pos"))
+  }
+
+  /** Duplicated fixed-width window positions read OFF the suffix array —
+    * the operational dedup output of the exact index (Lee et al. 2021's
+    * suffix-array step: duplicated substrings are contiguous RUNS in
+    * suffix order): a position (doc, pos) hosts a duplicated `k`-token
+    * window iff its suffix shares a ≥k-token prefix with an ADJACENT
+    * suffix in rank order. Adjacency is complete by contiguity — all
+    * suffixes sharing a k-token prefix are consecutive in the array
+    * (k ≤ capTokens), and no shorter-than-k suffix can sort between two of
+    * them (a prefix sorts BEFORE the strings it prefixes), so the
+    * rank+1 self-join over the ≥k-token suffixes misses nothing. Unlike
+    * the rolling-hash pipeline ([[graft.functions.SubstringDedup]], which
+    * counts CROSS-DOC duplicates only), this counts ANY second occurrence,
+    * within-doc repeats included — the two exact paths cross-check each
+    * other's contracts where they overlap.
+    *
+    * Scale: one (doc_id)-keyed join to re-attach token arrays, one
+    * rank-shifted equi-join on the 8-byte sa_rank key (NO global-order
+    * window — a `lag() OVER (ORDER BY sa_rank)` would sort the corpus on
+    * one reducer), and a distinct on 16-byte (doc, pos) pairs.
+    *
+    * @return one row per position hosting a duplicated k-token window:
+    *         (doc_id, pos), pos 1-based.
+    */
+  def dupWindowPositions(docs: DataFrame, k: Int = 10, textCol: String = "text",
+                         idCol: String = "doc_id", capTokens: Int = 64): DataFrame = {
+    require(k >= 1 && k <= capTokens, s"k $k must be in [1, capTokens=$capTokens]")
+    val sa = build(docs, textCol, idCol, capTokens)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(graft.functions.TextOps.normalized(col(textCol)), " ").as("toks"))
+    val suf = sa.join(toks, "doc_id")
+      .filter(size(col("toks")) - col("pos") + 1 >= k)
+      .select(col("sa_rank"), col("doc_id"), col("pos"),
+        slice(col("toks"), col("pos"), lit(k)).as("win"))
+    val prev = suf.select((col("sa_rank") + 1).as("sa_rank"),
+      col("win").as("pwin"), col("doc_id").as("pdoc"), col("pos").as("ppos"))
+    val eq = suf.join(prev, "sa_rank").filter(col("win") === col("pwin"))
+    eq.select(col("doc_id"), col("pos"))
+      .unionByName(eq.select(col("pdoc").as("doc_id"), col("ppos").as("pos")))
+      .distinct()
   }
 }

@@ -936,6 +936,56 @@ object QueriesLlm {
       |  doc_id, CAST(pos AS BIGINT) AS pos
       |FROM s""".stripMargin
 
+  /** The suffix array put to WORK ([[graft.operators.SuffixArray
+    * .dupWindowPositions]]): per-doc counts of positions hosting a
+    * duplicated 10-token window, read off suffix-order ADJACENCY (all
+    * suffixes sharing a 10-token prefix are consecutive in the array, so
+    * one rank+1 self-join finds every duplicated window — the operational
+    * dedup output of the exact index, Lee et al. 2021). Contract note:
+    * counts ANY second occurrence (within-doc repeats included), unlike
+    * the cross-doc-only rolling-hash rows — the oracle replays the
+    * contract independently by grouping the joined window strings, not by
+    * replaying suffix order, so hash-green proves the adjacency readout
+    * equals the definitional "window occurs ≥2 times in the corpus" set.
+    */
+  private def suffixDupPositions(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1", "src2"))
+      .select(col("doc_id"), col("text"))
+    requireIdHeadroom(base, "doc_id", 1000000L)
+    // injected copies of every 10th doc (the llm_ann/mm_phash convention):
+    // a copy shares EVERY window with its original, so the row is
+    // non-vacuous at any SF — the sf0.01 corpus has zero natural
+    // duplicated 10-token windows — while natural dups still count
+    val docs = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    graft.operators.SuffixArray.dupWindowPositions(docs, k = 10)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_positions"), sum(col("pos")).as("sum_pos"))
+  }
+
+  private val suffixDupPositionsSql =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE source IN ('src0', 'src1', 'src2')),
+      |dd AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 10 = 0),
+      |d AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM dd),
+      |w AS (SELECT doc_id, CAST(unnest(range(1, len(toks) - 10 + 2)) AS BIGINT) AS pos,
+      |             toks FROM d WHERE len(toks) >= 10),
+      |ws AS (SELECT doc_id, pos,
+      |  array_to_string(list_slice(toks, pos, pos + 9), ' ') AS win FROM w),
+      |dw AS (SELECT win FROM ws GROUP BY win HAVING COUNT(*) > 1)
+      |SELECT ws.doc_id, COUNT(*) AS n_dup_positions,
+      |  CAST(SUM(ws.pos) AS BIGINT) AS sum_pos
+      |FROM ws JOIN dw USING (win) GROUP BY ws.doc_id""".stripMargin
+
   /** Perceptual-hash image near-dup, the multimodal twin of
     * `llm_simhash_neardup`: real PNG encode → REAL decode → 64-bit
     * average-hash ([[graft.functions.Multimodal.aHash64]]: 8×8 block means
@@ -1746,6 +1796,7 @@ object QueriesLlm {
     Q("mm_audio_downsample", mmAudioDs, Some(mmAudioDsSql)),
     Q("mm_phash_neardup", mmPhashNearDup, Some(mmPhashNearDupSql)),
     Q("llm_suffix_array", suffixArray, Some(suffixArraySql), headline = true),
+    Q("llm_suffix_dup_positions", suffixDupPositions, Some(suffixDupPositionsSql)),
     Q("llm_fingerprints", fingerprints, Some(LlmHashOracles.fingerprintsSql)),
     Q("llm_fingerprints_poly", fingerprintsPoly, Some(fingerprintsPolySql)),
     Q("j3_asof_join", asof, Some(asofSql))

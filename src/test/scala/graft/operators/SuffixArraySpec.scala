@@ -33,6 +33,35 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 4L), (2L, 1L, 1L), (3L, 1L, 2L), (4L, 1L, 3L)))
   }
 
+  test("dupWindowPositions finds exactly the k-windows occurring twice-plus") {
+    val session = spark
+    import session.implicits._
+    // "x y" occurs at (1,1), (1,4) [within-doc repeat] and (2,3)
+    // [cross-doc]; every other 2-token window is unique
+    val docs = Seq((1L, "x y z x y"), (2L, "p q x y w")).toDF("doc_id", "text")
+    val got = SuffixArray.dupWindowPositions(docs, k = 2, capTokens = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (1L, 4L), (2L, 3L)))
+  }
+
+  test("SA dup positions contain the rolling-hash pipeline's cross-doc set") {
+    // the two exact paths cross-check: SubstringDedup counts CROSS-DOC
+    // duplicated 10-token windows; the suffix-array readout counts ANY
+    // second occurrence (within-doc included) — so on the same corpus
+    // slice the former must be a subset of the latter, and the difference
+    // must contain only positions whose window repeats WITHIN its doc only
+    val session = spark
+    import session.implicits._
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter($"source".isin("src0", "src1", "src2"))
+    val saPos = SuffixArray.dupWindowPositions(docs, k = 10)
+      .as[(Long, Long)].collect().toSet
+    val crossDoc = graft.functions.SubstringDedup.dupWindowPositions(docs, 10)
+      .as[(Long, Long)].collect().toSet
+    assert(saPos.nonEmpty && crossDoc.nonEmpty)
+    assert(crossDoc.subsetOf(saPos))
+  }
+
   test("matches a local capped-suffix sort of real corpus text") {
     val session = spark
     import session.implicits._
