@@ -282,21 +282,35 @@ object Similarity {
   def nearDupPairsLsh(vectors: DataFrame, threshold: Double, bits: Int = 12,
                       tables: Int = 64, checkpointDir: Option[String] = None): DataFrame = {
     val bucketed = bucketedFrame(vectors, bits, tables, checkpointDir)
+    verifyCandidatePairs(vectors, lshCandidatePairs(bucketed), threshold)
+  }
+
+  /** Distinct 16-B candidate id pairs from a bucketed (table, bucket,
+    * vec_id) frame — the self-join stage of [[nearDupPairsLsh]], exposed
+    * for stage-level profiling ([[graft.tools.ProfileDbscan]]).
+    */
+  private[graft] def lshCandidatePairs(bucketed: DataFrame): DataFrame = {
     val a = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
     val b = bucketed.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
-    val candidates = a.join(b, Seq("table", "bucket"))
+    a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // verify attaches the vectors via BROADCAST (one shared frame, two
-    // aliases — ReuseExchange materializes it once): at loose thresholds
-    // the candidate volume is large, and a shuffled attach would carry the
-    // ~0.5 KB embedding arrays per CANDIDATE row — the disk wall the
-    // prefix join's verify hit at sf10. The vector frame is
-    // rows × (dims·8 B) — broadcastable far past these corpora (sf10:
-    // 260k × 64 dims ≈ 133 MB). The hint is GATED on that estimate
-    // against [[NearDupBroadcastBytesKey]] (the exactJaccard budget
-    // pattern): past the budget the attach degrades to the shuffled join —
-    // wider shuffle, but it cannot hit Spark's hard 8 GB broadcast wall.
+  }
+
+  /** Exact rounded-cosine verification of candidate id pairs — the verify
+    * stage of [[nearDupPairsLsh]]: vectors attach via BROADCAST (one shared
+    * frame, two aliases — ReuseExchange materializes it once): at loose
+    * thresholds the candidate volume is large, and a shuffled attach would
+    * carry the ~0.5 KB embedding arrays per CANDIDATE row — the disk wall
+    * the prefix join's verify hit at sf10. The vector frame is
+    * rows × (dims·8 B) — broadcastable far past these corpora (sf10:
+    * 260k × 64 dims ≈ 133 MB). The hint is GATED on that estimate against
+    * [[NearDupBroadcastBytesKey]] (the exactJaccard budget pattern): past
+    * the budget the attach degrades to the shuffled join — wider shuffle,
+    * but it cannot hit Spark's hard 8 GB broadcast wall.
+    */
+  private[graft] def verifyCandidatePairs(vectors: DataFrame, candidates: DataFrame,
+                                          threshold: Double): DataFrame = {
     val embPlain =
       vectors.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val maxBytes = vectors.sparkSession.conf

@@ -8,79 +8,69 @@ import graft.queries.QueriesLlm
 
 /** Stage-level wall-clock breakdown of `llm_dbscan_lsh` — the heaviest
   * bench row at sf10 (70.4 s in r14) and the headline density-clustering
-  * operator. Mirrors [[ProfileSubstring]]: the injected base corpus is
-  * built ONCE (eagerly checkpointed, timed separately), then each stage is
-  * a CUMULATIVE materialization from that base, so the delta between
-  * consecutive stages is that stage's own cost under the real plan:
+  * operator. Stages are ISOLATED, not cumulative: each stage's INPUT is an
+  * eagerly-materialized frame (localCheckpoint / the bucketing's own eager
+  * cache), so the reported number is that stage's own cost — the first
+  * (cumulative-delta) version of this tool produced NEGATIVE deltas at
+  * sf10 because single-run variance across 40–80 s cumulative plans
+  * swamped per-stage differences.
   *
-  *   1. bucket    — 12-bit × 64-table sign-projection bucketing (native
-  *                  expression, one map pass + eager cache)
-  *   2. cand      — the (table, bucket) self-join + 16-B-wide pair distinct
-  *   3. verify    — embeddings re-attach (shared broadcast ×2 aliases) +
-  *                  exact rounded-cosine ε filter
-  *   4. cluster   — degree count, core filter, core-core edge build, and
-  *                  the O(log n) large-star/small-star component rounds
-  *   5. full      — member/noise rollup (the registry row's output)
+  *   0. base     — injected hub/spoke/noise corpus build (checkpoint)
+  *   1. bucket   — 12-bit × 64-table sign-projection bucketing (native
+  *                 expression; its own eager cache + count IS the stage)
+  *   2. cand     — (table, bucket) self-join + 16-B-wide pair distinct,
+  *                 from the cached bucket frame, checkpointed
+  *   3. verify   — embeddings re-attach (one shared gated broadcast ×2
+  *                 aliases) + exact rounded-cosine ε filter, from the
+  *                 checkpointed candidates, checkpointed
+  *   4. cluster  — degree count, core filter, core-core edges, O(log n)
+  *                 large-star/small-star CC, from checkpointed pairs
+  *   5. rollup   — member/noise aggregation (the registry row's output)
   *
-  * `spark.catalog.clearCache()` runs before every stage so each cumulative
-  * measurement rebuilds the bucket cache exactly as a cold registry run
-  * does — without it, stage 2+ would read stage 1's cache and the deltas
-  * would double-count nothing but also hide the bucketing share.
-  *
-  * Also counts Exchange nodes in the final executed plan so the shuffle
-  * accounting is read off the plan, not asserted.
+  * Also counts Exchange nodes in the un-staged registry plan so the
+  * shuffle accounting is read off the plan, not asserted.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.ProfileDbscan"
   */
 object ProfileDbscan {
 
-  private def time(label: String)(mk: => DataFrame): Double = {
+  private def timed[A](label: String)(mk: => A): A = {
     val t0 = System.nanoTime()
-    mk.queryExecution.toRdd.foreach(_ => ())
-    val s = (System.nanoTime() - t0) / 1e9
-    println(f"[profile] $label%-28s $s%7.2f s")
-    s
+    val r = mk
+    println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    r
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.get()
 
-    val tb0 = System.nanoTime()
-    val base = QueriesLlm.dbscanBase(spark, sfDir) // eager localCheckpoint
-    base.count()
-    println(f"[profile] 0 injected base (ckpt)     ${(System.nanoTime() - tb0) / 1e9}%7.2f s")
+    def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
-    def bucketed = Similarity.bucketedFrame(base, 12, 64, None)
-    def candidates = {
-      val bk = bucketed
-      val a = bk.select(col("table"), col("bucket"), col("vec_id").as("id_a"))
-      val b = bk.select(col("table"), col("bucket"), col("vec_id").as("id_b"))
-      a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+    val base = timed("0 injected base (ckpt)") {
+      val b = QueriesLlm.dbscanBase(spark, sfDir); b.count(); b
     }
-    def pairs = Similarity.nearDupPairsLsh(base, threshold = 0.9)
-    def clustered = Dbscan.cluster(pairs, minPts = 6)
-    def full = QueriesLlm.dbscanRollup(base, clustered)
+    val bucketed = timed("1 lsh bucketing (64 tables)")(
+      Similarity.bucketedFrame(base, 12, 64, None)) // eager cache+count inside
+    val candidates = timed("2 candidate distinct")(
+      ckpt(Similarity.lshCandidatePairs(bucketed)))
+    val nCand = candidates.count()
+    val pairs = timed("3 exact-cosine verify")(
+      ckpt(Similarity.verifyCandidatePairs(base, candidates, 0.9)))
+    val nPairs = pairs.count()
+    val clustered = timed("4 degree/core/CC cluster")(
+      ckpt(Dbscan.cluster(pairs, minPts = 6)))
+    timed("5 member/noise rollup") {
+      QueriesLlm.dbscanRollup(base, clustered).queryExecution.toRdd.foreach(_ => ())
+    }
+    println(s"[profile] candidates=$nCand verified_pairs=$nPairs")
 
     spark.catalog.clearCache()
-    val t1 = time("1 lsh bucketing (64 tables)")(bucketed)
-    spark.catalog.clearCache()
-    val t2 = time("2 + candidate distinct")(candidates)
-    spark.catalog.clearCache()
-    val t3 = time("3 + exact-cosine verify")(pairs)
-    spark.catalog.clearCache()
-    val t4 = time("4 + degree/core/CC cluster")(clustered)
-    spark.catalog.clearCache()
-    val t5 = time("5 full rollup row")(full)
-
-    println(f"[profile] stage deltas: bucket ${t1}%.2f | cand ${t2 - t1}%.2f | " +
-      f"verify ${t3 - t2}%.2f | cluster ${t4 - t3}%.2f | rollup ${t5 - t4}%.2f")
-
-    spark.catalog.clearCache()
-    val plan = full.queryExecution.executedPlan.toString
+    val plan = QueriesLlm.dbscanRollup(base,
+        Dbscan.cluster(Similarity.nearDupPairsLsh(base, threshold = 0.9), minPts = 6))
+      .queryExecution.executedPlan.toString
     val nExchange = "(?m)^.*Exchange".r.findAllIn(plan).size
-    println(s"[profile] final plan: $nExchange Exchange node(s)")
+    println(s"[profile] registry plan: $nExchange Exchange node(s)")
     spark.stop()
   }
 }
