@@ -21,7 +21,7 @@ ONLY=$ONLY,w14_anchor_points,pipeline_full,llm_minhash_dedup
 ONLY=$ONLY,llm_quality_percentile,llm_bpe_merges,llm_hard_negatives
 ONLY=$ONLY,llm_substring_dedup,llm_substring_trim,llm_substring_trimmed_text
 ONLY=$ONLY,llm_suffix_array,llm_dbscan_lsh,w17_anomaly_mad,w17_bucketed
-ONLY=$ONLY,llm_bigram_lm_filter
+ONLY=$ONLY,llm_bigram_lm_filter,llm_suffix_dup_positions
 
 echo "== bench at sf10 (reps=3)"
 # sbt runs to a log and its exit status is checked SEPARATELY from the
