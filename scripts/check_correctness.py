@@ -58,6 +58,13 @@ def norm_type(t):
     HUGEINT vs BIGINT was red — the driver's hasher evidently converts both
     sides to native ints but can't represent int128 natively. So HUGEINT
     (and DECIMAL) stay DISTINCT and always flag.
+
+    FLOAT vs DOUBLE is left DISTINCT too, but that direction is UNVERIFIED
+    against the driver (the cited evidence covers int widths and HUGEINT
+    only — no float32-valued Spark column has crossed the gate yet). The
+    choice is conservative: a future REAL/DOUBLE red in this mirror must be
+    re-checked against the actual driver artifact before being treated as a
+    real failure.
     """
     u = str(t).upper().replace(" WITH TIME ZONE", "")
     return "BIGINT" if u in INT_WIDTHS else u
@@ -70,6 +77,10 @@ def rel_types(con, sql):
     execute it.
     """
     rel = con.sql(sql)
+    # duplicate output names would silently collapse in the dict and let a
+    # query bypass the type gate on the shadowed column (r15 advice)
+    assert len(set(rel.columns)) == len(rel.columns), \
+        f"duplicate output column names defeat the type gate: {rel.columns}"
     return dict(zip(rel.columns, (norm_type(t) for t in rel.types)))
 
 
@@ -85,6 +96,14 @@ def type_mismatches(want_t, got_t):
     for col in sorted(set(want_t) & set(got_t)):
         if want_t[col] != got_t[col]:
             bad.append((col, want_t[col], got_t[col]))
+    # columns present on only one side can't be type-checked at all — report
+    # them here so a renamed column can't slip past the gate silently (the
+    # sorted-name schema check downstream also fires, but this names the
+    # column and the side)
+    for col in sorted(set(want_t) - set(got_t)):
+        bad.append((col, want_t[col], "<absent on spark side>"))
+    for col in sorted(set(got_t) - set(want_t)):
+        bad.append((col, "<absent on oracle side>", got_t[col]))
     return bad
 
 
@@ -180,7 +199,8 @@ def main():
             elif args.linear_replay and name == "emb_pca_project":
                 want_cols, want_rows = linear_replay.gram_pca_replay(con)
                 detail = "(gram-pca replay)"
-            elif args.linear_replay and name == "llm_incremental_dedup":
+            elif args.linear_replay and name in (
+                    "llm_incremental_dedup", "llm_incremental_bucketed"):
                 want_cols, want_rows = linear_replay.incremental_dedup_replay(con, sql)
                 detail = "(numpy band replay)"
             elif args.linear_replay and name == "llm_cluster_canonical":

@@ -21,9 +21,14 @@ ONLY=$ONLY,w14_anchor_points,pipeline_full,llm_minhash_dedup
 ONLY=$ONLY,llm_quality_percentile,llm_bpe_merges,llm_hard_negatives
 ONLY=$ONLY,llm_substring_dedup,llm_substring_trim,llm_substring_trimmed_text
 ONLY=$ONLY,llm_suffix_array,llm_dbscan_lsh,w17_anomaly_mad,w17_bucketed
-ONLY=$ONLY,llm_bigram_lm_filter,llm_suffix_dup_positions
+ONLY=$ONLY,llm_bigram_lm_filter,llm_suffix_dup_positions,llm_incremental_bucketed
 
-echo "== bench at sf10 (reps=3)"
+echo "== bench at sf10 (reps=3, per-query external-cpu gate + 1.4x self-consistency retry)"
+# Bench gates EACH query on external CPU (processes other than the bench
+# JVM) and re-runs any query whose median/min exceeds 1.4x — the r15 record
+# was contaminated mid-sweep on rows the round never touched, which a
+# start-only load gate cannot see. The artifact carries "regated"/"noisy"
+# fields naming any query that tripped either rule.
 # sbt runs to a log and its exit status is checked SEPARATELY from the
 # grep: piping sbt into `grep || true` masked a failed bench run, letting a
 # stale BENCH_sf10.json from a previous run pass for fresh results.

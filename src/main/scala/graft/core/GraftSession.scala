@@ -29,6 +29,7 @@ object GraftSession {
         ext.injectPlannerStrategy(_ => graft.plans.IndicatorPassStrategy)
         ext.injectPlannerStrategy(_ => graft.plans.PeaksPassStrategy)
         ext.injectPlannerStrategy(_ => graft.plans.GlobalIndexStrategy)
+        ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
       }
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -44,6 +45,16 @@ object GraftSession {
   def get(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": session-conf overrides for A/B
+    // experiment runs (e.g. spark.graft.suffixArray.segmentedRank=false to
+    // bench the pre-r16 rank path) without touching code. Session-level
+    // confs only — core confs are already fixed by the builder above.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { kvs =>
+      kvs.split(';').filter(_.contains('=')).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      }
+    }
     spark
   }
 

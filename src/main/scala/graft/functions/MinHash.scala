@@ -236,6 +236,23 @@ object MinHash {
     transform(sequence(lit(0), lit(numBands - 1)),
       b => struct(b.as("band"), hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash")))
 
+  /** Packed LSH band-key frame `(id, bk)` — the signature pass plus the
+    * band explode, with (band, band_hash) packed injectively into one long
+    * (band high 32 bits, murmur3 band hash zero-extended low 32, the
+    * [[candidatePairs]] key shape). This IS the persistable band index of
+    * an admitted corpus: write it `bucketBy(bk)` once at ingest
+    * ([[graft.sources.Sinks.writeBucketed]]) and every future delta batch
+    * probes it with its index-side shuffle already paid — the
+    * `llm_incremental_bucketed` shape.
+    */
+  def bandKeys(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+               numPerms: Int = 128, numBands: Int = 16, rowsPerBand: Int = 8): DataFrame =
+    withSignatures(docs, textCol, idCol, numPerms)
+      .select(col("id"), explode(bands(col("sig"), numBands, rowsPerBand)).as("b"))
+      .select(col("id"),
+        (shiftleft(col("b.band").cast("long"), 32) bitwiseOR
+          (col("b.band_hash").cast("long") bitwiseAND lit(0xFFFFFFFFL))).as("bk"))
+
   /** Candidate near-duplicate pairs (a < b) with their estimated Jaccard
     * (fraction of agreeing signature positions). One shuffle on the band
     * bucket + one on the scalar pair key for distinct; signatures join back

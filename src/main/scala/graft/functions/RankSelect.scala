@@ -110,13 +110,23 @@ object RankSelect {
     * order refine value order; the in-bucket (value, tie) window completes
     * the same total order, so the selected value is bit-identical to the
     * full window-sort form. Returns one (partCols…, out) row per group.
+    *
+    * PRECONDITION: `valueCol` must be null-free and NaN-free. A null value
+    * lands in the NULL bucket (which sorts FIRST) and a NaN lands wherever
+    * `bucketExpr` casts it, while Spark's value order puts NULL first but
+    * NaN ABOVE every double — either breaks the bucket-refines-value-order
+    * invariant the bit-identical claim rests on. The guard is enforced for
+    * free inside the histogram aggregate this pass already runs (one extra
+    * map-side column, zero extra jobs): a violating input throws instead
+    * of silently returning a wrong median (r15 advice).
     */
   def selectCeilHalf(df: DataFrame, partCols: Seq[String], valueCol: String,
                      tieCol: String, bucketExpr: org.apache.spark.sql.Column,
                      out: String): DataFrame = {
     val p = partCols.map(col)
     val withB = df.withColumn("__b", bucketExpr.cast("long"))
-    val cnts = withB.groupBy((p :+ col("__b")): _*).agg(count(lit(1)).as("__c"))
+    val cnts = withB.groupBy((p :+ col("__b")): _*).agg(count(lit(1)).as("__c"),
+      count(when(col(valueCol).isNull || isnan(col(valueCol).cast("double")), 1)).as("__bad"))
     val wCum = Window.partitionBy(p: _*).orderBy(col("__b"))
     val wTot = Window.partitionBy(p: _*)
     // boundary buckets only: __cum < k <= __cum + __c, k = ceil(n/2);
@@ -127,12 +137,20 @@ object RankSelect {
       .withColumn("__cum", sum(col("__c")).over(wCum) - col("__c"))
       .withColumn("__n", sum(col("__c")).over(wTot))
       .withColumn("__k", expr("(__n + 1) div 2"))
+      .withColumn("__badTot", sum(col("__bad")).over(wTot))
       .filter(col("__cum") < col("__k") && col("__cum") + col("__c") >= col("__k"))
       .drop("__n")
     val spark = df.sparkSession
     val infoRows = infoPlan.collect()
+    // every group has exactly one boundary-bucket row, so checking the
+    // collected rows covers every group without an extra job
+    val badIdx = infoPlan.schema.fieldIndex("__badTot")
+    require(infoRows.forall(r => r.getLong(badIdx) == 0L),
+      s"selectCeilHalf: '$valueCol' contains null or NaN values, which break " +
+        "the bucket-refines-value-order invariant (see scaladoc precondition)")
     val info = spark.createDataFrame(
       java.util.Arrays.asList(infoRows: _*), infoPlan.schema)
+      .drop("__bad", "__badTot")
     val wIn = Window.partitionBy((p :+ col("__b")): _*)
       .orderBy(col(valueCol), col(tieCol))
     withB.join(broadcast(info), partCols :+ "__b") // inner: boundary rows only

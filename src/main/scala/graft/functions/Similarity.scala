@@ -308,6 +308,15 @@ object Similarity {
     * [[NearDupBroadcastBytesKey]] (the exactJaccard budget pattern): past
     * the budget the attach degrades to the shuffled join — wider shuffle,
     * but it cannot hit Spark's hard 8 GB broadcast wall.
+    *
+    * The size estimate is the OPTIMIZER's (`optimizedPlan.stats` — parquet
+    * footer / InMemoryRelation stats), not an eager `count()`/`head()`
+    * probe: the earlier probe ran two driver actions at plan-CONSTRUCTION
+    * time, which re-executed an un-checkpointed upstream plan twice per
+    * call and threw on an empty vectors frame where this function had been
+    * lazily returning an empty pair frame (r15 advice). Catalyst's own
+    * broadcast planner trusts the same statistic; a conservative
+    * (over-sized) estimate merely degrades to the shuffled join.
     */
   private[graft] def verifyCandidatePairs(vectors: DataFrame, candidates: DataFrame,
                                           threshold: Double): DataFrame = {
@@ -316,9 +325,8 @@ object Similarity {
     val maxBytes = vectors.sparkSession.conf
       .getOption(NearDupBroadcastBytesKey).map(_.toLong)
       .getOrElse(NearDupBroadcastBytesDefault)
-    val dims = vectors.select(size(col("embedding"))).head().getInt(0)
-    val estBytes = vectors.count() * (dims.toLong * 8L + 64L)
-    val emb = if (estBytes <= maxBytes) broadcast(embPlain) else embPlain
+    val estBytes = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
+    val emb = if (estBytes <= BigInt(maxBytes)) broadcast(embPlain) else embPlain
     candidates
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("nrm").as("na")), "id_a")

@@ -45,7 +45,7 @@ object SuffixArray {
     * sf0.1); the only extra job is zipWithIndex's bounded per-partition
     * count — #partitions longs to the driver.
     */
-  private def withGlobalIdx(df: DataFrame, sortCols: Seq[String]): DataFrame =
+  private[graft] def withGlobalIdx(df: DataFrame, sortCols: Seq[String]): DataFrame =
     org.apache.spark.sql.graftbridge.PlanBridge.ofRows(df.sparkSession,
       graft.plans.GlobalIndexPlan(
         org.apache.spark.sql.graftbridge.PlanBridge.analyzed(df),
@@ -55,13 +55,30 @@ object SuffixArray {
     * share a rank, ranks are monotone in `keyCols` order. The rank value is
     * the group's first global index — sparse, which the doubling recurrence
     * is indifferent to.
+    *
+    * Default path: the native segmented scan ([[graft.plans.GlobalRankPlan]])
+    * — the frame leaving the range sort is already key-contiguous, so the
+    * run-start rank needs only a #partitions-sized boundary exchange, not
+    * the `groupBy(min)` + key join (two full hash exchanges per doubling
+    * round) the DataFrame form pays. `spark.graft.suffixArray.segmentedRank`
+    * = false selects the old three-stage form — kept for the before/after
+    * measurement and as the all-public-API fallback.
     */
-  private def rankBy(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val idx = withGlobalIdx(df, keyCols)
-    val ranks = idx.groupBy(keyCols.map(col): _*)
-      .agg(min(col("__idx")).as("__rank"))
-    idx.join(ranks, keyCols)
-      .drop("__idx")
+  private[graft] def rankBy(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val segmented = df.sparkSession.conf
+      .getOption("spark.graft.suffixArray.segmentedRank").forall(_.toBoolean)
+    if (segmented) {
+      org.apache.spark.sql.graftbridge.PlanBridge.ofRows(df.sparkSession,
+        graft.plans.GlobalRankPlan(
+          org.apache.spark.sql.graftbridge.PlanBridge.analyzed(df),
+          keyCols, graft.plans.GlobalIndexPlan.mkOutAttr("__rank")))
+    } else {
+      val idx = withGlobalIdx(df, keyCols)
+      val ranks = idx.groupBy(keyCols.map(col): _*)
+        .agg(min(col("__idx")).as("__rank"))
+      idx.join(ranks, keyCols)
+        .drop("__idx")
+    }
   }
 
   /** Build the capped suffix array: one row per (doc_id, pos) with `sa_rank`

@@ -116,3 +116,174 @@ final case class GlobalIndexExec(
   override protected def withNewChildInternal(newChild: SparkPlan): GlobalIndexExec =
     copy(child = newChild)
 }
+
+/** Global run-start rank by `keyCols` as a native operator — the segmented
+  * scan that collapses [[graft.operators.SuffixArray]]'s per-round re-rank
+  * from THREE plan stages (global index + `groupBy(min)` + key join — two
+  * hash exchanges over the full frame per doubling round) to the ONE range
+  * exchange the global sort already needs. Each output row carries
+  * `outAttr` = the global 0-based index of the FIRST row of its equal-key
+  * run — exactly `min(__idx) over equal keys`, the sparse rank the prefix-
+  * doubling recurrence consumes.
+  *
+  * Mechanism: after the planner's range exchange + sort (required via
+  * [[OrderedDistribution]], so equal keys are contiguous ACROSS partitions
+  * too — a range partitioner assigns equal keys to one partition
+  * deterministically), ranks are computable per-partition given only where
+  * each partition's LEADING run began globally. One bounded boundary job
+  * collects per partition (row count, first key, last key, local start of
+  * the trailing run) — #partitions rows of key-width bytes to the driver —
+  * and a driver scan threads the open run across partition boundaries.
+  * The main pass then assigns ranks in one forward scan per partition:
+  * zero extra exchanges, no array/driver traffic proportional to data.
+  *
+  * Determinism: both jobs consume ONE child RDD instance (one lazy range-
+  * shuffle dependency — bounds sampled once, the [[GlobalIndexExec]]
+  * argument), and per-partition row COUNTS and key runs are functions of
+  * the key alone, so intra-run row order differences between the two jobs
+  * cannot change any rank.
+  */
+final case class GlobalRankPlan(
+    child: LogicalPlan,
+    keyCols: Seq[String],
+    outAttr: Attribute) extends UnaryNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(outAttr))
+
+  /** Pass-through of the entire child row — column pruning must not strip
+    * the child below this node.
+    */
+  override def references: AttributeSet = child.outputSet
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): GlobalRankPlan =
+    copy(child = newChild)
+}
+
+/** Plans [[GlobalRankPlan]] → [[GlobalRankExec]]. Injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` (GraftSession).
+  */
+object GlobalRankStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GlobalRankPlan(child, keyCols, outAttr) =>
+      GlobalRankExec(planLater(child), keyCols, outAttr) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class GlobalRankExec(
+    child: SparkPlan,
+    keyCols: Seq[String],
+    outAttr: Attribute) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ outAttr
+
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(outAttr))
+
+  private def attr(name: String): Attribute =
+    child.output.find(_.name == name).getOrElse(
+      throw new IllegalStateException(s"GlobalRankExec child lacks column '$name'"))
+
+  private def keyExprs = keyCols.map(attr)
+
+  private def ordering: Seq[SortOrder] =
+    keyExprs.map(a => SortOrder(a, Ascending))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    OrderedDistribution(ordering) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(ordering)
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  /** The child's range sort survives the append, and the run-start rank is
+    * monotone (non-strictly) in it.
+    */
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val resultExprs = output
+    val joinedSchema = childOutput :+ outAttr
+    val keys = keyExprs
+    val rdd = child.execute()
+    // Boundary job: one forward scan per partition, emitting (count,
+    // first key, last key, local index where the trailing run starts).
+    // Plain tuples of serializable UnsafeRow copies — a nested case class
+    // would drag this whole exec node (and its non-serializable runtime
+    // state) into the task result.
+    val bounds: Array[Option[(Long, InternalRow, InternalRow, Long)]] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val proj = UnsafeProjection.create(keys, childOutput)
+        var i = 0L
+        var first: InternalRow = null
+        var cur: InternalRow = null
+        var trailStart = 0L
+        while (it.hasNext) {
+          val k = proj(it.next())
+          if (i == 0L) { first = k.copy(); cur = first }
+          else if (k != cur) { cur = k.copy(); trailStart = i }
+          i += 1L
+        }
+        Iterator.single((pid, if (i == 0L) None
+          else Some((i, first, cur, trailStart))))
+      }.collect().sortBy(_._1).map(_._2)
+    val nParts = bounds.length
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    var p = 0
+    while (p < nParts) {
+      offsets(p) = acc
+      acc += bounds(p).map(_._1).getOrElse(0L)
+      p += 1
+    }
+    // Driver scan: thread the open run across partitions. carried(p) >= 0
+    // means partition p's leading run began at that GLOBAL index.
+    val carried = Array.fill(nParts)(-1L)
+    var prevLast: InternalRow = null
+    var prevOpen = -1L
+    p = 0
+    while (p < nParts) {
+      bounds(p) match {
+        case Some((_, firstKey, lastKey, trailStartLocal)) =>
+          val continues = prevLast != null && firstKey == prevLast
+          if (continues) carried(p) = prevOpen
+          prevOpen =
+            if (trailStartLocal == 0L && continues) prevOpen
+            else offsets(p) + trailStartLocal
+          prevLast = lastKey
+        case None => () // empty partition: carry the open run through
+      }
+      p += 1
+    }
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(keys, childOutput)
+      val project = UnsafeProjection.create(resultExprs, joinedSchema)
+      val join = new JoinedRow
+      val rankVals = new Array[Any](1)
+      val rankRow = new GenericInternalRow(rankVals)
+      val base = offsets(pid)
+      val lead = carried(pid)
+      var i = 0L
+      var cur: InternalRow = null
+      var runStart = 0L
+      it.map { r =>
+        val k = proj(r)
+        if (i == 0L) {
+          cur = k.copy()
+          runStart = if (lead >= 0L) lead else base
+        } else if (k != cur) {
+          cur = k.copy()
+          runStart = base + i
+        }
+        i += 1L
+        rankVals(0) = runStart
+        project(join(r, rankRow))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GlobalRankExec =
+    copy(child = newChild)
+}

@@ -1415,8 +1415,7 @@ object QueriesLlm {
     * — via [[OracleHash]], so the candidate SET (not an idealized all-pairs
     * stand-in) is what the gate hash-checks.
     */
-  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private def incrementalFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
     requireIdHeadroom(docs, "doc_id", 2000000L)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
@@ -1427,15 +1426,23 @@ object QueriesLlm {
     val batch = docs.filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("text"), col("source"))
       .unionByName(injected)
+    (corpus, batch)
+  }
 
+  /** Shared classification/aggregate tail of the incremental-dedup rows:
+    * `cand` supplies the (probe id_a, corpus id_b) band candidates — the
+    * only stage the two variants build differently.
+    */
+  private def incrementalClassify(batch: DataFrame, corpus: DataFrame,
+                                  cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // (a) exact-fingerprint index probe: 32-byte keys, uniform shuffle
     val corpusFp = corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
     val exactIds = batch.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .join(corpusFp, Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(true))
 
-    // (b) banded-index probe + exact-Jaccard verify (candidate-bound)
-    val cand = MinHash.crossCandidatePairs(batch, corpus)
+    // (b) band candidates + exact-Jaccard verify (candidate-bound)
     val nearIds = MinHash.withExactJaccard(cand, batch.unionByName(corpus))
       .filter(col("jaccard") >= 0.7)
       .select(col("id_a").as("doc_id")).distinct()
@@ -1463,6 +1470,34 @@ object QueriesLlm {
         count(when(col("cls") === "batch_dup", 1)).as("n_batch_dup"),
         count(when(col("cls") === "admitted", 1)).as("n_admitted"),
         sum(when(col("cls") === "admitted", col("doc_id"))).as("sum_admitted_ids"))
+  }
+
+  private def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = incrementalFrames(s, dir)
+    incrementalClassify(batch, corpus, MinHash.crossCandidatePairs(batch, corpus))
+  }
+
+  /** [[incrementalDedup]] with the corpus band index PERSISTED as a
+    * catalog-backed table bucketed on the packed band key — the production
+    * 100 TB shape the in-session variant only gestures at: the index's
+    * shuffle is paid ONCE at ingest ([[graft.sources.Sinks.writeBucketed]],
+    * the `layout_bucketed_join` path), and every delta batch thereafter
+    * probes it with ZERO exchange on the index side — only the batch's own
+    * bands shuffle into the index's bucketing (pinned in `PlanSpec`). Same
+    * candidate set, same classification, same oracle as
+    * `llm_incremental_dedup`; at a real 100 TB corpus the index table is
+    * also sorted within buckets and the probe degrades gracefully to a
+    * merge of pre-sorted co-located files. Here the write happens in-row so
+    * the gate checks the whole write→catalog→probe path end-to-end.
+    */
+  private def incrementalDedupBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch) = incrementalFrames(s, dir)
+    graft.sources.Sinks.writeBucketed(
+      MinHash.bandKeys(corpus), "llm_band_index_b", 32, Seq("bk"))
+    val cand = MinHash.bandKeys(batch).select(col("bk"), col("id").as("id_a"))
+      .join(s.table("llm_band_index_b").select(col("bk"), col("id").as("id_b")), "bk")
+      .select(col("id_a"), col("id_b")).distinct()
+    incrementalClassify(batch, corpus, cand)
   }
 
   private val incrementalDedupSql = {
@@ -1759,6 +1794,7 @@ object QueriesLlm {
     Q("llm_substring_trimmed_text", substringTrimmedText,
       Some(substringTrimmedTextSql)),
     Q("llm_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    Q("llm_incremental_bucketed", incrementalDedupBucketed, Some(incrementalDedupSql)),
     Q("llm_cluster_canonical", clusterCanonical, Some(clusterCanonicalSql)),
     Q("llm_text_stats", stats, Some(statsSql)),
     Q("llm_minhash_dedup", minhash, Some(LlmHashOracles.minhashSql), headline = true),

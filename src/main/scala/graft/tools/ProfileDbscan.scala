@@ -31,6 +31,13 @@ import graft.queries.QueriesLlm
   * shuffle accounting is read off the plan, not asserted.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.ProfileDbscan"
+  *
+  * SPARK_GRAFT_LSH_BITS / SPARK_GRAFT_LSH_TABLES override the geometry
+  * for the bits-vs-tables experiment (r15 profile: candidate distinct is
+  * 43% of the row — 123 M candidate sightings for 53 k ε-edges — so the
+  * geometry IS the measured lever). The tool also reports the verified
+  * pair count so an alternative geometry's ε-recall is checked against
+  * the baseline's 53 k edges, not assumed.
   */
 object ProfileDbscan {
 
@@ -47,11 +54,14 @@ object ProfileDbscan {
 
     def ckpt(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+    val bits = sys.env.getOrElse("SPARK_GRAFT_LSH_BITS", "12").toInt
+    val tables = sys.env.getOrElse("SPARK_GRAFT_LSH_TABLES", "64").toInt
+    println(s"[profile] geometry: $bits bits x $tables tables")
     val base = timed("0 injected base (ckpt)") {
       val b = QueriesLlm.dbscanBase(spark, sfDir); b.count(); b
     }
-    val bucketed = timed("1 lsh bucketing (64 tables)")(
-      Similarity.bucketedFrame(base, 12, 64, None)) // eager cache+count inside
+    val bucketed = timed(s"1 lsh bucketing ($tables tables)")(
+      Similarity.bucketedFrame(base, bits, tables, None)) // eager cache+count inside
     val candidates = timed("2 candidate distinct")(
       ckpt(Similarity.lshCandidatePairs(bucketed)))
     val nCand = candidates.count()
@@ -67,7 +77,9 @@ object ProfileDbscan {
 
     spark.catalog.clearCache()
     val plan = QueriesLlm.dbscanRollup(base,
-        Dbscan.cluster(Similarity.nearDupPairsLsh(base, threshold = 0.9), minPts = 6))
+        Dbscan.cluster(
+          Similarity.nearDupPairsLsh(base, threshold = 0.9, bits = bits, tables = tables),
+          minPts = 6))
       .queryExecution.executedPlan.toString
     val nExchange = "(?m)^.*Exchange".r.findAllIn(plan).size
     println(s"[profile] registry plan: $nExchange Exchange node(s)")

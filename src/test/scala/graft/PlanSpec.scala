@@ -137,6 +137,36 @@ class PlanSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("incremental dedup band index: bucketed index side joins exchange-free") {
+    import graft.functions.MinHash
+    // the llm_incremental_bucketed shape: corpus band index written
+    // bucketBy(bk) once, delta batch probes it — ONLY the probe side may
+    // shuffle (into the index's bucketing); the index side scans its
+    // buckets directly
+    val docs = Tables.documents(spark, dir)
+    graft.sources.Sinks.writeBucketed(
+      MinHash.bandKeys(docs.filter(col("doc_id") % 5 =!= 0)),
+      "plan_band_index_b", 4, Seq("bk"))
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = MinHash.bandKeys(docs.filter(col("doc_id") % 5 === 0))
+        .select(col("bk"), col("id").as("id_a"))
+      val cand = probe
+        .join(spark.table("plan_band_index_b").select(col("bk"), col("id").as("id_b")), "bk")
+      val ep = cand.queryExecution.executedPlan.toString
+      assert(ep.contains("Bucketed: true"),
+        s"the index side must scan its buckets directly:\n$ep")
+      val bkExchanges = ep.split('\n')
+        .count(l => l.contains("Exchange hashpartitioning(bk"))
+      assert(bkExchanges == 1,
+        s"exactly the PROBE side shuffles into the index bucketing, got $bkExchanges:\n$ep")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("connected components: star rounds shuffle scalar edges only") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
