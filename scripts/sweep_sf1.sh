@@ -26,8 +26,12 @@ echo "== correctness compare (linear-replay oracles, full coverage)"
 python3 scripts/check_correctness.py "$SF1" target/verify_sf1 \
   --linear-replay --json "CORRECTNESS_sf1_r${ROUND}.json" || true
 
-echo "== bench at sf1"
+echo "== bench at sf1 (headline + the stream-static-join LM scorer)"
+# stream_bigram_lm_join rides the sf1 record so the 100 TB stream-scoring
+# wiring carries a measured scale number, not just a shape argument (r15
+# verdict item 7)
 SPARK_GRAFT_SF_DIR="$SF1" SPARK_GRAFT_BENCH_OUT=BENCH_sf1.json \
+  SPARK_GRAFT_BENCH_EXTRA=stream_bigram_lm_join \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' || true
 
 echo "== done: CORRECTNESS_sf1_r${ROUND}.json + BENCH_sf1.json"

@@ -309,14 +309,19 @@ object Similarity {
     * the budget the attach degrades to the shuffled join — wider shuffle,
     * but it cannot hit Spark's hard 8 GB broadcast wall.
     *
-    * The size estimate is the OPTIMIZER's (`optimizedPlan.stats` — parquet
-    * footer / InMemoryRelation stats), not an eager `count()`/`head()`
-    * probe: the earlier probe ran two driver actions at plan-CONSTRUCTION
-    * time, which re-executed an un-checkpointed upstream plan twice per
-    * call and threw on an empty vectors frame where this function had been
-    * lazily returning an empty pair frame (r15 advice). Catalyst's own
-    * broadcast planner trusts the same statistic; a conservative
-    * (over-sized) estimate merely degrades to the shuffled join.
+    * The size estimate is two-tier (r15 advice + r16 regression): FIRST the
+    * OPTIMIZER's `optimizedPlan.stats` — zero driver actions, and when it
+    * already fits the budget the hint applies with no jobs at all. But that
+    * statistic can be inflated by ORDERS OF MAGNITUDE on derived inputs
+    * (the DBSCAN base is a localCheckpoint whose LogicalRDD inherits the
+    * pre-checkpoint plan's stats, and its crossJoin-product estimate reads
+    * ~800 GB for a 260 k-row frame — measured: trusting it alone silently
+    * dropped the broadcast and put the sf10 verify on the shuffled path,
+    * 10 s → 297 s). So an over-budget estimate is DOUBLE-CHECKED with one
+    * bounded probe — `take(1)` for dims (empty frame ⇒ skip the hint and
+    * stay lazy, the r15-advice fix) + `count()` for rows. The probe runs
+    * only when stats are over budget, i.e. exactly when getting the answer
+    * wrong costs a scale factor.
     */
   private[graft] def verifyCandidatePairs(vectors: DataFrame, candidates: DataFrame,
                                           threshold: Double): DataFrame = {
@@ -325,8 +330,17 @@ object Similarity {
     val maxBytes = vectors.sparkSession.conf
       .getOption(NearDupBroadcastBytesKey).map(_.toLong)
       .getOrElse(NearDupBroadcastBytesDefault)
-    val estBytes = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
-    val emb = if (estBytes <= BigInt(maxBytes)) broadcast(embPlain) else embPlain
+    val statsEst = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
+    val fits =
+      if (statsEst <= BigInt(maxBytes)) true
+      else {
+        val firstDims = vectors.select(size(col("embedding"))).take(1)
+        firstDims.nonEmpty && {
+          val dims = firstDims(0).getInt(0)
+          vectors.count() * (dims.toLong * 8L + 64L) <= maxBytes
+        }
+      }
+    val emb = if (fits) broadcast(embPlain) else embPlain
     candidates
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("nrm").as("na")), "id_a")

@@ -801,17 +801,29 @@ object QueriesLlm {
 
   /** The same DBSCAN against the SAME oracle, but with the ε-graph from
     * the LSH-bucketed candidate generator
-    * ([[Similarity.nearDupPairsLsh]], 12 bits × 64 tables) instead of the
+    * ([[Similarity.nearDupPairsLsh]], 14 bits × 86 tables) instead of the
     * all-pairs baseline — hash-green means the 100 TB candidate path
     * reproduces the exact decomposition edge-for-edge on this corpus.
-    * Recall note (same caveat style as the LSH dedup rows): a grazing
-    * ε = 0.9 edge (θ ≈ 0.42 rad) misses all 64 tables with p ≈ 3e-6; with
-    * fixed hyperplane seeds the outcome is DETERMINISTIC per corpus, and
-    * green at each tested SF means zero edges were missed there.
+    *
+    * Geometry (r16, MEASURED at sf10 — `scripts/profile_dbscan_geometry.sh`):
+    * equal-recall arithmetic holds the miss exponent tables × 0.866^bits at
+    * the old 12 × 64 point's 11.4 (per-bit grazing-edge collision 0.866 at
+    * ε = 0.9's θ ≈ 0.42 rad → per-edge miss ≈ e^−11.4 ≈ 1e-5), while more
+    * bits thin the buckets: 14 × 86 cut candidate sightings 123 M → 47.8 M,
+    * the candidate-distinct stage 48 → 12 s and the verify 26 → 4.7 s for
+    * +8 s of (map-side, shuffle-free) bucketing — stage total 106 → 50 s;
+    * 16 × 114 shrank candidates further (18.8 M) but over-paid bucketing at
+    * this corpus size (Σ 61 s; it becomes the right point when the
+    * candidate shuffle, which grows superlinearly with bucket occupancy,
+    * outweighs its extra map work). All three geometries verified the
+    * IDENTICAL 52,988 ε-edges at sf10 — recall parity measured, not
+    * assumed; with fixed hyperplane seeds the outcome is DETERMINISTIC per
+    * corpus, and green at each tested SF means zero edges were missed
+    * there.
     */
   private def dbscanClustersLsh(s: SparkSession, dir: String): DataFrame = {
     val base = dbscanBase(s, dir)
-    val pairs = Similarity.nearDupPairsLsh(base, threshold = 0.9)
+    val pairs = Similarity.nearDupPairsLsh(base, threshold = 0.9, bits = 14, tables = 86)
     dbscanRollup(base, graft.functions.Dbscan.cluster(pairs, minPts = 6))
   }
 
