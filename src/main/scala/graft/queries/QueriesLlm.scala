@@ -1427,7 +1427,7 @@ object QueriesLlm {
     * — via [[OracleHash]], so the candidate SET (not an idealized all-pairs
     * stand-in) is what the gate hash-checks.
     */
-  private def incrementalFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def incrementalFrames(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
     requireIdHeadroom(docs, "doc_id", 2000000L)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
@@ -1442,14 +1442,19 @@ object QueriesLlm {
   }
 
   /** Shared classification/aggregate tail of the incremental-dedup rows:
-    * `cand` supplies the (probe id_a, corpus id_b) band candidates — the
-    * only stage the two variants build differently.
+    * `cand` supplies the (probe id_a, corpus id_b) band candidates, and
+    * `fpIndex` optionally supplies a PREBUILT distinct-fingerprint index
+    * (the bucketed variant persists it next to the band index, so a batch
+    * admission re-scans the corpus for NEITHER leg) — the stages the two
+    * variants build differently.
     */
-  private def incrementalClassify(batch: DataFrame, corpus: DataFrame,
-                                  cand: DataFrame): DataFrame = {
+  private[graft] def incrementalClassify(batch: DataFrame, corpus: DataFrame,
+                                  cand: DataFrame,
+                                  fpIndex: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // (a) exact-fingerprint index probe: 32-byte keys, uniform shuffle
-    val corpusFp = corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+    val corpusFp = fpIndex.getOrElse(
+      corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct())
     val exactIds = batch.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .join(corpusFp, Seq("fp"), "left_semi")
       .select(col("doc_id")).withColumn("is_exact", lit(true))
@@ -1506,10 +1511,17 @@ object QueriesLlm {
     val (corpus, batch) = incrementalFrames(s, dir)
     graft.sources.Sinks.writeBucketed(
       MinHash.bandKeys(corpus), "llm_band_index_b", 32, Seq("bk"))
+    // the exact-fingerprint index persists the same way (32-byte keys,
+    // bucketed on fp): with BOTH indexes in the catalog, admitting a batch
+    // re-scans the corpus for NEITHER leg — the verify stage re-shingles
+    // only docs that appear in a candidate pair (semi-join bound)
+    graft.sources.Sinks.writeBucketed(
+      corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct(),
+      "llm_fp_index_b", 32, Seq("fp"))
     val cand = MinHash.bandKeys(batch).select(col("bk"), col("id").as("id_a"))
       .join(s.table("llm_band_index_b").select(col("bk"), col("id").as("id_b")), "bk")
       .select(col("id_a"), col("id_b")).distinct()
-    incrementalClassify(batch, corpus, cand)
+    incrementalClassify(batch, corpus, cand, Some(s.table("llm_fp_index_b")))
   }
 
   private val incrementalDedupSql = {
