@@ -372,7 +372,7 @@ object QueriesCorpus {
   /** Per-doc bigram-LM scores (doc_id, source, score, n_oov) — the shared
     * core of [[bigramLmFilter]] and the streaming twin's batch side.
     */
-  private[queries] def bigramDocScores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bigramDocScores(s: SparkSession, dir: String): DataFrame = {
     val d = tokenizedDocs(s, dir)
     val (uni, big, vocab) = bigramModelFrames(d)
     scoreAgainstModel(d, uni, big, vocab)
@@ -383,7 +383,7 @@ object QueriesCorpus {
     * streaming twins (bit-equal normalization is what makes the stream
     * compare exact).
     */
-  private[queries] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         split(graft.functions.TextOps.normalized(col("text")), " ").as("toks"))
@@ -404,9 +404,18 @@ object QueriesCorpus {
     * loudly on an empty train slice (an all-zero denominator would
     * otherwise surface as an opaque div-by-zero null deep in the scorer).
     */
-  private[queries] def bigramModelFrames(d: DataFrame)
+  private[graft] def bigramModelFrames(d: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val train = d.filter(col("source") === "src0")
+    // eager cut at the shared TRAIN tokenization: the three model frames
+    // feed three SEPARATE broadcast subtrees (bigram attach, unigram
+    // attach, vocab crossJoin) plus the isEmpty probe below, and without a
+    // boundary each re-runs the train-slice normalize+split behind it.
+    // The cut sits HERE — below the aggregates — so the broadcasts still
+    // build CONCURRENTLY on Spark's broadcast-exchange threads (an eager
+    // checkpoint of the aggregated frames themselves serialized the three
+    // builds and measured WORSE, 54.3 → 66.1 s at sf10; this form reads
+    // the token arrays from executor storage instead, train-slice-sized).
+    val train = d.filter(col("source") === "src0").localCheckpoint(true)
     require(!train.isEmpty,
       "bigram LM train slice (source='src0') is empty — cannot build a model")
     val uni = train.select(explode(col("toks")).as("w1"))
@@ -426,7 +435,7 @@ object QueriesCorpus {
     * Works unchanged on a STREAMING `docs` frame inside foreachBatch —
     * `stream_bigram_lm_join` is exactly that wiring, zero driver collect.
     */
-  private[queries] def scoreAgainstModel(docs: DataFrame, uni: DataFrame,
+  private[graft] def scoreAgainstModel(docs: DataFrame, uni: DataFrame,
       big: DataFrame, vocab: DataFrame): DataFrame =
     bigramsOf(docs)
       .join(broadcast(big), Seq("w1", "w2"), "left")
