@@ -152,9 +152,14 @@ object Bench {
     //    (externalCpuFrac, instantaneous — see scaladoc) up to QWAIT s;
     //  - after the reps, if median/min > RATIO (default 1.4 — the judge's
     //    adjudication threshold), the reps disagree with themselves:
-    //    re-gate and re-run, up to ATTEMPTS total, keeping the attempt
-    //    with the lowest median. Queries that never settled are listed in
-    //    the artifact's "noisy" field — self-labeling, never silent.
+    //    re-gate and re-run, up to ATTEMPTS total, keeping the LAST
+    //    attempt (r16 advice: keeping the lowest median was best-of-N
+    //    selection that biased published medians downward; the last
+    //    attempt is the one taken under the freshest gate, protocol-
+    //    comparable to single-attempt rows). EVERY attempt's median is
+    //    recorded in the artifact's "attempts" field so discarded values
+    //    are visible. Queries that never settled are listed in the
+    //    artifact's "noisy" field — self-labeling, never silent.
     val gateEach = sys.env.getOrElse("SPARK_GRAFT_BENCH_GATE_EACH", "1") == "1"
     val qWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_QWAIT", "120").toInt
     val extMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXT_MAX", "0.02").toDouble
@@ -162,6 +167,8 @@ object Bench {
     val attemptsMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
     val regated = scala.collection.mutable.ArrayBuffer[String]()
     val noisy = scala.collection.mutable.ArrayBuffer[String]()
+    // all attempt medians per re-gated query, in attempt order
+    val attemptLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = pool
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
@@ -194,11 +201,17 @@ object Bench {
         System.err.println(f"[bench] ${q.name}: median/min ${median(times) / times.min}%.2f > " +
           f"$ratioMax%.2f — re-gating and re-running (attempt ${attempt + 1}/$attemptsMax)")
         if (!regated.contains(q.name)) regated += q.name
+        attemptLog(q.name) = attemptLog.getOrElse(q.name, Seq.empty) :+ median(times)
         gateExternal(extMax, qWait)
         val again = runReps()
-        if (again.forall(_ >= 0) && median(again) < median(times)) times = again
+        // keep the LAST attempt (not the lowest median — r16 advice): the
+        // retry exists to replace a contaminated measurement with a fresh
+        // one, not to select a minimum
+        if (again.forall(_ >= 0)) times = again
         attempt += 1
       }
+      if (attemptLog.contains(q.name) && times.forall(_ >= 0))
+        attemptLog(q.name) = attemptLog(q.name) :+ median(times)
       if (times.forall(_ >= 0) && !settled(times)) noisy += q.name
       if (isPrefix && times.exists(_ >= 0)) {
         // the count lands via an async QueryExecutionListener on action
@@ -233,6 +246,9 @@ object Bench {
     val gateFields =
       s""""regated":[${regated.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""noisy":[${noisy.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""attempts":${attemptLog.map { case (k, ms) =>
+        "\"" + k + "\":[" + ms.map(m => f"$m%.3f").mkString(",") + "]"
+      }.mkString("{", ",", "}")},""" +
       s""""gate_each":${gateEach}"""
     val envJson = f""""load_1m_before":$loadBefore%.2f,"load_1m_after":$loadAfter%.2f,"proc_cpu_sec":$cpuSec%.1f,"wall_sec":$wallSec%.1f,"cpu_over_wall":${cpuSec / math.max(wallSec, 1e-9)}%.2f,"load_gate":"$loadGate",$gateFields"""
     val candJson =

@@ -21,15 +21,16 @@ import org.apache.spark.sql.functions._
   *      groupBy-count shuffle on the token. Rare-first ordering is the
   *      classic AllPairs optimization — it puts the LOW-df tokens into
   *      prefixes, so prefix-token buckets stay small;
-  *   3. prefix filter: a doc with |d| tokens indexes only its first
-  *      |d| − ⌈τ·|d|⌉ + 1 tokens. Completeness: J(A,B) ≥ τ ⇒
-  *      |A∩B| ≥ τ·|A∪B| ≥ τ·max(|A|,|B|), so fewer than that many tokens
-  *      can sit outside either prefix — a qualifying pair MUST collide on
+  *   3. prefix filter, LENGTH-ORDERED (PPJoin): the shorter doc of a pair
+  *      indexes only its first |d| − ⌈2τ/(1+τ)·|d|⌉ + 1 tokens, the longer
+  *      its first |d| − ⌈τ·|d|⌉ + 1. Completeness: J(A,B) ≥ τ ⇔
+  *      |A∩B| ≥ ⌈τ/(1+τ)·(|A|+|B|)⌉, so fewer than that many tokens can
+  *      sit outside either role prefix — a qualifying pair MUST collide on
   *      some prefix token (Bayardo et al., WWW'07; Xiao et al., WWW'08);
-  *   4. candidate generation: self-join of the exploded prefixes on the
-  *      token, `id_a < id_b`, plus the length filter
-  *      τ·|B| ≤ |A| ∧ τ·|A| ≤ |B| (implied by J ≥ τ since
-  *      J ≤ min(|A|,|B|)/max(|A|,|B|)) applied before the distinct;
+  *   4. candidate generation: join of the two role-prefix frames on the
+  *      token, (len, id)-lexicographic role ordering, the length filter
+  *      τ·|B| ≤ |A| (the other direction is the ordering itself), and the
+  *      PPJoin positional filter at the tight α — all before the distinct;
   *   5. exact verification on the candidate pairs only
   *      ([[MinHash.withExactJaccard]] — semi-joined, candidate-bound).
   *
@@ -136,34 +137,62 @@ object PrefixJoin {
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tk")))).as("ord"))
       .select(col("id"), col("ord.tk").as("toks"), size(col("ord")).as("len"))
-    // prefix length |d| - ceil(τ|d|) + 1 (≥ 1 always); positions ride along
-    // for the PPJoin positional filter below
-    val pfx = ordered
+    // LENGTH-ORDERED asymmetric prefixes (PPJoin, Xiao et al. WWW'08 §3):
+    // a pair is generated with the SHORTER doc in the a-role and the longer
+    // in the b-role ((len, id) lexicographic tie-break), which lets each
+    // role index a different prefix:
+    //   b-role (longer partner):  first |d| − ⌈τ·|d|⌉ + 1 tokens — against
+    //     any shorter partner x, overlap α ≥ τ/(1+τ)(|x|+|d|) ≥ τ·|d|;
+    //   a-role (shorter partner): first |d| − ⌈2τ/(1+τ)·|d|⌉ + 1 tokens —
+    //     against any partner at least as long, α ≥ 2τ/(1+τ)·|d|.
+    // The a-role prefix is the big cut: at τ = 0.8 it is ~11.1% of the
+    // token set vs the symmetric 20%, so every token bucket's collision
+    // count drops to (0.111/0.2) of the symmetric join's a-side.
+    // Completeness: for a qualifying pair the FIRST shared token w* sits
+    // inside BOTH role prefixes (if it sat past either prefix, the unshared
+    // tokens before it would leave fewer than α shared — the prefix lemma),
+    // and w*'s emission passes the positional filter below. Quantizing τ
+    // down (tnum/den ≤ τ) only lengthens both prefixes and lowers α —
+    // loosening every filter, so completeness holds for any τ.
+    def ceil2TauOver1p(lenExpr: String): org.apache.spark.sql.Column =
+      expr(s"CAST((CAST(($lenExpr) AS BIGINT) * ${2L * tnum} + ${den + tnum - 1}) " +
+        s"DIV ${den + tnum} AS INT)")
+    val pfxA = ordered
+      .select(col("id"), col("len"),
+        posexplode(slice(col("toks"), lit(1),
+          (col("len") - ceil2TauOver1p("len") + 1))))
+      .withColumnRenamed("col", "tk")
+    val pfxB = ordered
       .select(col("id"), col("len"),
         posexplode(slice(col("toks"), lit(1),
           (col("len") - ceilTau("len") + 1))))
       .withColumnRenamed("col", "tk")
-    val a = pfx.select(col("tk"), col("id").as("id_a"), col("len").as("len_a"),
-      col("pos").as("pos_a"))
-    val b = pfx.select(col("tk"), col("id").as("id_b"), col("len").as("len_b"),
-      col("pos").as("pos_b"))
-    // Positional filter (PPJoin): at a pair's FIRST common prefix token
-    // (0-based positions i, j) every shared token sits at position ≥ i in A
-    // and ≥ j in B, so |A∩B| ≤ min(len_a − i, len_b − j); J ≥ τ needs
-    // |A∩B| ≥ ⌈τ·max(len_a, len_b)⌉. Later collisions of a qualifying pair
-    // may fail the bound, but the first one passes, and the distinct keeps
-    // a pair if ANY emission survives — so completeness holds while
-    // late-collision-only pairs (the bulk on a dense-vocabulary corpus)
-    // never reach the verify stage.
-    // length filter len_a ≥ τ·len_b as integers: len_a·den ≥ len_b·tnum
-    // (tnum/den ≤ τ ⇒ implied by the real inequality — never drops a pair)
+    val a = pfxA.select(col("tk"), col("id").as("id_s"), col("len").as("len_s"),
+      col("pos").as("pos_s"))
+    val b = pfxB.select(col("tk"), col("id").as("id_l"), col("len").as("len_l"),
+      col("pos").as("pos_l"))
+    // Positional filter with the TIGHT overlap bound: J ≥ τ ⟺
+    // |A∩B| ≥ α = ⌈τ/(1+τ)·(|A|+|B|)⌉ — strictly ≥ the r12 ⌈τ·max⌉ bound
+    // whenever the length filter passes (α ≥ τ·max ⟺ min ≥ τ·max). At the
+    // pair's first common prefix token (0-based i, j) every shared token
+    // sits at ≥ i in A and ≥ j in B, so |A∩B| ≤ min(len − i, len − j);
+    // later collisions of a qualifying pair may fail the bound, but the
+    // first passes and the distinct keeps a pair if ANY emission survives.
+    // α in exact integers: ⌈(la+lb)·tnum/(den+tnum)⌉.
+    val alpha =
+      expr(s"CAST((CAST(len_s + len_l AS BIGINT) * $tnum + ${den + tnum - 1}) " +
+        s"DIV ${den + tnum} AS INT)")
+    // length filter len_s ≥ τ·len_l as integers: len_s·den ≥ len_l·tnum
+    // (tnum/den ≤ τ ⇒ implied by the real inequality — never drops a pair);
+    // the other direction is the role ordering itself
     val cand = a.join(b,
-        a("tk") === b("tk") && col("id_a") < col("id_b") &&
-          col("len_a").cast("long") * den >= col("len_b").cast("long") * tnum &&
-          col("len_b").cast("long") * den >= col("len_a").cast("long") * tnum &&
-          least(col("len_a") - col("pos_a"), col("len_b") - col("pos_b")) >=
-            ceilTau("greatest(len_a, len_b)"))
-      .select(col("id_a"), col("id_b"))
+        a("tk") === b("tk") &&
+          (col("len_s") < col("len_l") ||
+            (col("len_s") === col("len_l") && col("id_s") < col("id_l"))) &&
+          col("len_s").cast("long") * den >= col("len_l").cast("long") * tnum &&
+          least(col("len_s") - col("pos_s"), col("len_l") - col("pos_l")) >= alpha)
+      .select(least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"))
       .distinct()
     // Candidate-count instrumentation rides the query itself via observe()
     // — NO cache, NO extra pass. The first cut cached + counted this frame

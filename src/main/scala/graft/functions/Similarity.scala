@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (Array[Float]).
@@ -310,19 +311,50 @@ object Similarity {
     * but it cannot hit Spark's hard 8 GB broadcast wall.
     *
     * The size estimate is two-tier (r15 advice + r16 regression): FIRST the
-    * OPTIMIZER's `optimizedPlan.stats` — zero driver actions, and when it
-    * already fits the budget the hint applies with no jobs at all. But that
-    * statistic can be inflated by ORDERS OF MAGNITUDE on derived inputs
-    * (the DBSCAN base is a localCheckpoint whose LogicalRDD inherits the
-    * pre-checkpoint plan's stats, and its crossJoin-product estimate reads
-    * ~800 GB for a 260 k-row frame — measured: trusting it alone silently
-    * dropped the broadcast and put the sf10 verify on the shuffled path,
-    * 10 s → 297 s). So an over-budget estimate is DOUBLE-CHECKED with one
-    * bounded probe — `take(1)` for dims (empty frame ⇒ skip the hint and
-    * stay lazy, the r15-advice fix) + `count()` for rows. The probe runs
-    * only when stats are over budget, i.e. exactly when getting the answer
-    * wrong costs a scale factor.
+    * OPTIMIZER's `optimizedPlan.stats` — zero driver actions — but trusted
+    * only WITHIN A SAFETY MARGIN (stats ≤ budget/4, r16 advice): Catalyst
+    * stats err in both directions. They can be inflated by ORDERS OF
+    * MAGNITUDE on derived inputs (the DBSCAN base is a localCheckpoint
+    * whose LogicalRDD inherits the pre-checkpoint plan's stats, and its
+    * crossJoin-product estimate reads ~800 GB for a 260 k-row frame —
+    * measured: trusting it alone silently dropped the broadcast and put
+    * the sf10 verify on the shuffled path, 10 s → 297 s) and also
+    * UNDERESTIMATE real in-memory size (a parquet scan's sizeInBytes is
+    * compressed file bytes; filter selectivity guesses shrink it further),
+    * which in the old `stats ≤ budget` fast path could broadcast a frame
+    * past the budget — or Spark's 8 GB hard wall — unchecked. Outside the
+    * margin the estimate is settled by one bounded probe — `take(1)` for
+    * dims (empty frame ⇒ skip the hint and stay lazy, the r15-advice fix)
+    * + `count()` for rows — whose resulting byte figure is CACHED per
+    * canonicalized plan (r16 task 6): a sweep that verifies the same
+    * vector frame many times (DBSCAN + embed-neardup + semantic rows) pays
+    * one probe, not one per call. The cache is bounded by eviction-on-size
+    * (it only ever holds a handful of distinct corpus frames per session).
     */
+  private val probedBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, LogicalPlan), Long]()
+
+  /** Exact row-count × row-width byte estimate for a vector frame, probed
+    * once per (session, canonicalized plan) and cached. -1 = empty frame.
+    */
+  private[graft] def probedVectorBytes(vectors: DataFrame): Long = {
+    val key = (vectors.sparkSession, vectors.queryExecution.optimizedPlan.canonicalized)
+    val cached = probedBytesCache.get(key)
+    if (cached != null && cached != 0L) cached
+    else {
+      val firstDims = vectors.select(size(col("embedding"))).take(1)
+      val bytes =
+        if (firstDims.isEmpty) -1L
+        else {
+          val dims = firstDims(0).getInt(0)
+          vectors.count() * (dims.toLong * 8L + 64L)
+        }
+      if (probedBytesCache.size > 64) probedBytesCache.clear()
+      probedBytesCache.put(key, bytes)
+      bytes
+    }
+  }
+
   private[graft] def verifyCandidatePairs(vectors: DataFrame, candidates: DataFrame,
                                           threshold: Double): DataFrame = {
     val embPlain =
@@ -332,13 +364,10 @@ object Similarity {
       .getOrElse(NearDupBroadcastBytesDefault)
     val statsEst = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
     val fits =
-      if (statsEst <= BigInt(maxBytes)) true
+      if (statsEst <= BigInt(maxBytes / 4)) true
       else {
-        val firstDims = vectors.select(size(col("embedding"))).take(1)
-        firstDims.nonEmpty && {
-          val dims = firstDims(0).getInt(0)
-          vectors.count() * (dims.toLong * 8L + 64L) <= maxBytes
-        }
+        val bytes = probedVectorBytes(vectors)
+        bytes >= 0L && bytes <= maxBytes
       }
     val emb = if (fits) broadcast(embPlain) else embPlain
     candidates

@@ -56,30 +56,22 @@ object SuffixArray {
     * the group's first global index — sparse, which the doubling recurrence
     * is indifferent to.
     *
-    * Default path: the native segmented scan ([[graft.plans.GlobalRankPlan]])
+    * Implementation: the native segmented scan ([[graft.plans.GlobalRankPlan]])
     * — the frame leaving the range sort is already key-contiguous, so the
     * run-start rank needs only a #partitions-sized boundary exchange, not
     * the `groupBy(min)` + key join (two full hash exchanges per doubling
-    * round) the DataFrame form pays. `spark.graft.suffixArray.segmentedRank`
-    * = false selects the old three-stage form — kept for the before/after
-    * measurement and as the all-public-API fallback.
+    * round) the DataFrame form paid. The legacy three-stage form (and its
+    * `spark.graft.suffixArray.segmentedRank` escape hatch) was retired in
+    * r17 after a full round of green artifacts on the segmented path
+    * (r16: sf0.01 + sf0.1 + sf1 hash-green, sf10 A/B 29.6 → 23.1 s);
+    * `GlobalIndexRankSpec` still pins exact parity against the public-API
+    * groupBy(min)+join form, built inline as the test baseline.
     */
-  private[graft] def rankBy(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val segmented = df.sparkSession.conf
-      .getOption("spark.graft.suffixArray.segmentedRank").forall(_.toBoolean)
-    if (segmented) {
-      org.apache.spark.sql.graftbridge.PlanBridge.ofRows(df.sparkSession,
-        graft.plans.GlobalRankPlan(
-          org.apache.spark.sql.graftbridge.PlanBridge.analyzed(df),
-          keyCols, graft.plans.GlobalIndexPlan.mkOutAttr("__rank")))
-    } else {
-      val idx = withGlobalIdx(df, keyCols)
-      val ranks = idx.groupBy(keyCols.map(col): _*)
-        .agg(min(col("__idx")).as("__rank"))
-      idx.join(ranks, keyCols)
-        .drop("__idx")
-    }
-  }
+  private[graft] def rankBy(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(df.sparkSession,
+      graft.plans.GlobalRankPlan(
+        org.apache.spark.sql.graftbridge.PlanBridge.analyzed(df),
+        keyCols, graft.plans.GlobalIndexPlan.mkOutAttr("__rank")))
 
   /** Build the capped suffix array: one row per (doc_id, pos) with `sa_rank`
     * = the suffix's 1-based position in the global capped-token order

@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Add, Ascending, Attribute, AttributeReference, AttributeSet, Expression, GenericInternalRow, If, IsNaN, JoinedRow, Literal, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution, Partitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, MapType, StructType}
 
 /** Global 0-based order index by `sortCols` as a NATIVE Catalyst operator —
   * the third node in the [[IndicatorPassPlan]]/[[PeaksPassPlan]] tier, built
@@ -185,10 +185,43 @@ final case class GlobalRankExec(
     child.output.find(_.name == name).getOrElse(
       throw new IllegalStateException(s"GlobalRankExec child lacks column '$name'"))
 
-  private def keyExprs = keyCols.map(attr)
+  /** Run detection compares projected keys by raw UnsafeRow bytes, so
+    * floating keys are normalized (-0.0 → 0.0, NaN payloads → canonical
+    * NaN) before projection — without this, key values the range sort
+    * treats as equal (distinct NaN bit patterns) would be binary-unequal
+    * here and split one logical run into two ranks (r16 advice; the
+    * optimizer's NormalizeFloatingNumbers is private[sql], so the
+    * normalization is spelled out: NaN → canonical literal, else x + 0.0,
+    * which maps -0.0 to 0.0 and is identity on every other value). Nested
+    * floating key types are rejected loudly rather than silently
+    * mis-ranked; long-keyed callers (SuffixArray) see an identity
+    * transform.
+    */
+  private def keyExprs: Seq[Expression] = keyCols.map { c =>
+    val a = attr(c)
+    a.dataType match {
+      case DoubleType =>
+        If(IsNaN(a), Literal(Double.NaN, DoubleType), Add(a, Literal(0.0, DoubleType)))
+      case FloatType =>
+        If(IsNaN(a), Literal(Float.NaN, FloatType), Add(a, Literal(0.0f, FloatType)))
+      case t if hasFloating(t) =>
+        throw new IllegalStateException(
+          s"GlobalRankExec: nested floating-point key type $t for '$c' is not " +
+            "supported (raw-byte run detection cannot normalize it)")
+      case _ => a
+    }
+  }
+
+  private def hasFloating(t: DataType): Boolean = t match {
+    case DoubleType | FloatType => true
+    case ArrayType(e, _) => hasFloating(e)
+    case MapType(k, v, _) => hasFloating(k) || hasFloating(v)
+    case StructType(fields) => fields.exists(f => hasFloating(f.dataType))
+    case _ => false
+  }
 
   private def ordering: Seq[SortOrder] =
-    keyExprs.map(a => SortOrder(a, Ascending))
+    keyCols.map(c => SortOrder(attr(c), Ascending))
 
   override def requiredChildDistribution: Seq[Distribution] =
     OrderedDistribution(ordering) :: Nil

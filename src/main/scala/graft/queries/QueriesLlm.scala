@@ -799,31 +799,58 @@ object QueriesLlm {
       graft.functions.Dbscan.clusterByCosine(base, threshold = 0.9, minPts = 6))
   }
 
-  /** The same DBSCAN against the SAME oracle, but with the ε-graph from
-    * the LSH-bucketed candidate generator
-    * ([[Similarity.nearDupPairsLsh]], 14 bits × 86 tables) instead of the
-    * all-pairs baseline — hash-green means the 100 TB candidate path
-    * reproduces the exact decomposition edge-for-edge on this corpus.
+  /** AUTO-SIZED LSH geometry for the DBSCAN ε-graph (r16 task 5): the
+    * bits/tables crossover moves with corpus size, so bits are derived
+    * from the corpus row count and tables from the measured equal-recall
+    * exponent instead of a hardcoded point.
     *
-    * Geometry (r16, MEASURED at sf10 — `scripts/profile_dbscan_geometry.sh`):
-    * equal-recall arithmetic holds the miss exponent tables × 0.866^bits at
-    * the old 12 × 64 point's 11.4 (per-bit grazing-edge collision 0.866 at
-    * ε = 0.9's θ ≈ 0.42 rad → per-edge miss ≈ e^−11.4 ≈ 1e-5), while more
-    * bits thin the buckets: 14 × 86 cut candidate sightings 123 M → 47.8 M,
-    * the candidate-distinct stage 48 → 12 s and the verify 26 → 4.7 s for
-    * +8 s of (map-side, shuffle-free) bucketing — stage total 106 → 50 s;
-    * 16 × 114 shrank candidates further (18.8 M) but over-paid bucketing at
-    * this corpus size (Σ 61 s; it becomes the right point when the
-    * candidate shuffle, which grows superlinearly with bucket occupancy,
-    * outweighs its extra map work). All three geometries verified the
-    * IDENTICAL 52,988 ε-edges at sf10 — recall parity measured, not
-    * assumed; with fixed hyperplane seeds the outcome is DETERMINISTIC per
-    * corpus, and green at each tested SF means zero edges were missed
-    * there.
+    * Arithmetic (constants MEASURED in the r16 sf10 profile,
+    * `scripts/profile_dbscan_geometry.sh`):
+    *  - per-hyperplane grazing-edge agreement p = 0.866 at ε = 0.9
+    *    (θ ≈ 0.42 rad);
+    *  - equal-recall miss exponent E = tables × p^bits held at 11.38 —
+    *    per-edge miss ≈ e^−11.38 ≈ 1e-5; tables(bits) = ⌈E / p^bits⌉
+    *    reproduces ALL THREE measured r16 geometries exactly
+    *    (12 → 64, 14 → 86, 16 → 114 tables);
+    *  - bits(n) = round(log₂ n) − 3, clamped to [8, 18]: bucketing (map)
+    *    cost grows ∝ tables·n while candidate-shuffle volume grows with
+    *    bucket occupancy n/2^bits, so the optimum adds ~1 bit per corpus
+    *    doubling; anchored at the measured sf10 winner (injected base
+    *    n ≈ 103.7 k → 14 bits × 86 tables, stage total 106 → 50 s vs
+    *    12 × 64, with 16 × 114 over-paying bucketing at Σ 61 s).
+    * All measured geometries verified the IDENTICAL 52,988 ε-edges at
+    * sf10 — recall parity measured, not assumed; with fixed hyperplane
+    * seeds the outcome is DETERMINISTIC per corpus, and green at each
+    * tested SF means zero edges were missed there. Session confs
+    * `spark.graft.dbscan.lsh.bits` / `.tables` override the choice for
+    * re-profiling.
+    */
+  private[graft] def dbscanLshGeometry(n: Long): (Int, Int) = {
+    val p = 0.866
+    val targetE = 11.38
+    val bits = math.max(8, math.min(18,
+      math.round(math.log(math.max(n, 2L).toDouble) / math.log(2.0)).toInt - 3))
+    val tables = math.ceil(targetE / math.pow(p, bits)).toInt
+    (bits, tables)
+  }
+
+  /** The same DBSCAN against the SAME oracle, but with the ε-graph from
+    * the LSH-bucketed candidate generator ([[Similarity.nearDupPairsLsh]],
+    * geometry auto-sized by [[dbscanLshGeometry]]) instead of the
+    * all-pairs baseline — hash-green means the 100 TB candidate path
+    * reproduces the exact decomposition edge-for-edge on this corpus. The
+    * count that sizes the geometry is one bounded job over the
+    * already-checkpointed base.
     */
   private def dbscanClustersLsh(s: SparkSession, dir: String): DataFrame = {
     val base = dbscanBase(s, dir)
-    val pairs = Similarity.nearDupPairsLsh(base, threshold = 0.9, bits = 14, tables = 86)
+    val (autoBits, autoTables) = dbscanLshGeometry(base.count())
+    val bits = s.conf.getOption("spark.graft.dbscan.lsh.bits")
+      .map(_.toInt).getOrElse(autoBits)
+    val tables = s.conf.getOption("spark.graft.dbscan.lsh.tables")
+      .map(_.toInt).getOrElse(autoTables)
+    val pairs = Similarity.nearDupPairsLsh(base, threshold = 0.9,
+      bits = bits, tables = tables)
     dbscanRollup(base, graft.functions.Dbscan.cluster(pairs, minPts = 6))
   }
 
@@ -1507,21 +1534,37 @@ object QueriesLlm {
     * merge of pre-sorted co-located files. Here the write happens in-row so
     * the gate checks the whole write→catalog→probe path end-to-end.
     */
+  /** Catalog names for the persisted dedup indexes, suffixed with a
+    * per-JVM + per-dataset discriminator (r16 advice): two processes
+    * sharing one warehouse (a Verify dump and a Bench run, parallel SF
+    * sweeps) previously overwrote the same fixed global names mid-query —
+    * wrong candidates, not an error. The pid suffix isolates concurrent
+    * writers; the dir-hash suffix keeps SF sweeps within one JVM from
+    * trampling each other. Stale suffixed tables from finished runs are
+    * inert (SaveMode.Overwrite replaces them on reuse).
+    */
+  private[graft] def indexTableNames(dir: String): (String, String) = {
+    val tag = java.lang.Long.toHexString(
+      (dir.hashCode.toLong << 20) ^ ProcessHandle.current().pid())
+    (s"llm_band_index_b_$tag", s"llm_fp_index_b_$tag")
+  }
+
   private def incrementalDedupBucketed(s: SparkSession, dir: String): DataFrame = {
     val (corpus, batch) = incrementalFrames(s, dir)
+    val (bandTable, fpTable) = indexTableNames(dir)
     graft.sources.Sinks.writeBucketed(
-      MinHash.bandKeys(corpus), "llm_band_index_b", 32, Seq("bk"))
+      MinHash.bandKeys(corpus), bandTable, 32, Seq("bk"))
     // the exact-fingerprint index persists the same way (32-byte keys,
     // bucketed on fp): with BOTH indexes in the catalog, admitting a batch
     // re-scans the corpus for NEITHER leg — the verify stage re-shingles
     // only docs that appear in a candidate pair (semi-join bound)
     graft.sources.Sinks.writeBucketed(
       corpus.select(TextOps.fingerprint(col("text")).as("fp")).distinct(),
-      "llm_fp_index_b", 32, Seq("fp"))
+      fpTable, 32, Seq("fp"))
     val cand = MinHash.bandKeys(batch).select(col("bk"), col("id").as("id_a"))
-      .join(s.table("llm_band_index_b").select(col("bk"), col("id").as("id_b")), "bk")
+      .join(s.table(bandTable).select(col("bk"), col("id").as("id_b")), "bk")
       .select(col("id_a"), col("id_b")).distinct()
-    incrementalClassify(batch, corpus, cand, Some(s.table("llm_fp_index_b")))
+    incrementalClassify(batch, corpus, cand, Some(s.table(fpTable)))
   }
 
   private val incrementalDedupSql = {

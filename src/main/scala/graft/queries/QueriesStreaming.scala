@@ -514,12 +514,15 @@ object QueriesStreaming {
        |FROM scored WHERE q >= 0.3""".stripMargin
   }
 
-  /** Streaming incremental admission vs the static corpus index — the
+  /** Streaming incremental admission vs the PERSISTED corpus index — the
     * online half of `llm_incremental_dedup`'s exact legs
-    * ([[graft.streaming.StreamingCorpus.admitIncrementalStream]]): the
-    * batch partition (`doc_id % 5 = 0`) streams in ordered slices, each
-    * micro-batch anti-joins the corpus fingerprint index (stream-static)
-    * and dedups against the stream's own admitted state. Emits the
+    * ([[graft.streaming.StreamingCorpus.admitIncrementalStreamCatalog]]):
+    * the batch partition (`doc_id % 5 = 0`) streams in ordered slices, each
+    * micro-batch anti-joining the SAME catalog-backed `bucketBy(fp)` index
+    * `llm_incremental_bucketed` writes at ingest (reused when that row
+    * already built it this session, written once otherwise — batch and
+    * stream admission share one persisted index, the production shape) and
+    * deduping against the stream's own admitted state. Emits the
     * batch-vs-stream admitted-content-set diff — zero by construction
     * (admission is a set property, independent of micro-batch boundaries
     * and of which duplicate instance arrives first); the oracle replays
@@ -530,9 +533,18 @@ object QueriesStreaming {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val docs = graft.core.Tables.documents(spark, dir)
-    val corpusFp = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(graft.functions.TextOps.fingerprint(col("text")).as("__fp")).distinct()
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("text"))
+
+    // one persisted fingerprint index for this dataset, shared with
+    // llm_incremental_bucketed (same name, same content — the corpus side
+    // of incrementalFrames without the injected near-dups)
+    val (_, fpTable) = QueriesLlm.indexTableNames(dir)
+    if (!spark.catalog.tableExists(fpTable))
+      graft.sources.Sinks.writeBucketed(
+        corpus.select(graft.functions.TextOps.fingerprint(col("text")).as("fp")).distinct(),
+        fpTable, 32, Seq("fp"))
+    val corpusFp = spark.table(fpTable).select(col("fp").as("__fp"))
 
     val batchNorms = batch
       .withColumn("__fp", graft.functions.TextOps.fingerprint(col("text")))
@@ -542,8 +554,8 @@ object QueriesStreaming {
     val sliceSize = math.max(100L, math.min(8192L, batch.count() / 5)).toInt
     val name = s"graft_stream_incdedup_${System.nanoTime}"
     val in = MemoryStream[(Long, String)]
-    val q = graft.streaming.StreamingCorpus.admitIncrementalStream(
-        in.toDF().toDF("doc_id", "text"), corpusFp)
+    val q = graft.streaming.StreamingCorpus.admitIncrementalStreamCatalog(
+        in.toDF().toDF("doc_id", "text"), fpTable)
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
       import scala.jdk.CollectionConverters._

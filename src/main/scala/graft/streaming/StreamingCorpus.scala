@@ -56,6 +56,24 @@ object StreamingCorpus {
       .dropDuplicates("__fp")
       .drop("__fp")
 
+  /** [[admitIncrementalStream]] against the PERSISTED corpus index — the
+    * production shape where batch and stream admission share ONE catalog
+    * table (the `bucketBy(fp)` index `llm_incremental_bucketed` writes at
+    * ingest): the static side of the per-micro-batch anti-join is resolved
+    * from the catalog BY NAME, so each micro-batch's re-planned join scans
+    * the index's buckets directly — zero exchange on the index side, only
+    * the (micro-batch-sized) stream side shuffles into the index's
+    * bucketing (PlanSpec pins the batch-equivalent plan shape). At 100 TB
+    * the index table is the corpus-growth ledger both admission paths
+    * append to; neither ever re-scans, re-hashes, or re-shuffles the
+    * admitted corpus.
+    */
+  def admitIncrementalStreamCatalog(docs: DataFrame, fpTable: String,
+                                    textCol: String = "text"): DataFrame = {
+    val idx = docs.sparkSession.table(fpTable).select(col("fp").as("__fp"))
+    admitIncrementalStream(docs, idx, textCol)
+  }
+
   /** The bounded-state dial: same funnel, but dedup state keyed on
     * normalized content is EVICTED once the watermark on `arrivalCol`
     * passes a row's arrival time + `delay`. State size is bounded by the

@@ -167,6 +167,39 @@ class PlanSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("stream admission fp index: bucketed index side anti-joins exchange-free") {
+    import graft.functions.TextOps
+    // the stream_incremental_dedup probe shape (admitIncrementalStreamCatalog
+    // re-plans this per micro-batch): corpus fingerprint index written
+    // bucketBy(fp) once, each micro-batch left-anti probes it — ONLY the
+    // probe side may shuffle; the index side scans its buckets directly
+    val docs = Tables.documents(spark, dir)
+    graft.sources.Sinks.writeBucketed(
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .select(TextOps.fingerprint(col("text")).as("fp")).distinct(),
+      "plan_fp_index_b", 4, Seq("fp"))
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.enabled" -> spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+      val admitted = probe.join(
+        spark.table("plan_fp_index_b").select(col("fp").as("__fp")),
+        Seq("__fp"), "left_anti")
+      val ep = admitted.queryExecution.executedPlan.toString
+      assert(ep.contains("Bucketed: true"),
+        s"the index side must scan its buckets directly:\n$ep")
+      val fpExchanges = ep.split('\n')
+        .count(l => l.contains("Exchange hashpartitioning(__fp") ||
+          l.contains("Exchange hashpartitioning(fp"))
+      assert(fpExchanges == 1,
+        s"exactly the PROBE side shuffles into the index bucketing, got $fpExchanges:\n$ep")
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("connected components: star rounds shuffle scalar edges only") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")

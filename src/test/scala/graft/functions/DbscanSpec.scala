@@ -79,4 +79,17 @@ class DbscanSpec extends SparkSpec {
       assert(nCore + nBorder == nMembers && nCore >= 3)
     }
   }
+
+  test("auto LSH geometry reproduces all three r16-measured points") {
+    import graft.queries.QueriesLlm.dbscanLshGeometry
+    // equal-recall tables(bits) at E = 11.38 / p = 0.866 — the three
+    // geometries profiled at sf10 with identical 52,988 ε-edges
+    assert(dbscanLshGeometry(30000L) == ((12, 64)))
+    assert(dbscanLshGeometry(103718L) == ((14, 86)),
+      "the measured sf10 winner at the sf10 injected-base row count")
+    assert(dbscanLshGeometry(420000L) == ((16, 114)))
+    // clamps: tiny corpora floor at 8 bits, huge ones cap at 18
+    assert(dbscanLshGeometry(10L)._1 == 8)
+    assert(dbscanLshGeometry(100000000L)._1 == 18)
+  }
 }

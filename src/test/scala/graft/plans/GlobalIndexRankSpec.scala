@@ -42,14 +42,15 @@ class GlobalIndexRankSpec extends SparkSpec {
 
   test("rankBy (segmented scan): exact parity with the groupBy(min)+join form") {
     val df = fixture.localCheckpoint(true) // one shared input for both paths
-    def collectRanks(segmented: Boolean) = {
-      spark.conf.set("spark.graft.suffixArray.segmentedRank", segmented.toString)
-      try rankBy(df, Seq("k")).select(col("k"), col("payload"), col("__rank"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
-      finally spark.conf.unset("spark.graft.suffixArray.segmentedRank")
-    }
-    val seg = collectRanks(segmented = true)
-    val old = collectRanks(segmented = false)
+    val seg = rankBy(df, Seq("k")).select(col("k"), col("payload"), col("__rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    // baseline: the retired three-stage public-API form, built inline —
+    // global index, then min(__idx) per key joined back
+    val idx = withGlobalIdx(df, Seq("k"))
+    val old = idx.join(
+        idx.groupBy(col("k")).agg(min(col("__idx")).as("__rank")), "k")
+      .select(col("k"), col("payload"), col("__rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
     assert(seg == old, "segmented-scan ranks must equal the DataFrame form's")
     // run-start semantics directly: every key's rank = min global idx of
     // the key's run, ranks monotone in key order, one rank per key
