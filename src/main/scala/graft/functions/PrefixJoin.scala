@@ -197,14 +197,19 @@ object PrefixJoin {
     // Candidate-count instrumentation rides the query itself via observe()
     // — NO cache, NO extra pass. The first cut cached + counted this frame
     // eagerly, and at sf10 that was the operator's death: on the synthetic
-    // low-entropy vocabulary the prefix filter admits ~5.6e8 candidate
-    // pairs (measured; ~0.45% of all-pairs — the filter still cuts 220×),
-    // and pinning 5.6e8 rows in storage while the distinct's hash map was
+    // low-entropy vocabulary the symmetric prefix filter admitted ~5.6e8
+    // candidate pairs (measured; ~0.45% of all-pairs — a 220× cut), and
+    // pinning 5.6e8 rows in storage while the distinct's hash map was
     // spilling OOM'd the executor. Uncached, the distinct spills cleanly
-    // and the verify join streams. Cost note for 100 TB: everything below
-    // the distinct is Θ(candidates) — on low-entropy corpora candidates
-    // are inherently dense and banded-LSH MinHash is the right tool; this
-    // operator pays that price for COMPLETENESS at the threshold.
+    // and the verify join streams. The r17 length-ordered prefixes + tight
+    // positional bound cut the measured sf10 candidates to 325,989,530
+    // (−42%) and the single-run wall 820 → 693 s (−16% — the residual is
+    // Θ(candidates) verify on near-equal-length low-entropy docs, which
+    // the positional filter cannot separate). Cost note for 100 TB:
+    // everything below the distinct is Θ(candidates) — on low-entropy
+    // corpora candidates are inherently dense and banded-LSH MinHash is
+    // the right tool; this operator pays that price for COMPLETENESS at
+    // the threshold.
     val obsName = s"prefix_cand_${System.nanoTime}"
     val observed = cand.observe(obsName, count(lit(1)).as("n"))
     // Deferred bookkeeping, keyed to the FIRST action over the result: a

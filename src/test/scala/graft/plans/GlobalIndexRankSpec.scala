@@ -76,6 +76,48 @@ class GlobalIndexRankSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 0L), (5L, 2000L), (9L, 7000L)))
   }
 
+  test("rankBy normalizes floating keys: -0.0/0.0 and NaN bit patterns share a run") {
+    val session = spark
+    import session.implicits._
+    // -0.0 and 0.0 compare EQUAL in the range sort but are binary-unequal
+    // in raw UnsafeRow bytes, as are distinct NaN payloads — without the
+    // normalization in GlobalRankExec.keyExprs one logical run would split
+    // into two ranks. Build both via arithmetic so the literals can't be
+    // constant-folded into one representation before reaching the node.
+    val altNaN = java.lang.Double.longBitsToDouble(0x7ff8000000000001L)
+    val df = scala.util.Random.shuffle(
+        Seq.fill(500)(-1.5) ++
+        Seq.fill(400)(0.0) ++ Seq.fill(400)(-0.0) ++
+        Seq.fill(300)(2.5) ++
+        Seq.fill(200)(Double.NaN) ++ Seq.fill(200)(altNaN))
+      .toDF("k").repartition(9)
+    val got = rankBy(df, Seq("k"))
+      .groupBy(isnan(col("k")), abs(col("k")))
+      .agg(countDistinct("__rank").as("nr"), first("__rank").as("r"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // each logical key (zero, NaN included) must have exactly ONE rank
+    assert(got.forall(_._3 == 1L), s"one rank per logical key, got ${got.toSeq}")
+    // zeros form one 800-row run ranked after the 500 negatives; NaN sorts
+    // LAST in Spark ordering, one 400-row run ranked after 2.5's run
+    val zeros = got.find(t => !t._1 && t._2 == 0.0).get
+    assert(zeros._4 == 500L && zeros._5 == 800L, s"merged zero run: $zeros")
+    val nans = got.find(_._1).get
+    assert(nans._4 == 1600L && nans._5 == 400L, s"merged NaN run: $nans")
+  }
+
+  test("rankBy rejects nested floating key types loudly") {
+    val session = spark
+    import session.implicits._
+    val df = Seq((Seq(1.0), "x"), (Seq(2.0), "y")).toDF("k", "p")
+    val ex = intercept[Throwable] {
+      rankBy(df, Seq("k")).collect()
+    }
+    val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("floating"),
+      s"expected the loud nested-floating rejection, got: $msgs")
+  }
+
   test("plan shape: exactly ONE range exchange per call, native node present") {
     val df = fixture
     def ep(d: org.apache.spark.sql.DataFrame) = d.queryExecution.executedPlan.toString
