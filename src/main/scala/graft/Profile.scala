@@ -28,6 +28,22 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("sa-round")) {
+      // One prefix-doubling round's PHYSICAL plan in both partner-fetch
+      // forms (the rounds are invisible in the registry row's explain —
+      // every round ends at a localCheckpoint boundary): the size-gated
+      // broadcast join vs the lead(rank, span) window shift.
+      val docs = graft.core.Tables.documents(spark, dir)
+        .filter(col("source").isin("src0", "src1", "src2"))
+      for (budget <- Seq(Long.MaxValue, 0L)) {
+        spark.conf.set(graft.operators.SuffixArray.PartnerBroadcastBytesKey,
+          budget.toString)
+        println(s"=== sa round-1 plan, partner budget=$budget")
+        graft.operators.SuffixArray.explainRound1(docs)
+      }
+      spark.conf.unset(graft.operators.SuffixArray.PartnerBroadcastBytesKey)
+      spark.stop(); return
+    }
     if (args.headOption.contains("h2")) { profileH2(spark, dir); spark.stop(); return }
     if (args.headOption.contains("minhash")) { profileMinhash(spark, dir); spark.stop(); return }
     if (args.headOption.contains("oraclesql")) {

@@ -387,28 +387,39 @@ final class SignProjectionHelper(bits: Int, tables: Int, floatElems: Boolean)
     // be concurrently widened by another thread after `ensure` returns
     val stride = pl.length / (tables * bits)
     val out = new Array[Long](tables)
+    // Copy the vector to a primitive array ONCE per row (r17): the former
+    // per-projection loop paid tables × bits virtual isNullAt/getFloat
+    // calls per ELEMENT (1204 re-reads of each element at the sf10
+    // geometry); over a plain double[] the inner loop is branch-free FMA
+    // work the JIT auto-vectorizes. Bit-identical: the multiply-add order
+    // per projection is unchanged (d ascending), and a null element still
+    // yields bucket 0 in every table — any null means every projection's
+    // sum was null in the Column spec, so no sign bit is ever set.
+    val v = new Array[Double](n)
+    var d0 = 0
+    while (d0 < n) {
+      if (arr.isNullAt(d0)) return new GenericArrayData(out)
+      v(d0) = if (floatElems) arr.getFloat(d0).toDouble else arr.getDouble(d0)
+      d0 += 1
+    }
     var t = 0
     while (t < tables) {
       var bucket = 0L
       var j = 0
       while (j < bits) {
         val p = t * bits + j
+        val off = p * stride
         var s = 0.0
-        var anyNull = false
         var d = 0
-        while (d < n && !anyNull) {
-          if (arr.isNullAt(d)) anyNull = true
-          else {
-            val x = if (floatElems) arr.getFloat(d).toDouble else arr.getDouble(d)
-            s += x * pl(p * stride + d)
-          }
+        while (d < n) {
+          s += v(d) * pl(off + d)
           d += 1
         }
         // !(s < 0) rather than s >= 0: Spark SQL's GreaterThanOrEqual orders
         // NaN above every double, so the Column spec `when(proj >= 0, m)` sets
         // the bit for a NaN projection; Java's `NaN >= 0` is false. `!(s < 0)`
         // is bit-identical to Spark for NaN, -0.0, and +/-Inf alike.
-        if (!anyNull && !(s < 0)) bucket |= 1L << j
+        if (!(s < 0)) bucket |= 1L << j
         j += 1
       }
       out(t) = bucket

@@ -73,26 +73,59 @@ object ConnectedComponents {
     */
   @volatile var lastRounds: Int = -1
 
+  /** How many fingerprints the most recent [[components]] call read from the
+    * observe() channel vs the explicit-aggregate fallback — measurement hook
+    * pairing with [[lastRounds]]; the r17 fusion only saves its pass when
+    * the observe channel actually fires on the checkpoint action.
+    */
+  @volatile var lastObservedFingerprints: Int = 0
+  @volatile var lastFallbackFingerprints: Int = 0
+
   def components(edges: DataFrame, maxIters: Int = 50): DataFrame = {
-    // (count, Σa, Σb) fingerprint in ONE action per round: star ops only
-    // ever lower partner ids, so an unchanged fingerprint is a near-certain
-    // fixpoint — confirmed by ONE exact set-difference check at that point
-    // (not per round, the r8 cost). Decimal sums: ANSI mode would throw on
-    // a long-sum overflow at extreme id ranges.
-    def stats(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
+    // (count, Σa, Σb) fingerprint with ZERO extra actions per round (r17):
+    // the metrics ride the round's own checkpoint materialization as an
+    // `observe()` node, read back from queryExecution.observedMetrics after
+    // the eager localCheckpoint — the former separate stats job re-scanned
+    // every round's edge frame once more (one full extra pass per round at
+    // any scale). Star ops only ever lower partner ids, so an unchanged
+    // fingerprint is a near-certain fixpoint — confirmed by ONE exact
+    // set-difference check at that point (not per round, the r8 cost).
+    // Decimal sums: ANSI mode would throw on a long-sum overflow at extreme
+    // id ranges. Fallback: if a Spark version ever stops populating
+    // observedMetrics on the checkpoint action, the explicit aggregate runs
+    // instead — correctness never hangs on the metrics channel.
+    def statsJob(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
       val r = df.agg(count(lit(1)),
         sum(col("a").cast("decimal(38,0)")), sum(col("b").cast("decimal(38,0)"))).head()
       (r.getLong(0),
         if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
         if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
     }
-    var cur = canon(edges).localCheckpoint(true)
-    var n = stats(cur)
+    // returns (checkpointed frame, fingerprint) in one materialization
+    def checkpointWithStats(df: DataFrame): (DataFrame, (Long, BigDecimal, BigDecimal)) = {
+      val observed = df.observe("cc_fingerprint", count(lit(1)).as("n"),
+        sum(col("a").cast("decimal(38,0)")).as("sa"),
+        sum(col("b").cast("decimal(38,0)")).as("sb"))
+      val ck = observed.localCheckpoint(true)
+      val fp = observed.queryExecution.observedMetrics.get("cc_fingerprint") match {
+        case Some(r) =>
+          lastObservedFingerprints += 1
+          (r.getLong(0),
+            if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+            if (r.isNullAt(2)) BigDecimal(0) else BigDecimal(r.getDecimal(2)))
+        case None =>
+          lastFallbackFingerprints += 1
+          statsJob(ck)
+      }
+      (ck, fp)
+    }
+    lastObservedFingerprints = 0
+    lastFallbackFingerprints = 0
+    var (cur, n) = checkpointWithStats(canon(edges))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
-      val m = stats(next)
+      val (next, m) = checkpointWithStats(canon(smallStar(largeStar(cur))))
       converged = m == n && next.except(cur).isEmpty
       cur = next
       n = m

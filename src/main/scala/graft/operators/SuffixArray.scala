@@ -34,6 +34,17 @@ import org.apache.spark.sql.functions._
   */
 object SuffixArray {
 
+  /** Byte budget for broadcasting the per-round partner frame
+    * ((doc_id, pos, rank) ≈ 24 B/row) in [[build]]'s doubling loop; past it
+    * the partner fetch switches from the broadcast equi-join to the per-doc
+    * `lead(rank, span)` window shift (one exchange instead of two per
+    * round). Session config, not a constant — mirrors Spark's own 10 MB
+    * autoBroadcastJoinThreshold so the small-corpus physical plan is
+    * unchanged from the AQE-chosen broadcast it always had.
+    */
+  val PartnerBroadcastBytesKey = "spark.graft.suffixArray.partnerBroadcastMaxBytes"
+  private val PartnerBroadcastBytesDefault = 10L * 1024 * 1024
+
   /** Global order index by `sortCols`: rows sorted, then assigned their
     * 0-based global position — via the native
     * [[graft.plans.GlobalIndexPlan]] node: the planner inserts ONE range
@@ -95,20 +106,71 @@ object SuffixArray {
     var ranked = rankBy(toks, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("__rank").as("rank"))
       .localCheckpoint(true)
+    // Partner-rank fetch: rank2(doc, pos) = rank(doc, pos + span), with two
+    // size-gated physical forms (one bounded count on the already-
+    // materialized round-0 checkpoint decides for all rounds):
+    //  - SMALL (frame fits a broadcast): the (doc_id, pos) equi-join — the
+    //    partner side broadcasts, zero exchanges per fetch. Forcing the
+    //    window form here regressed sf0.1 2.5 -> 3.0 s: it replaced a
+    //    broadcast join with a real shuffle.
+    //  - LARGE (past the broadcast budget, where the join would shuffle the
+    //    frame TWICE per round as an SMJ): positions are DENSE per doc
+    //    (posexplode; every round keeps all rows), so the fetch is a per-doc
+    //    shift — lead(rank, span) over (doc_id, pos) — one doc_id exchange +
+    //    one in-partition sort per round. Document-granular suffixes bound
+    //    the per-doc row count, so a window partition cannot outgrow a task.
+    val rows = ranked.count()
+    val maxBroadcast = docs.sparkSession.conf
+      .getOption(PartnerBroadcastBytesKey).map(_.toLong)
+      .getOrElse(PartnerBroadcastBytesDefault)
+    val shiftByWindow = rows * 24L > maxBroadcast
     var span = 1
     while (span < capTokens) {
-      val partner = ranked.select(col("doc_id"),
-        (col("pos") - span).as("pos"), col("rank").as("rank2"))
-      val joined = ranked.join(partner, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("rank"),
-          coalesce(col("rank2"), lit(-1L)).as("rank2"))
-      ranked = rankBy(joined, Seq("rank", "rank2"))
+      ranked = rankBy(partnerFetch(ranked, span, shiftByWindow), Seq("rank", "rank2"))
         .select(col("doc_id"), col("pos"), col("__rank").as("rank"))
         .localCheckpoint(true)
       span *= 2
     }
     withGlobalIdx(ranked, Seq("rank", "doc_id", "pos"))
       .select((col("__idx") + 1).as("sa_rank"), col("doc_id"), col("pos"))
+  }
+
+  /** One doubling round's partner fetch (both size-gated forms — see the
+    * comment in [[build]]). */
+  private def partnerFetch(ranked: DataFrame, span: Int,
+                           shiftByWindow: Boolean): DataFrame =
+    if (shiftByWindow) {
+      val byDocPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      ranked.select(col("doc_id"), col("pos"), col("rank"),
+        coalesce(lead(col("rank"), span).over(byDocPos), lit(-1L)).as("rank2"))
+    } else {
+      val partner = ranked.select(col("doc_id"),
+        (col("pos") - span).as("pos"), col("rank").as("rank2"))
+      ranked.join(broadcast(partner), Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("rank"),
+          coalesce(col("rank2"), lit(-1L)).as("rank2"))
+    }
+
+  /** Plan-evidence hook (graft.Profile `sa-round`): explain round 1's
+    * partner-fetch + re-rank under the session's current partner budget —
+    * the per-round plan is invisible in [[build]]'s final explain because
+    * every round ends at a localCheckpoint boundary.
+    */
+  private[graft] def explainRound1(docs: DataFrame, textCol: String = "text",
+                                   idCol: String = "doc_id"): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(graft.functions.TextOps.normalized(col(textCol)), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("tok"))
+    val ranked = rankBy(toks, Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("__rank").as("rank"))
+      .localCheckpoint(true)
+    val maxBroadcast = docs.sparkSession.conf
+      .getOption(PartnerBroadcastBytesKey).map(_.toLong)
+      .getOrElse(PartnerBroadcastBytesDefault)
+    val shiftByWindow = ranked.count() * 24L > maxBroadcast
+    rankBy(partnerFetch(ranked, 1, shiftByWindow), Seq("rank", "rank2"))
+      .explain("formatted")
   }
 
   /** Duplicated fixed-width window positions read OFF the suffix array —

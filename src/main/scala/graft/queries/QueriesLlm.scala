@@ -812,12 +812,18 @@ object QueriesLlm {
     *    per-edge miss ≈ e^−11.38 ≈ 1e-5; tables(bits) = ⌈E / p^bits⌉
     *    reproduces ALL THREE measured r16 geometries exactly
     *    (12 → 64, 14 → 86, 16 → 114 tables);
-    *  - bits(n) = round(log₂ n) − 3, clamped to [8, 18]: bucketing (map)
+    *  - bits(n) = round(log₂ n) − 1, clamped to [8, 18]: bucketing (map)
     *    cost grows ∝ tables·n while candidate-shuffle volume grows with
     *    bucket occupancy n/2^bits, so the optimum adds ~1 bit per corpus
-    *    doubling; anchored at the measured sf10 winner (injected base
-    *    n ≈ 103.7 k → 14 bits × 86 tables, stage total 106 → 50 s vs
-    *    12 × 64, with 16 × 114 over-paying bucketing at Σ 61 s).
+    *    doubling. The offset is anchored at the measured sf10 winner and
+    *    moved −3 → −1 in r17: the primitive-array SignProjectionHelper
+    *    rewrite cut the bucketing pass ~2.4× (27.0 → 11.5 s at 14 × 86),
+    *    which shifts the crossover two bits toward thinner buckets —
+    *    same-day sf10 stage sums (bucket+cand+verify): 14 × 86 = 41.8 s,
+    *    15 × 99 = 33.1 s, **16 × 114 = 30.6 s (KEPT)**, 17 × 132 = 35.2 s
+    *    over-pays bucketing; identical 52,988 verified ε-edges at every
+    *    point. sf0.1 is flat across 11/12/13 bits (Σ 2.9–3.5 s,
+    *    overhead-bound, recall parity 1323 at each).
     * All measured geometries verified the IDENTICAL 52,988 ε-edges at
     * sf10 — recall parity measured, not assumed; with fixed hyperplane
     * seeds the outcome is DETERMINISTIC per corpus, and green at each
@@ -829,7 +835,7 @@ object QueriesLlm {
     val p = 0.866
     val targetE = 11.38
     val bits = math.max(8, math.min(18,
-      math.round(math.log(math.max(n, 2L).toDouble) / math.log(2.0)).toInt - 3))
+      math.round(math.log(math.max(n, 2L).toDouble) / math.log(2.0)).toInt - 1))
     val tables = math.ceil(targetE / math.pow(p, bits)).toInt
     (bits, tables)
   }

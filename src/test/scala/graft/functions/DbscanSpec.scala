@@ -80,14 +80,17 @@ class DbscanSpec extends SparkSpec {
     }
   }
 
-  test("auto LSH geometry reproduces all three r16-measured points") {
+  test("auto LSH geometry holds the equal-recall exponent at the r17 anchor") {
     import graft.queries.QueriesLlm.dbscanLshGeometry
-    // equal-recall tables(bits) at E = 11.38 / p = 0.866 — the three
-    // geometries profiled at sf10 with identical 52,988 ε-edges
-    assert(dbscanLshGeometry(30000L) == ((12, 64)))
-    assert(dbscanLshGeometry(103718L) == ((14, 86)),
-      "the measured sf10 winner at the sf10 injected-base row count")
-    assert(dbscanLshGeometry(420000L) == ((16, 114)))
+    // equal-recall tables(bits) at E = 11.38 / p = 0.866 — every measured
+    // geometry (r16 and r17) verified the identical 52,988 sf10 ε-edges;
+    // bits(n) re-anchored r17 at round(log₂ n) − 1 after the primitive-
+    // array bucketing rewrite moved the crossover (16 × 114 is the
+    // measured sf10 winner; 17 × 132 over-pays bucketing)
+    assert(dbscanLshGeometry(7000L) == ((12, 64)))
+    assert(dbscanLshGeometry(103718L) == ((16, 114)),
+      "the measured r17 sf10 winner at the sf10 injected-base row count")
+    assert(dbscanLshGeometry(26000L) == ((14, 86)))
     // clamps: tiny corpora floor at 8 bits, huge ones cap at 18
     assert(dbscanLshGeometry(10L)._1 == 8)
     assert(dbscanLshGeometry(100000000L)._1 == 18)

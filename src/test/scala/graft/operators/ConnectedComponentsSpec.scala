@@ -69,4 +69,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     val edges = Seq((5L, 1L), (1L, 5L), (5L, 1L), (2L, 5L), (9L, 8L))
     check(edges, "dup-edges")
   }
+
+  test("fingerprints ride the checkpoint's observe channel, not extra jobs") {
+    // the r17 fusion only saves its per-round pass when observedMetrics is
+    // populated by the eager localCheckpoint action — pin that it fires on
+    // every round (fallback count 0) so a Spark upgrade that breaks the
+    // channel is caught here, not as a silent bench regression
+    check((0L until 63L).map(i => (i, i + 1)), "path-observed")
+    assert(ConnectedComponents.lastObservedFingerprints >= 2,
+      s"observed=${ConnectedComponents.lastObservedFingerprints}")
+    assert(ConnectedComponents.lastFallbackFingerprints == 0,
+      s"fallback=${ConnectedComponents.lastFallbackFingerprints} — observe channel dead")
+  }
 }

@@ -62,6 +62,32 @@ class SuffixArraySpec extends SparkSpec {
     assert(crossDoc.subsetOf(saPos))
   }
 
+  test("window-shift partner fetch ≡ broadcast-join fetch (scrambled input)") {
+    // the r17 lead(rank, span) partner fetch (the past-broadcast-budget
+    // path) relies on per-doc position DENSITY, not on input row order or
+    // partitioning — force it via a zero budget on a corpus scrambled
+    // across many partitions and demand the identical SA both ways
+    val session = spark
+    import session.implicits._
+    val docs = Seq((7L, "a b a b a"), (3L, "b a b"), (11L, "a a b a b a b"))
+    val scrambled = session.sparkContext
+      .parallelize(scala.util.Random.shuffle(docs), 5).toDF("doc_id", "text")
+    val local = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      toks.indices.map(i => (toks.slice(i, i + 64).mkString(" "), id, (i + 1).toLong))
+    }.sortBy(identity).zipWithIndex
+      .map { case ((_, id, pos), i) => (i + 1L, id, pos) }
+    val viaJoin = SuffixArray.build(scrambled)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    session.conf.set(SuffixArray.PartnerBroadcastBytesKey, "0")
+    try {
+      val viaWindow = SuffixArray.build(scrambled)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(viaJoin == local)
+      assert(viaWindow == local)
+    } finally session.conf.unset(SuffixArray.PartnerBroadcastBytesKey)
+  }
+
   test("matches a local capped-suffix sort of real corpus text") {
     val session = spark
     import session.implicits._
