@@ -205,8 +205,14 @@ object MinHash {
   }
 
   /** Distinct shingle-hash set per doc, as a kernel — the verify-stage input
-    * for exact Jaccard (value-identical to
-    * array_distinct(shingleHashes(shingles(text)))).
+    * for exact Jaccard (same SET as
+    * array_distinct(shingleHashes(shingles(text)))), emitted SORTED
+    * ascending (r17): the verify kernel is then one allocation-free merge
+    * scan per candidate pair ([[graft.functions.SortedIntersectCount]])
+    * instead of two hash-set builds; the per-doc sort amortizes over the
+    * hundreds of pairs a candidate doc participates in. Set membership is
+    * unchanged — every consumer is order-insensitive (intersect/union
+    * semantics, or a token explode).
     */
   def withShingleHashSets(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id", n: Int = 3): DataFrame = {
@@ -224,6 +230,7 @@ object MinHash {
         val it = set.iterator()
         var i = 0
         while (it.hasNext) { arr(i) = it.next(); i += 1 }
+        java.util.Arrays.sort(arr)
         Row(r.get(0), arr)
       }
     }(Encoders.row(outSchema))
@@ -415,14 +422,26 @@ object MinHash {
       // candidate-ids semi-join + shingle kernel behind) the corpus sets
       // exactly ONCE per run — the earlier per-side broadcast() re-ran the
       // whole semi-join/shingle pipeline twice.
+      // r17 verify kernel: |A∩B| by one sorted-merge scan (the producer
+      // sorts each set once), |A∪B| = |A|+|B|−|A∩B| by distinctness —
+      // same integers, same double division, zero per-pair allocation
+      // (size(array_intersect)/size(array_union) built two hash sets AND
+      // materialized both result arrays per candidate pair).
+      def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+        val inter = VectorExprs.sortedIntersectCount(a, b)
+        inter.cast("double") / (size(a) + size(b) - inter)
+      }
       val h = broadcast(hs)
       pairs.as("__p")
         .join(h.as("__ha"), col("__p.id_a") === col("__ha.__jid"))
         .join(h.as("__hb"), col("__p.id_b") === col("__hb.__jid"))
         .select(col("__p.*"),
-          (size(array_intersect(col("__ha.__hs"), col("__hb.__hs"))).cast("double") /
-            size(array_union(col("__ha.__hs"), col("__hb.__hs")))).as("jaccard"))
+          jac(col("__ha.__hs"), col("__hb.__hs")).as("jaccard"))
     } else {
+      def jac(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+        val inter = VectorExprs.sortedIntersectCount(a, b)
+        inter.cast("double") / (size(a) + size(b) - inter)
+      }
       def byKey(df: DataFrame, key: String): DataFrame =
         numPartitions.fold(df)(n => df.repartition(n, col(key)))
       val hsA = hs.select(col("__jid").as("id_a"), col("__hs").as("__hs_a"))
@@ -430,9 +449,7 @@ object MinHash {
       byKey(byKey(pairs, "id_a")
           .join(byKey(hsA, "id_a"), "id_a"), "id_b")
         .join(byKey(hsB, "id_b"), "id_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("__hs_a"), col("__hs_b"))).cast("double") /
-            size(array_union(col("__hs_a"), col("__hs_b"))))
+        .withColumn("jaccard", jac(col("__hs_a"), col("__hs_b")))
         .drop("__hs_a", "__hs_b")
     }
   }

@@ -33,6 +33,7 @@ object VectorExprs {
   val L2Name = "graft_l2sq"
   val SignBucketsName = "graft_sign_buckets"
   val SimHashName = "graft_simhash64"
+  val SortedIntersectName = "graft_sorted_intersect_count"
 
   /** Register the native functions on a session builder via the public
     * extensions API — every [[graft.core.GraftSession]] gets them.
@@ -102,6 +103,12 @@ object VectorExprs {
     */
   def signBuckets(embedding: Column, bits: Int, tables: Int): Column =
     toCol(SignProjectionBuckets(expr(embedding), bits, tables))
+
+  /** Column-API face of [[SortedIntersectCount]] — |A∩B| of two sorted,
+    * distinct long arrays by one allocation-free merge scan.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    toCol(SortedIntersectCount(expr(a), expr(b)))
 }
 
 /** Shared scaffolding for the element-wise array folds ([[DotProduct]],
@@ -181,6 +188,68 @@ abstract class BinaryArrayFold extends BinaryExpression {
          |}
        """.stripMargin
     })
+}
+
+/** |A ∩ B| over two SORTED, DISTINCT long arrays — the exact-Jaccard
+  * verify kernel (r17). `size(array_intersect(a, b))` built a hash set AND
+  * materialized the intersected array per pair (and `array_union` a second
+  * set) — pure allocation on a path that's Θ(candidates); the sorted-merge
+  * scan is allocation-free and O(|A|+|B|) sequential long compares. The
+  * producer ([[MinHash.withShingleHashSets]]) sorts each set once per doc;
+  * a candidate doc is verified against hundreds of partners, so the
+  * corpus-side sort amortizes immediately. |A ∪ B| is then
+  * |A|+|B|−|A∩B| by distinctness — no second pass anywhere.
+  *
+  * PRECONDITION (callers'): both arrays ascending-sorted, duplicate-free,
+  * no null elements — exactly what withShingleHashSets emits. Null
+  * ARRAY → null, mirroring array_intersect.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = VectorExprs.SortedIntersectName
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint>, got ${l.catalogString}, ${r.catalogString}")
+  }
+
+  @transient private lazy val kernel = new SortedIntersectKernel
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernel.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("sortedIntersect", kernel,
+      classOf[SortedIntersectKernel].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $k.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Compiled core of [[SortedIntersectCount]], shared by eval and codegen. */
+final class SortedIntersectKernel extends Serializable {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 /** Σ aᵢ·bᵢ — see [[BinaryArrayFold]] for the shared fold/null contract. */

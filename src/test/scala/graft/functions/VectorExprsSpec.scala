@@ -176,6 +176,39 @@ class VectorExprsSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
   }
 
+  test("sortedIntersectCount == size(array_intersect) on random sorted sets") {
+    val session = spark
+    import session.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      def mk(): Array[Long] =
+        (0 until rnd.nextInt(40)).map(_ => rnd.nextInt(60).toLong).distinct.sorted.toArray
+      (i.toLong, mk(), mk())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        VectorExprs.sortedIntersectCount(col("a"), col("b")).as("k"),
+        size(array_intersect(col("a"), col("b"))).as("ref"),
+        (VectorExprs.sortedIntersectCount(col("a"), col("b")).cast("double") /
+          (size(col("a")) + size(col("b")) - VectorExprs.sortedIntersectCount(col("a"), col("b")))).as("jac"),
+        (size(array_intersect(col("a"), col("b"))).cast("double") /
+          size(array_union(col("a"), col("b")))).as("jacRef"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"id ${r.getLong(0)}: merge ${r.getInt(1)} vs ref ${r.getInt(2)}")
+      val (j, jr) = (r.isNullAt(3), r.isNullAt(4)) match {
+        case (true, true) => (0.0, 0.0)
+        case _ => (r.getDouble(3), r.getDouble(4))
+      }
+      assert(java.lang.Double.compare(j, jr) == 0 || (j.isNaN && jr.isNaN),
+        s"id ${r.getLong(0)}: jaccard $j vs $jr")
+    }
+    // null array -> null, mirroring array_intersect
+    val n = spark.range(1).select(VectorExprs.sortedIntersectCount(
+      lit(null).cast("array<bigint>"), array(lit(1L))).as("k")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("dot product runs inside WholeStageCodegen and is SQL-callable") {
     val session = spark
     import session.implicits._
